@@ -1,0 +1,280 @@
+"""The CDC ingest loop: WAL tail -> extract -> LWW merge -> commit.
+
+Ray-Data-native re-expression of the reference's lifecycle
+(``dags/s3_xml_import_pipeline.py`` sensor -> discover -> per-file ETL ->
+stage -> load -> advance watermark; traced in SURVEY §3): the per-file
+sequential Python loop becomes a streaming Dataset pipeline —
+
+    read_parquet(segments > watermark)            # schema-unified tail
+      -> map_batches(HtmlTextExtractor, actors)    # stateful extract, drops html
+      -> map_batches(local_lww)                    # combiner (skew defense)
+      -> map_batches(add partition column)         # crc32(url) % P
+      -> groupby('part').map_groups(PartitionMerger)  # merge vs base, write
+      -> driver: atomic manifest commit            # exactly-once
+
+The driver never sees data rows — only P small stats rows. Nothing
+materializes the full dataset; the streaming executor pipelines the
+extract stage against the shuffle with backpressure.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..schemas import WIRE_ONLY_COLUMNS, merge_schemas
+from ..sources import wal as wal_source
+from ..stages.extract import HtmlTextExtractor
+from ..stages.merge import (
+    DELETED_COL,
+    MERGE_STATS_SCHEMA,
+    PartitionMerger,
+    add_partition_column,
+    local_lww,
+)
+from ..state.checkpoint import (
+    LakeManifest,
+    batch_token,
+    commit_manifest,
+    gc_unreferenced,
+    load_manifest,
+    utcnow_iso,
+)
+
+DEFAULT_NUM_PARTITIONS = 64
+
+
+@dataclass
+class CdcConfig:
+    """Job config (the analog of ``eJPXmlDataConfig``,
+    ``dag_pipeline_config/xml_config.py:43-112``)."""
+
+    wal_dir: str
+    lake_dir: str
+    num_partitions: int = DEFAULT_NUM_PARTITIONS
+    segment_glob: str = wal_source.SEGMENT_GLOB
+    url_exclusion_pattern: str | None = None
+    #: Max segments folded into one commit (micro-batch bound — the
+    #: analog of ``batch_size_limit=100000`` rows, ``etl.py:156``).
+    max_segments_per_batch: int = 64
+    extract_batch_size: int | None = 1024
+    #: Actor-pool size for the extractor; None = autoscale to the cluster.
+    extract_concurrency: Any = None
+    read_override_num_blocks: int | None = None
+
+
+@dataclass
+class IngestReport:
+    """Per-run outcome: what was committed (driver-visible lineage)."""
+
+    commits: int = 0
+    segments_processed: list[str] = field(default_factory=list)
+    events_applied: int = 0
+    rows_total: int = 0
+    partitions_rewritten: int = 0
+    final_version: int | None = None
+    watermark: str | None = None
+
+
+def lake_schema_from_wire(wire: pa.Schema) -> pa.Schema:
+    """Project the wire (WAL) schema to the lake schema: drop wire-only
+    columns, insert ``text`` after ``seq``, append the persisted
+    tombstone flag (see :data:`..stages.merge.DELETED_COL`)."""
+    fields: list[pa.Field] = []
+    for f in wire:
+        if f.name in WIRE_ONLY_COLUMNS:
+            continue
+        fields.append(f)
+        if f.name == "seq":
+            fields.append(pa.field("text", pa.string()))
+    fields.append(pa.field(DELETED_COL, pa.bool_()))
+    return pa.schema(fields)
+
+
+def _default_extract_concurrency() -> tuple[int, int]:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus - 4))
+
+
+def _ingest_one_batch(
+    cfg: CdcConfig, manifest: LakeManifest, segments: list[wal_source.SegmentMeta]
+) -> tuple[LakeManifest, dict[str, int]]:
+    """Process one micro-batch of segments and commit. Pure function of
+    (committed lake state, segment set) — a crashed batch rewrites the
+    same content-addressed files on retry."""
+    token = batch_token(manifest.watermark, [s.name for s in segments])
+    wire = wal_source.unified_wire_schema(segments)
+    new_lake_schema = merge_schemas(manifest.schema, lake_schema_from_wire(wire))
+
+    ds = wal_source.read_segments(
+        segments, wire, override_num_blocks=cfg.read_override_num_blocks
+    )
+    concurrency = cfg.extract_concurrency or _default_extract_concurrency()
+    ds = ds.map_batches(
+        HtmlTextExtractor,
+        fn_constructor_kwargs={"url_exclusion_pattern": cfg.url_exclusion_pattern},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(local_lww, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        add_partition_column,
+        fn_kwargs={"num_partitions": manifest.num_partitions},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merger = PartitionMerger(
+        lake_dir=cfg.lake_dir,
+        base_partitions=manifest.partitions,
+        lake_schema=new_lake_schema,
+        token=token,
+    )
+
+    def merge_partition(group: pa.Table) -> pa.Table:
+        return merger(group)
+
+    stats_ds = ds.groupby("part").map_groups(merge_partition, batch_format="pyarrow")
+    stats = stats_ds.take_all()  # ≤ P tiny rows — the only driver materialization
+    if not stats:
+        stats = []
+
+    import pyarrow.parquet as _pq
+
+    # Raw event count from segment footers (metadata-only, driver-side);
+    # the per-partition stats count post-combiner delta rows.
+    events_applied = sum(
+        _pq.ParquetFile(s.path).metadata.num_rows for s in segments
+    )
+    new_partitions = dict(manifest.partitions)
+    deltas_merged = 0
+    for row in stats:
+        part = int(row["part"])
+        deltas_merged += int(row["events_applied"])
+        if row["path"] is None:
+            new_partitions.pop(part, None)
+        else:
+            new_partitions[part] = row["path"]
+    counters = dict(manifest.counters)
+    counters["events_applied"] = counters.get("events_applied", 0) + events_applied
+    counters["commits"] = counters.get("commits", 0) + 1
+
+    new_manifest = LakeManifest(
+        num_partitions=manifest.num_partitions,
+        version=manifest.version + 1,
+        watermark=segments[-1].name,
+        schema=new_lake_schema,
+        partitions=new_partitions,
+        lineage=manifest.lineage
+        + [
+            {
+                "version": manifest.version + 1,
+                "committed_at": utcnow_iso(),
+                "token": token,
+                "segments": [s.name for s in segments],
+                "events_applied": events_applied,
+                "deltas_merged": deltas_merged,
+                "partitions_rewritten": len(stats),
+                "rows_per_partition": {
+                    str(int(r["part"])): int(r["rows"]) for r in stats
+                },
+            }
+        ],
+        counters=counters,
+    )
+    commit_manifest(cfg.lake_dir, new_manifest)
+    gc_unreferenced(cfg.lake_dir, new_manifest)
+    return new_manifest, {
+        "events_applied": events_applied,
+        "partitions_rewritten": len(stats),
+        "deltas_merged": deltas_merged,
+    }
+
+
+def run_ingest(cfg: CdcConfig) -> IngestReport:
+    """Tail the WAL past the committed watermark and merge everything
+    new, in segment order, committing once per micro-batch. Idempotent:
+    calling with no new segments is a no-op; re-calling after a crash
+    converges to the same lake state (tests assert this)."""
+    manifest = load_manifest(cfg.lake_dir) or LakeManifest(
+        num_partitions=cfg.num_partitions
+    )
+    segments = wal_source.segments_after(
+        wal_source.list_segments(cfg.wal_dir, cfg.segment_glob), manifest.watermark
+    )
+    report = IngestReport(
+        final_version=manifest.version, watermark=manifest.watermark
+    )
+    for i in range(0, len(segments), cfg.max_segments_per_batch):
+        chunk = segments[i : i + cfg.max_segments_per_batch]
+        manifest, stats = _ingest_one_batch(cfg, manifest, chunk)
+        report.commits += 1
+        report.segments_processed += [s.name for s in chunk]
+        report.events_applied += stats["events_applied"]
+        report.partitions_rewritten += stats["partitions_rewritten"]
+        report.final_version = manifest.version
+        report.watermark = manifest.watermark
+    return report
+
+
+def read_lake(lake_dir: str) -> ray.data.Dataset:
+    """Read the committed lake as a Dataset under the unified schema
+    (old partitions null-filled / widened on the fly)."""
+    from ..schemas import conform_table
+
+    manifest = load_manifest(lake_dir)
+    if manifest is None or not manifest.partitions:
+        schema = manifest.schema if manifest else None
+        if schema is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        return ray.data.from_arrow(schema.empty_table())
+    paths = [
+        os.path.join(lake_dir, rel) for _, rel in sorted(manifest.partitions.items())
+    ]
+    target = manifest.schema
+
+    def conform(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = conform_table(batch, target)
+        if DELETED_COL in batch.column_names:
+            mask = pc.fill_null(pc.invert(batch.column(DELETED_COL)), True)
+            batch = batch.filter(mask).drop_columns([DELETED_COL])
+        return batch
+
+    return ray.data.read_parquet(paths).map_batches(
+        conform, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lake_snapshot(lake_dir: str) -> pa.Table:
+    """Whole lake as one Arrow table, sorted by url — small lakes /
+    tests only."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    if not manifest.partitions:
+        return (manifest.schema or pa.schema([])).empty_table()
+    import pyarrow.parquet as pq
+
+    from ..schemas import conform_table
+
+    import pyarrow.compute as pc
+
+    tables = [
+        conform_table(
+            pq.read_table(os.path.join(lake_dir, rel)), manifest.schema
+        )
+        for _, rel in sorted(manifest.partitions.items())
+    ]
+    out = pa.concat_tables(tables)
+    if DELETED_COL in out.column_names:
+        mask = pc.fill_null(pc.invert(out.column(DELETED_COL)), True)
+        out = out.filter(mask).drop_columns([DELETED_COL])
+    return out.sort_by("url")

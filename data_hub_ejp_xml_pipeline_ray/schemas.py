@@ -1,0 +1,179 @@
+"""Arrow schemas for the page lake and the change-event WAL, plus the
+schema-evolution (union + widen) rules applied at merge time.
+
+The reference infers warehouse schemas from staged JSONL and merges them
+into the live table schema with a recursive field-union where the
+*existing* field definition wins on conflict
+(``ejp_xml_pipeline/data_store/bq_data_service.py:142-188,204-231``).
+We reproduce those semantics over Arrow types, with an explicit widen
+table (int -> wider int, float32 -> float64, null -> anything) layered on
+top — the two evolution paths (column add at any depth, declared numeric
+widen) the engine supports.
+"""
+from __future__ import annotations
+
+import base64
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Canonical schemas (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+#: Base lake table of web pages. ``url`` is the primary key; ``warc_ts``
+#: is the LWW ordering key; ``seq`` the per-key monotonic tiebreak kept in
+#: the lake so future same-``warc_ts`` events merge deterministically.
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("seq", pa.int64()),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+#: Change-event WAL segment schema (v1). ``op`` is insert|update|delete.
+EVENTS_SCHEMA_V1 = pa.schema(
+    [
+        pa.field("op", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("seq", pa.int64()),
+        pa.field("html", pa.binary()),
+        pa.field("lang", pa.string()),
+        pa.field("schema_version", pa.int32()),
+        pa.field("fetch_status", pa.int32()),
+    ]
+)
+
+#: v2 adds ``content_type`` (column add) and widens ``fetch_status`` to
+#: int64 (declared numeric widen) — the two evolution paths exercised by
+#: FIXTURES.md §4.
+EVENTS_SCHEMA_V2 = pa.schema(
+    [
+        pa.field("op", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("seq", pa.int64()),
+        pa.field("html", pa.binary()),
+        pa.field("lang", pa.string()),
+        pa.field("schema_version", pa.int32()),
+        pa.field("fetch_status", pa.int64()),
+        pa.field("content_type", pa.string()),
+    ]
+)
+
+# Columns that exist only on the wire, never in the lake.
+WIRE_ONLY_COLUMNS = ("op", "html", "schema_version")
+
+# ---------------------------------------------------------------------------
+# Schema union + widen
+# ---------------------------------------------------------------------------
+
+_INT_RANK = {
+    pa.int8(): 0,
+    pa.int16(): 1,
+    pa.int32(): 2,
+    pa.int64(): 3,
+}
+_UINT_RANK = {
+    pa.uint8(): 0,
+    pa.uint16(): 1,
+    pa.uint32(): 2,
+    pa.uint64(): 3,
+}
+_FLOAT_RANK = {pa.float16(): 0, pa.float32(): 1, pa.float64(): 2}
+
+
+def merge_types(existing: pa.DataType, new: pa.DataType) -> pa.DataType:
+    """Merge a field type seen in new data into the existing lake type.
+
+    Mirrors the reference's precedence — the existing definition wins on
+    conflict (``bq_data_service.py:155-158``) — except for the declared
+    widens: null -> anything, smaller int -> larger int of the same
+    signedness, smaller float -> larger float. Struct and list types are
+    merged recursively (column add at any nesting depth, matching the
+    recursive schema-union at ``bq_data_service.py:142-188``).
+    """
+    if existing.equals(new):
+        return existing
+    if pa.types.is_null(existing):
+        return new
+    if pa.types.is_null(new):
+        return existing
+    if pa.types.is_struct(existing) and pa.types.is_struct(new):
+        return pa.struct(_merge_fields(list(existing), list(new)))
+    if (
+        pa.types.is_large_list(existing) or pa.types.is_list(existing)
+    ) and (pa.types.is_large_list(new) or pa.types.is_list(new)):
+        return pa.list_(merge_types(existing.value_type, new.value_type))
+    for rank in (_INT_RANK, _UINT_RANK, _FLOAT_RANK):
+        if existing in rank and new in rank:
+            return existing if rank[existing] >= rank[new] else new
+    # Everything else: existing wins (no type rewrite on conflict).
+    return existing
+
+
+def _merge_fields(existing: list[pa.Field], new: list[pa.Field]) -> list[pa.Field]:
+    by_name = {f.name: f for f in existing}
+    out: list[pa.Field] = []
+    for f in existing:
+        match = next((g for g in new if g.name == f.name), None)
+        if match is None:
+            out.append(f)
+        else:
+            out.append(pa.field(f.name, merge_types(f.type, match.type)))
+    for g in new:
+        if g.name not in by_name:
+            out.append(g)
+    return out
+
+
+def merge_schemas(existing: pa.Schema | None, new: pa.Schema) -> pa.Schema:
+    """Union two schemas: existing field order preserved, new-only fields
+    appended, types merged per :func:`merge_types`."""
+    if existing is None:
+        return new
+    merged = _merge_fields(list(existing), list(new))
+    return pa.schema(merged)
+
+
+def unify_many(schemas: list[pa.Schema]) -> pa.Schema:
+    """Fold :func:`merge_schemas` over a list (first = most senior)."""
+    if not schemas:
+        raise ValueError("no schemas to unify")
+    out = schemas[0]
+    for s in schemas[1:]:
+        out = merge_schemas(out, s)
+    return out
+
+
+def conform_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast ``table`` to ``schema``: missing columns null-filled, extra
+    columns dropped, compatible types cast. This is the read-side half of
+    schema evolution (old lake partitions read under the unified schema)."""
+    cols = []
+    n = table.num_rows
+    for f in schema:
+        if f.name in table.column_names:
+            col = table.column(f.name)
+            if not col.type.equals(f.type):
+                col = col.cast(f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Schema (de)serialization for the manifest
+# ---------------------------------------------------------------------------
+
+def schema_to_json(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_json(data: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(data)))
