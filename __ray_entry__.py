@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship CDC pipeline at sf0.001: deterministic WAL ->
+  actor-pool extract -> LWW merge -> manifest-committed lake; returns
+  the merged lake as a ``ray.data.Dataset``.
+* ``queries()`` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 (plus training-data additions); see
+  ``data_hub_ejp_xml_pipeline_ray/pipelines/queries.py``.
+* ``oracle_sql()`` — matching DuckDB SQL per query where SQL can
+  express the semantics; non-expressible ops (CDC lake state, LSH
+  dedup, IVF ANN, fingerprint) are intentionally absent -> rows-only.
 """
 
 from __future__ import annotations
@@ -18,27 +19,32 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import read_lake
+
+    import os
+    import tempfile
+
+    # Run the CDC ingest sized by the smoke tier, then return the lake
+    # as a streaming Dataset (schema: url, warc_ts, seq, text, lang, ...).
+    snapshot = q.q_cdc_lake_state(SF_SMOKE_DIR)  # commits the lake
+    n_docs = 500
+    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_lake_q_{n_docs}", "lake")
+    return read_lake(lake_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -82,10 +82,17 @@ def quality_score(
         pc.subtract(1.0, pc.divide(np_, pc.max_element_wise(nc, 1.0))), 0.2
     )
     score = pc.add(pc.add(len_part, stop_part), punct_part)
-    # Round via scale->int->divide: yields the canonical double for
-    # x.dddd, matching DuckDB's round(x, 4) bit-for-bit (pc.round's
-    # direct algorithm can land one ulp away).
-    return pc.divide(pc.round(pc.multiply(score, 10000.0), ndigits=0), 10000.0)
+    # Round via scale->int->divide with half-away-from-zero: yields the
+    # canonical double for x.dddd and matches DuckDB's round() tie
+    # behavior (Arrow's default is half-to-even; DuckDB rounds ties away
+    # from zero).
+    return pc.divide(
+        pc.round(
+            pc.multiply(score, 10000.0), ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        10000.0,
+    )
 
 
 def lang_id(text: pa.ChunkedArray | pa.Array) -> pa.Array:

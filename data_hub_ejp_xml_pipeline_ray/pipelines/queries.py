@@ -1,0 +1,682 @@
+"""Operator registry over the driver's sf tables: every operator family
+from SURVEY §2 (plus the training-data additions) expressed as a Ray
+Data pipeline, with a matching ANSI-SQL oracle where SQL can express it.
+
+Contract (driver correctness gate): ``QUERIES[name](sf_dir)`` returns a
+Dataset / pandas DataFrame / Arrow table whose row set, schema and
+values match ``ORACLE_SQL[name]`` run by DuckDB over the same parquet
+views. Column names are part of the contract — every computed column is
+aliased identically on both sides. Aggregated doubles are rounded
+(scale-int-divide) on both sides so summation order can't flip the
+value hash.
+
+Scale notes are inline per query: combiners before shuffles, broadcast
+(``ray.put``) small sides instead of shuffle joins, column pruning at
+the read.
+"""
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from ..functions import textstats as ts
+from ..stages.ann import brute_force_topk, ivf_topk
+from ..stages.dedup import (
+    embedding_dedup,
+    exact_dedup,
+    minhash_dedup,
+    simhash_dedup,
+)
+from ..stages.textstats import annotate_text_stats
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _round2(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """round(x*100)/100 with half-away ties — DuckDB round() parity."""
+    out = pc.divide(
+        pc.round(
+            pc.multiply(col, 100.0), ndigits=0, round_mode="half_towards_infinity"
+        ),
+        100.0,
+    )
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def _keep_extreme(batch: pa.Table, key_cols: list[str], order_cols: list[str],
+                  keep: str = "last") -> pa.Table:
+    """Per-batch combiner: keep one extreme row per key (the generic
+    form of the CDC local-LWW pre-reduce)."""
+    if batch.num_rows <= 1:
+        return batch
+    df = pl.from_arrow(batch)
+    df = df.sort(key_cols + order_cols).unique(
+        subset=key_cols, keep=keep, maintain_order=True
+    )
+    out = df.to_arrow()
+    from ..schemas import conform_table
+
+    return conform_table(out, batch.schema)
+
+
+# ---------------------------------------------------------------------------
+# CDC-semantics operators over `events`
+# ---------------------------------------------------------------------------
+
+def q_lww_latest_by_user(sf_dir: str):
+    """LWW reduce (SURVEY §2.8): last event per user by (ts, event_id)
+    — combiner per block, then grouped reduce; mirrors the engine's
+    two-phase merge."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(
+        _keep_extreme,
+        fn_kwargs={"key_cols": ["user_id"], "order_cols": ["ts", "event_id"]},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def last_row(g: pa.Table) -> pa.Table:
+        return _keep_extreme(g, ["user_id"], ["ts", "event_id"])
+
+    return ds.groupby("user_id").map_groups(last_row, batch_format="pyarrow")
+
+
+def q_watermark_filter(sf_dir: str):
+    """Strictly-greater high-watermark filter (tailer semantics,
+    ``airflow_s3_util_extension.py:130-133``)."""
+    wm = datetime(2024, 1, 15)
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("ts"), pa.scalar(wm))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_max_ts_per_type(sf_dir: str):
+    """Watermark aggregation per key pattern (A1)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return ds.groupby("event_type").aggregate(
+        Max("ts", alias_name="max_ts"), Count(alias_name="n_events")
+    )
+
+
+def q_dedup_first_event(sf_dir: str):
+    """Grouped-first (O4 analog): first event per (user, type)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        _keep_extreme,
+        fn_kwargs={"key_cols": ["user_id", "event_type"],
+                   "order_cols": ["ts", "event_id"], "keep": "first"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def first_row(g: pa.Table) -> pa.Table:
+        g = _keep_extreme(g, ["user_id", "event_type"], ["ts", "event_id"], "first")
+        return g.select(["user_id", "event_type", "event_id"]).rename_columns(
+            ["user_id", "event_type", "first_event_id"]
+        )
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        first_row, batch_format="pyarrow"
+    )
+
+
+def q_fanout_entities(sf_dir: str):
+    """Fan-out demux (M6/S9 analog): one input row -> one row per
+    entity stream, discriminated by ``entity_type``."""
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+
+    def demux(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        a = df.select(
+            pl.col("event_id"),
+            pl.lit("value").alias("entity_type"),
+            pl.col("value").alias("v"),
+        )
+        b = df.select(
+            pl.col("event_id"),
+            pl.lit("prop_k").alias("entity_type"),
+            pl.col("props").str.json_path_match("$.k").cast(pl.Float64).alias("v"),
+        )
+        out = pl.concat([a, b]).to_arrow()
+        return out.cast(
+            pa.schema([
+                ("event_id", pa.int64()), ("entity_type", pa.string()),
+                ("v", pa.float64()),
+            ])
+        )
+
+    return ds.map_batches(demux, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tumbling_window_counts(sf_dir: str):
+    """Tumbling event-time window aggregate (streaming-shaped op over
+    the ordered log; SURVEY §2.9)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "window_start", pc.floor_temporal(t.column("ts"), unit="hour")
+        )
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value",
+            _round2(t.column("sum_value")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: sorted per-group pandas
+    over the key-partitioned log."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sess = gap.cumsum() + 1
+        out = g.assign(session_index=sess.astype("int64")).groupby(
+            "session_index", as_index=False
+        ).agg(user_id=("user_id", "first"), n_events=("event_id", "count"),
+              session_start=("ts", "min"))
+        return out[["user_id", "session_index", "n_events", "session_start"]]
+
+    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("user_id", pa.int64()), ("session_index", pa.int64()),
+            ("n_events", pa.int64()), ("session_start", pa.timestamp("us")),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / normalization over `documents`
+# ---------------------------------------------------------------------------
+
+def q_exclusion_filter(sf_dir: str):
+    """Exclusion-regex anti-filter (M3 analog, ``ejp_zip.py:61-63``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.match_substring_regex(t.column("text"), "merge|fox"))
+        ).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_null_normalize(sf_dir: str):
+    """Null normalization (M14 analog): empty-string -> null -> default
+    (the engine's inversion of ``remove_key_with_null_value``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        lang = t.column("lang")
+        lang_norm = pc.coalesce(
+            pc.if_else(pc.equal(lang, ""), pa.scalar(None, pa.string()), lang),
+            pa.scalar("und"),
+        )
+        src = t.column("source")
+        src_norm = pc.coalesce(
+            pc.if_else(pc.equal(src, ""), pa.scalar(None, pa.string()), src),
+            pa.scalar("unknown"),
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "lang_norm": lang_norm,
+             "source_norm": src_norm}
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped aggregates / joins / top-k
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Q1-shaped grouped aggregate with pre-shuffle computed column."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(datetime(2000, 12, 1))))
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount"))
+        )
+        return t.append_column("disc_price", disc).drop_columns(["l_shipdate"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        for name in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
+            t = t.set_column(t.column_names.index(name), name, _round2(t.column(name)))
+        return t
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def _broadcast_dim(sf_dir: str, table: str, key: str, cols: list[str]):
+    """Read a small dimension table driver-side and ``ray.put`` it once
+    (broadcast-join pattern — no shuffle for small sides)."""
+    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=cols)
+    return ray.put(t.to_pandas().set_index(key))
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """3-way join expressed as broadcast lookups + pre-aggregated
+    shuffle: lineitem (fact) never joins via shuffle; orders/customer/
+    nation ship to tasks once via ray.put. Per-batch combiner reduces
+    to (nationkey, partial revenue) before the tiny global groupby."""
+    orders_ref = _broadcast_dim(sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_custkey"])
+    cust_ref = _broadcast_dim(sf_dir, "customer", "c_custkey", ["c_custkey", "c_nationkey"])
+    nation_ref = _broadcast_dim(sf_dir, "nation", "n_nationkey", ["n_nationkey", "n_name"])
+
+    class JoinAndPartial:
+        def __init__(self):
+            self.orders = ray.get(orders_ref)["o_custkey"]
+            self.cust = ray.get(cust_ref)["c_nationkey"]
+            self.nation = ray.get(nation_ref)["n_name"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rev = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
+            custkey = batch["l_orderkey"].map(self.orders)
+            nationkey = custkey.map(self.cust)
+            name = nationkey.map(self.nation)
+            part = pd.DataFrame({"n_name": name, "revenue": rev})
+            return part.groupby("n_name", as_index=False)["revenue"].sum()
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    partials = ds.map_batches(
+        JoinAndPartial, batch_format="pandas", concurrency=(1, 8), num_cpus=1
+    )
+    agg = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("revenue"), "revenue", _round2(t.column("revenue"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Grouped sum -> global top-k (sort + limit) with deterministic
+    tiebreak, then broadcast name lookup."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent")
+    )
+    agg = agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total_spent"), "total_spent",
+            _round2(t.column("total_spent")),
+        ),
+        batch_format="pyarrow",
+    )
+    top = agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+    names_ref = _broadcast_dim(sf_dir, "customer", "c_custkey", ["c_custkey", "c_name"])
+
+    def add_name(t: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)["c_name"]
+        t["c_name"] = t["o_custkey"].map(names)
+        return t[["o_custkey", "c_name", "total_spent"]]
+
+    return top.map_batches(add_name, batch_format="pandas")
+
+
+def q_order_priority_count(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), pa.scalar(datetime(1996, 1, 1))),
+                pc.less(t.column("o_orderdate"), pa.scalar(datetime(1998, 1, 1))),
+            )
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / ANN over `documents` + `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(annotate_text_stats, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_chars_computed", "n_punct", "n_stop", "quality"]
+    )
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"), "lang_pred": ts.lang_id(t.column("text"))}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint (rows-only oracle: not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("doc_id"),
+             "fingerprint": ts.fingerprint_column(t.column("text"))}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = minhash_dedup(ds, threshold=0.8)
+    return pa.table({"doc_id": pa.array(res["survivors"], pa.int64())})
+
+
+def q_simhash_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = simhash_dedup(ds, max_hamming=3)
+    return pa.table({"doc_id": pa.array(res["survivors"], pa.int64())})
+
+
+def q_embedding_dedup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = embedding_dedup(ds, dim=64, threshold=0.95)
+    return pa.table({"vec_id": pa.array(res["survivors"], pa.int64())})
+
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _query_vectors(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id").loc[_ANN_QUERY_IDS]
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def q_ann_topk(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF/LSH-bucketed ANN scale path (rows-only oracle: approximate)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10,
+                    n_clusters=16, nprobe=6)
+
+
+def q_cdc_lake_state(sf_dir: str):
+    """Flagship CDC pipeline as a query (rows-only oracle): generate a
+    deterministic WAL sized by the sf tier, ingest into a fresh lake,
+    return the merged state."""
+    import shutil
+    import tempfile
+
+    from ..pipelines.cdc import CdcConfig, lake_snapshot, run_ingest
+    from ..sources.synthetic import generate_wal
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    work = os.path.join(
+        tempfile.gettempdir(), f"cdc_lake_q_{n_docs}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    generate_wal(
+        os.path.join(work, "wal"), seed=1234, n_urls=max(20, n_docs // 5),
+        n_events=n_docs * 4, n_segments=8, delete_fraction=0.05, tie_fraction=0.05,
+    )
+    # extract_concurrency=None -> autoscaling pool sized to the session
+    # (a FIXED pool equal to the CPU count would reserve every CPU and
+    # starve the read stage -> deadlock; see cdc._default_extract_concurrency)
+    cfg = CdcConfig(wal_dir=os.path.join(work, "wal"),
+                    lake_dir=os.path.join(work, "lake"),
+                    num_partitions=16)
+    run_ingest(cfg)
+    return lake_snapshot(cfg.lake_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lww_latest_by_user": q_lww_latest_by_user,
+    "watermark_filter": q_watermark_filter,
+    "max_ts_per_type": q_max_ts_per_type,
+    "dedup_first_event": q_dedup_first_event,
+    "fanout_entities": q_fanout_entities,
+    "tumbling_window_counts": q_tumbling_window_counts,
+    "sessionize": q_sessionize,
+    "exclusion_filter": q_exclusion_filter,
+    "null_normalize": q_null_normalize,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "order_priority_count": q_order_priority_count,
+    "doc_token_stats": q_doc_token_stats,
+    "lang_id": q_lang_id,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_dedup_docs": q_simhash_dedup_docs,
+    "embedding_dedup": q_embedding_dedup,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "cdc_lake_state": q_cdc_lake_state,
+}
+
+_TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
+_PUNCT_SQL = "length(regexp_extract_all(text, '[.,;:!?]'))"
+_STOP_SQL = (
+    r"length(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))"
+)
+
+
+def _lang_count(words: tuple[str, ...]) -> str:
+    return (
+        r"length(regexp_extract_all(lower(text), '\b("
+        + "|".join(words)
+        + r")\b'))"
+    )
+
+
+_LANG_CASE = f"""
+CASE
+  WHEN {_lang_count(ts.LANG_STOPWORDS['en'])} = 0
+   AND {_lang_count(ts.LANG_STOPWORDS['de'])} = 0
+   AND {_lang_count(ts.LANG_STOPWORDS['fr'])} = 0
+   AND {_lang_count(ts.LANG_STOPWORDS['es'])} = 0 THEN 'und'
+  WHEN {_lang_count(ts.LANG_STOPWORDS['en'])} >= {_lang_count(ts.LANG_STOPWORDS['de'])}
+   AND {_lang_count(ts.LANG_STOPWORDS['en'])} >= {_lang_count(ts.LANG_STOPWORDS['fr'])}
+   AND {_lang_count(ts.LANG_STOPWORDS['en'])} >= {_lang_count(ts.LANG_STOPWORDS['es'])} THEN 'en'
+  WHEN {_lang_count(ts.LANG_STOPWORDS['de'])} >= {_lang_count(ts.LANG_STOPWORDS['fr'])}
+   AND {_lang_count(ts.LANG_STOPWORDS['de'])} >= {_lang_count(ts.LANG_STOPWORDS['es'])} THEN 'de'
+  WHEN {_lang_count(ts.LANG_STOPWORDS['fr'])} >= {_lang_count(ts.LANG_STOPWORDS['es'])} THEN 'fr'
+  ELSE 'es'
+END
+"""
+
+ORACLE_SQL = {
+    "lww_latest_by_user": """
+        SELECT user_id, event_id, ts, value FROM (
+          SELECT user_id, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    "watermark_filter": """
+        SELECT event_id, ts, user_id FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    "max_ts_per_type": """
+        SELECT event_type, max(ts) AS max_ts, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "dedup_first_event": """
+        SELECT user_id, event_type, event_id AS first_event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    "fanout_entities": """
+        SELECT event_id, 'value' AS entity_type, value AS v FROM events
+        UNION ALL
+        SELECT event_id, 'prop_k' AS entity_type,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+        FROM events
+    """,
+    "tumbling_window_counts": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               round(sum(value) * 100) / 100 AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "sessionize": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, event_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_index
+          FROM flagged)
+        SELECT user_id, session_index, count(*) AS n_events,
+               min(ts) AS session_start
+        FROM numbered GROUP BY user_id, session_index
+    """,
+    "exclusion_filter": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE NOT regexp_matches(text, 'merge|fox')
+    """,
+    "null_normalize": """
+        SELECT doc_id,
+               coalesce(nullif(lang, ''), 'und') AS lang_norm,
+               coalesce(nullif(source, ''), 'unknown') AS source_norm
+        FROM documents
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity) * 100) / 100 AS sum_qty,
+               round(sum(l_extendedprice) * 100) / 100 AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price,
+               round(avg(l_quantity) * 100) / 100 AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name AS n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "top_customers": """
+        SELECT o_custkey, c_name, total_spent FROM (
+          SELECT o_custkey,
+                 round(sum(o_totalprice) * 100) / 100 AS total_spent
+          FROM orders GROUP BY o_custkey)
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, o_custkey LIMIT 10
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderpriority
+    """,
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               {_TOKEN_SQL} AS n_tokens,
+               length(text) AS n_chars_computed,
+               {_PUNCT_SQL} AS n_punct,
+               {_STOP_SQL} AS n_stop,
+               round( (least({_TOKEN_SQL}, 200) / 200.0 * 0.5
+                     + {_STOP_SQL} * 1.0 / greatest({_TOKEN_SQL}, 1) * 0.3
+                     + (1 - {_PUNCT_SQL} * 1.0 / greatest(length(text), 1)) * 0.2)
+                     * 10000) / 10000 AS quality
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+    """,
+    "dedup_exact_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "ann_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS e FROM embeddings
+          WHERE vec_id IN (0, 1, 2)
+        ), scored AS (
+          -- cast to DOUBLE[] so DuckDB computes cosine in float64 like
+          -- the numpy side (float32 kernels differ in the 7th decimal)
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.e AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))
+                       * 1000000) / 1000000 AS cosine
+          FROM q CROSS JOIN embeddings c
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    # rows-only (non-SQL-expressible): doc_fingerprint, minhash_dedup_docs,
+    # simhash_dedup_docs, embedding_dedup, ann_topk_ivf, cdc_lake_state
+}

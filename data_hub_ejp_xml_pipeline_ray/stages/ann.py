@@ -34,6 +34,12 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _round6_half_away(x: np.ndarray) -> np.ndarray:
+    """round(x*1e6)/1e6 with half-away-from-zero ties (np.round is
+    half-to-even; the SQL oracle's round() is half-away)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 class _PartialTopK:
     """Per-batch scorer: one matmul vs the broadcast query matrix; emits
     the batch-local top-k candidates per query."""
@@ -49,7 +55,7 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
         unit = _unit_rows(_as_matrix(batch.column(self.vec_col)))
-        sims = np.round(unit @ self.qmat.T, 6)  # (n, Q); round BEFORE rank
+        sims = _round6_half_away(unit @ self.qmat.T)  # (n, Q); round BEFORE rank
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
         for qi, qid in enumerate(self.qids):
