@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC ingest + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "cdc": {"events": N, "events_per_sec": X}}
+
+``--scaling`` runs the same job in fresh processes at num_cpus=8 and 32
+(N vs 4N — the sandbox proxy for the two-cluster-size criterion) on the
+SAME cached input and reports both throughputs + scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), GRAFT_BENCH_EVENTS (override WAL event count).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: Queries timed per run (a spread across operator families).
+BENCH_QUERIES = [
+    "lww_latest_by_user",
+    "watermark_filter",
+    "tumbling_window_counts",
+    "sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "doc_token_stats",
+    "lang_id",
+    "dedup_exact_docs",
+    "minhash_dedup_docs",
+    "ann_topk",
+]
+
+
+def _bench_wal_dir(sf_dir: str, n_events: int) -> str:
+    """Deterministic WAL cached under /tmp, keyed by size — generated
+    once, reused by every parallelism level (same input requirement)."""
+    wal = os.path.join(tempfile.gettempdir(), f"graft_bench_wal_{n_events}")
+    marker = os.path.join(wal, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(wal, ignore_errors=True)
+        from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+
+        generate_wal(
+            wal, seed=4242,
+            n_urls=max(1000, n_events // 20),
+            n_events=n_events,
+            n_segments=64,
+            hot_fraction=0.01, hot_mass=0.3,
+            delete_fraction=0.05, tie_fraction=0.05,
+            v2_from_segment=48,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return wal
+
+
+def _default_events(sf_dir: str) -> int:
+    if "GRAFT_BENCH_EVENTS" in os.environ:
+        return int(os.environ["GRAFT_BENCH_EVENTS"])
+    import pyarrow.parquet as pq
+
+    # Sized so the ingest is CPU/shuffle-bound, not overhead-bound:
+    # sf0.1 (600k lineitem) -> 1.2M events (~1.4 GB of page payload).
+    rows = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    return max(50_000, rows * 2)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus,
+        include_dashboard=False, ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import CdcConfig, run_ingest
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import QUERIES
+
+    n_events = _default_events(sf_dir)
+    wal = _bench_wal_dir(sf_dir, n_events)
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    for name in sorted(os.listdir(wal)):
+        if name.endswith(".parquet"):
+            pq.ParquetFile(os.path.join(wal, name)).metadata
+
+    lake = os.path.join(tempfile.gettempdir(), f"graft_bench_lake_{os.getpid()}")
+    shutil.rmtree(lake, ignore_errors=True)
+    cfg = CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=64,
+        max_segments_per_batch=64,
+        extract_batch_size=4096,
+        # extractor pool size defaults to cpus//4 (see cdc.py) — the
+        # read/decode stage needs the remaining CPUs
+    )
+    t0 = time.perf_counter()
+    report = run_ingest(cfg)
+    t_cdc = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            # consume: small results -> driver; big -> count()
+            n = res.count()
+        elif isinstance(res, (pa.Table, pd.DataFrame)):
+            n = len(res)
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_ingest_seconds (tail->extract->LWW merge->committed parquet)",
+        "value": round(t_cdc, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "cdc": {
+            "events": report.events_applied,
+            "events_per_sec": round(report.events_applied / t_cdc, 1),
+            "commits": report.commits,
+        },
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at 8 and 32 CPUs on the same cached input."""
+    lo_cpus, hi_cpus = 8, 32
+    out = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env.pop("GRAFT_SCALING", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo = out[lo_cpus]["cdc"]["events_per_sec"]
+    thr_hi = out[hi_cpus]["cdc"]["events_per_sec"]
+    eff = thr_hi / (thr_lo * (hi_cpus / lo_cpus))
+    return {
+        "metric": "scaling_efficiency (events/s at 4N vs 4x events/s at N)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cpus": lo_cpus,
+        "4n_cpus": hi_cpus,
+        "events_per_sec_n": thr_lo,
+        "events_per_sec_4n": thr_hi,
+        "sec_n": out[lo_cpus]["value"],
+        "sec_4n": out[hi_cpus]["value"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

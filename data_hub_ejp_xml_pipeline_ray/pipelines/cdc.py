@@ -6,15 +6,20 @@ stage -> load -> advance watermark; traced in SURVEY §3): the per-file
 sequential Python loop becomes a streaming Dataset pipeline —
 
     read_parquet(segments > watermark)            # schema-unified tail
-      -> map_batches(HtmlTextExtractor, actors)    # stateful extract, drops html
-      -> map_batches(local_lww)                    # combiner (skew defense)
-      -> map_batches(add partition column)         # crc32(url) % P
-      -> groupby('part').map_groups(PartitionMerger)  # merge vs base, write
+      -> map_batches(ExtractCombineSpill, actors)  # FUSED map side: stateful
+               #  HTML->text extract (drops html) + local LWW combine (skew
+               #  defense) + crc32(url) % P split + per-partition row-group
+               #  spill == push-based shuffle to storage
+      -> per-partition PartitionMerger tasks       # reduce side: base + deltas
+               #  -> LWW -> immutable content-addressed partition file
       -> driver: atomic manifest commit            # exactly-once
 
-The driver never sees data rows — only P small stats rows. Nothing
-materializes the full dataset; the streaming executor pipelines the
-extract stage against the shuffle with backpressure.
+The exchange spills to storage rather than using Ray's sort-based
+all-to-all because the partition key has only P distinct values — a
+range sort on it collapses the reduce side to ~1 task (measured 47 s of
+a 52 s ingest); the staged exchange is FS-bandwidth-bound and keeps
+partition->file routing stable across runs. The driver never sees data
+rows — only tiny per-partition stats; nothing materializes the dataset.
 """
 from __future__ import annotations
 
@@ -28,14 +33,7 @@ import ray.data
 
 from ..schemas import WIRE_ONLY_COLUMNS, merge_schemas
 from ..sources import wal as wal_source
-from ..stages.extract import HtmlTextExtractor
-from ..stages.merge import (
-    DELETED_COL,
-    MERGE_STATS_SCHEMA,
-    PartitionMerger,
-    add_partition_column,
-    local_lww,
-)
+from ..stages.merge import DELETED_COL, ExtractCombineSpill, PartitionMerger
 from ..state.checkpoint import (
     LakeManifest,
     batch_token,
@@ -61,7 +59,9 @@ class CdcConfig:
     #: Max segments folded into one commit (micro-batch bound — the
     #: analog of ``batch_size_limit=100000`` rows, ``etl.py:156``).
     max_segments_per_batch: int = 64
-    extract_batch_size: int | None = 1024
+    #: None = whole block per actor call (blocks are already sized by
+    #: the read); set a row count only for very large binary payloads.
+    extract_batch_size: int | None = None
     #: Actor-pool size for the extractor; None = autoscale to the cluster.
     extract_concurrency: Any = None
     read_override_num_blocks: int | None = None
@@ -95,9 +95,14 @@ def lake_schema_from_wire(wire: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _default_extract_concurrency() -> tuple[int, int]:
+def _default_extract_concurrency() -> int:
+    """Extractor pool size: ~1/4 of the CPUs. The fused map stage's
+    actors reserve their CPUs exclusively, and the parquet read/decode
+    stage needs the rest — a pool sized near the CPU count starves the
+    read (measured: pool=24/32 is 1.5x slower than pool=8/32), and a
+    pool equal to it deadlocks."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus - 4))
+    return max(2, cpus // 4)
 
 
 def _ingest_one_batch(
@@ -110,40 +115,67 @@ def _ingest_one_batch(
     wire = wal_source.unified_wire_schema(segments)
     new_lake_schema = merge_schemas(manifest.schema, lake_schema_from_wire(wire))
 
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # blocks >> pool size for load balance, but bounded: per-task
+    # dispatch overhead is the non-scaling term on the driver
+    blocks = cfg.read_override_num_blocks or min(max(cpus * 3, 16), 256)
     ds = wal_source.read_segments(
-        segments, wire, override_num_blocks=cfg.read_override_num_blocks
+        segments, wire, override_num_blocks=blocks, conform=False
     )
     concurrency = cfg.extract_concurrency or _default_extract_concurrency()
-    ds = ds.map_batches(
-        HtmlTextExtractor,
-        fn_constructor_kwargs={"url_exclusion_pattern": cfg.url_exclusion_pattern},
+
+    # --- Exchange phase 1 (map side): extract + combine + spill, FUSED
+    # into one actor stage (stages/merge.ExtractCombineSpill) — a
+    # push-based shuffle to storage instead of Ray's sort exchange
+    # (which degenerates on a low-cardinality partition key), and the
+    # extracted text never re-enters the object store. The take_all()
+    # is the phase barrier — only tiny manifest rows reach the driver.
+    staging = os.path.join(cfg.lake_dir, "_staging", token)
+    spilled = ds.map_batches(
+        ExtractCombineSpill,
+        fn_constructor_kwargs={
+            "staging_dir": staging,
+            "num_partitions": manifest.num_partitions,
+            "url_exclusion_pattern": cfg.url_exclusion_pattern,
+            "wire_schema": wire,  # fused schema-evolution conform
+        },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,
         concurrency=concurrency,
         num_cpus=1,
-    )
-    ds = ds.map_batches(local_lww, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(
-        add_partition_column,
-        fn_kwargs={"num_partitions": manifest.num_partitions},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    merger = PartitionMerger(
-        lake_dir=cfg.lake_dir,
-        base_partitions=manifest.partitions,
-        lake_schema=new_lake_schema,
-        token=token,
-    )
+    ).take_all()
+    delta_map: dict[int, list[tuple[str, int]]] = {}
+    for r in spilled:
+        delta_map.setdefault(int(r["part"]), []).append(
+            (r["path"], int(r["row_group"]))
+        )
+    touched_parts = sorted(delta_map)
 
-    def merge_partition(group: pa.Table) -> pa.Table:
-        return merger(group)
+    # --- Exchange phase 2 (reduce side): per-partition merge ---------
+    # Raw Ray tasks, not a second Dataset job: the work list is a fixed,
+    # small set of independent per-partition merges (no dataset
+    # semantics needed), and a Dataset launch adds ~1s of fixed wall
+    # time per micro-batch. This is the documented only drop below the
+    # Dataset API (SURVEY §2 custom-operator rule).
+    stats: list = []
+    if touched_parts:
+        merger = PartitionMerger(
+            lake_dir=cfg.lake_dir,
+            delta_map=delta_map,
+            base_partitions=manifest.partitions,
+            lake_schema=new_lake_schema,
+            token=token,
+        )
+        merger_ref = ray.put(merger)
 
-    stats_ds = ds.groupby("part").map_groups(merge_partition, batch_format="pyarrow")
-    stats = stats_ds.take_all()  # ≤ P tiny rows — the only driver materialization
-    if not stats:
-        stats = []
+        @ray.remote(num_cpus=1)
+        def merge_partition(m, part: int) -> dict:
+            return m.merge_one(part)
+
+        stats = ray.get(
+            [merge_partition.remote(merger_ref, p) for p in touched_parts]
+        )
 
     import pyarrow.parquet as _pq
 
@@ -153,14 +185,20 @@ def _ingest_one_batch(
         _pq.ParquetFile(s.path).metadata.num_rows for s in segments
     )
     new_partitions = dict(manifest.partitions)
+    new_meta = dict(manifest.partition_meta)
     deltas_merged = 0
     for row in stats:
         part = int(row["part"])
         deltas_merged += int(row["events_applied"])
         if row["path"] is None:
             new_partitions.pop(part, None)
+            new_meta.pop(part, None)
         else:
             new_partitions[part] = row["path"]
+            new_meta[part] = {
+                "rows": int(row["rows"]),
+                "tombstones": int(row["tombstones"]),
+            }
     counters = dict(manifest.counters)
     counters["events_applied"] = counters.get("events_applied", 0) + events_applied
     counters["commits"] = counters.get("commits", 0) + 1
@@ -171,6 +209,7 @@ def _ingest_one_batch(
         watermark=segments[-1].name,
         schema=new_lake_schema,
         partitions=new_partitions,
+        partition_meta=new_meta,
         lineage=manifest.lineage
         + [
             {
@@ -190,6 +229,12 @@ def _ingest_one_batch(
     )
     commit_manifest(cfg.lake_dir, new_manifest)
     gc_unreferenced(cfg.lake_dir, new_manifest)
+    # staging spill files are dead after the commit (crash-safe analog
+    # of delete-after-load, etl.py:202-213): remove this batch's dir and
+    # any stale dirs from crashed earlier batches.
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(cfg.lake_dir, "_staging"), ignore_errors=True)
     return new_manifest, {
         "events_applied": events_applied,
         "partitions_rewritten": len(stats),

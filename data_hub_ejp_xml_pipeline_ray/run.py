@@ -1,0 +1,148 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+The analog of the reference's DAG orchestration (sensor -> lock ->
+etl -> load, ``dags/s3_xml_import_pipeline.py:249-306``) as a small
+driver loop:
+
+    python -m data_hub_ejp_xml_pipeline_ray.run ingest --wal-dir W --lake-dir L
+    python -m data_hub_ejp_xml_pipeline_ray.run poll   --wal-dir W --lake-dir L --interval 5
+    python -m data_hub_ejp_xml_pipeline_ray.run compact --lake-dir L
+    python -m data_hub_ejp_xml_pipeline_ray.run show   --lake-dir L
+    python -m data_hub_ejp_xml_pipeline_ray.run ingest --config job.json
+
+This module OWNS the Ray session (guarded init + shutdown); library
+code never does.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+        ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _cfg_from_args(args) -> "CdcConfig":
+    from .config import load_job_config
+    from .pipelines.cdc import CdcConfig
+
+    if args.config:
+        doc = load_job_config(args.config, args.deployment_env)
+        return CdcConfig(**doc)
+    return CdcConfig(
+        wal_dir=args.wal_dir,
+        lake_dir=args.lake_dir,
+        num_partitions=args.num_partitions,
+        url_exclusion_pattern=args.exclude,
+        max_segments_per_batch=args.max_segments_per_batch,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_hub_ejp_xml_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp, lake_only=False):
+        sp.add_argument("--config", help="JSON job config ({ENV}-templated)")
+        sp.add_argument("--deployment-env", default=None)
+        sp.add_argument("--lake-dir")
+        sp.add_argument("--num-cpus", type=int, default=None)
+        if not lake_only:
+            sp.add_argument("--wal-dir")
+            sp.add_argument("--num-partitions", type=int, default=64)
+            sp.add_argument("--exclude", default=None,
+                            help="url exclusion regex")
+            sp.add_argument("--max-segments-per-batch", type=int, default=64)
+
+    sp = sub.add_parser("ingest", help="one tail->merge->commit pass")
+    add_common(sp)
+    sp = sub.add_parser("poll", help="sensor loop: ingest whenever new segments land")
+    add_common(sp)
+    sp.add_argument("--interval", type=float, default=5.0)
+    sp.add_argument("--timeout", type=float, default=120.0,
+                    help="stop after this long with no new data")
+    sp = sub.add_parser("compact", help="drop persisted tombstones")
+    add_common(sp, lake_only=True)
+    sp = sub.add_parser("show", help="print committed manifest summary")
+    add_common(sp, lake_only=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "show":
+        from .state.checkpoint import load_manifest
+
+        m = load_manifest(args.lake_dir)
+        if m is None:
+            print(json.dumps({"lake": args.lake_dir, "committed": False}))
+            return 1
+        print(json.dumps({
+            "lake": args.lake_dir, "committed": True, "version": m.version,
+            "watermark": m.watermark, "partitions": len(m.partitions),
+            "rows": sum(v.get("rows", 0) for v in m.partition_meta.values()),
+            "tombstones": sum(v.get("tombstones", 0) for v in m.partition_meta.values()),
+            "counters": m.counters,
+            "schema": None if m.schema is None else m.schema.names,
+        }))
+        return 0
+
+    _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "ingest":
+            from .pipelines.cdc import run_ingest
+
+            report = run_ingest(_cfg_from_args(args))
+            print(json.dumps({
+                "commits": report.commits,
+                "events_applied": report.events_applied,
+                "watermark": report.watermark,
+                "version": report.final_version,
+            }))
+        elif args.cmd == "poll":
+            from .pipelines.cdc import run_ingest
+            from .sources.wal import list_segments, segments_after
+            from .state.checkpoint import load_manifest
+
+            cfg = _cfg_from_args(args)
+            deadline = time.monotonic() + args.timeout
+            while time.monotonic() < deadline:
+                m = load_manifest(cfg.lake_dir)
+                fresh = segments_after(
+                    list_segments(cfg.wal_dir, cfg.segment_glob),
+                    m.watermark if m else None,
+                )
+                if fresh:
+                    report = run_ingest(cfg)
+                    print(json.dumps({
+                        "commits": report.commits,
+                        "events_applied": report.events_applied,
+                        "watermark": report.watermark,
+                    }), flush=True)
+                    deadline = time.monotonic() + args.timeout
+                else:
+                    time.sleep(args.interval)
+        elif args.cmd == "compact":
+            from .pipelines.maintenance import compact_lake
+
+            print(json.dumps(compact_lake(args.lake_dir)))
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

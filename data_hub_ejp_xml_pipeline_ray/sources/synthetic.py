@@ -74,6 +74,37 @@ def generate_page(rng: random.Random, version: int = 0) -> tuple[bytes, str]:
     return raw.encode("utf-8"), expected
 
 
+def generate_rich_page(rng: random.Random, version: int = 0) -> tuple[bytes, dict]:
+    """Page with links, headings and a title, plus the ground-truth
+    entity record (title/links/headings) for the nested-extraction
+    tests. Entity truth mirrors :mod:`..stages.entities` semantics:
+    fragment text is markup-stripped + double-unescaped."""
+    pieces: list[str] = []
+    truth = {"title": None, "links": [], "headings": []}
+    title_words = " ".join(rng.choices(_WORDS, k=3))
+    truth["title"] = title_words
+    pieces.append(f"<html><head><title>{title_words}</title></head><body>")
+    n_links = rng.randint(0, 5)
+    n_heads = rng.randint(0, 3)
+    for i in range(n_heads):
+        level = rng.randint(1, 3)
+        text = " ".join(rng.choices(_WORDS, k=4))
+        pieces.append(f"<h{level}>{text}</h{level}>")
+        truth["headings"].append({"level": level, "text": text})
+    for i in range(n_links):
+        href = f"https://site-{rng.randint(0, 99)}.example/x/{rng.randint(0, 999)}"
+        anchor = " ".join(rng.choices(_WORDS, k=2))
+        entity = rng.random() < 0.3
+        shown_anchor = anchor + (" &amp; more" if entity else "")
+        expected_anchor = anchor + (" & more" if entity else "")
+        pieces.append(f'<a href="{href}"><b>{shown_anchor}</b></a>')
+        truth["links"].append(
+            {"href": href, "anchor": expected_anchor, "link_index": i}
+        )
+    pieces.append(f"<p>{_text_chunk(rng)}</p></body></html>")
+    return "".join(pieces).encode("utf-8"), truth
+
+
 def make_url(i: int, rng: random.Random) -> str:
     return f"https://site-{i}.example/p/{rng.randint(0, 9999):04d}"
 

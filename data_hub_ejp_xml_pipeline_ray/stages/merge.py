@@ -57,6 +57,7 @@ MERGE_STATS_SCHEMA = pa.schema(
         pa.field("rows", pa.int64()),
         pa.field("bytes", pa.int64()),
         pa.field("events_applied", pa.int64()),
+        pa.field("tombstones", pa.int64()),
     ]
 )
 
@@ -72,19 +73,36 @@ def stable_hash_partition(urls: pa.Array | pa.ChunkedArray, num_partitions: int)
     return pa.array(out, type=pa.int64())
 
 
+def _last_per_url_indices(batch: pa.Table) -> pa.Array:
+    """Row indices of the max-``(warc_ts, seq)`` row per url. Key-only
+    Arrow sort (payload untouched) + run-boundary mask — cheaper than a
+    full-frame sort because the ~KB ``text``/``html`` payloads move only
+    once, in the final ``take``."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[("url", "ascending"), ("warc_ts", "ascending"),
+                   ("seq", "ascending")],
+    )
+    urls = pc.take(batch.column("url"), idx)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(urls)
+    # keep row i iff url[i] != url[i+1] (last of each sorted run)
+    neq = pc.invert(pc.equal(urls.slice(0, n - 1), urls.slice(1, n)))
+    mask = np.ones(n, dtype=bool)
+    mask[: n - 1] = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+    return pc.take(idx, pa.array(np.flatnonzero(mask)))
+
+
 def local_lww(batch: pa.Table) -> pa.Table:
     """Combiner: keep only the max-``(warc_ts, seq)`` row per url within
     one block. Deterministic (ties cannot occur: ``seq`` is unique per
     url by the WAL contract)."""
     if batch.num_rows <= 1:
         return batch
-    df = pl.from_arrow(batch)
-    df = df.sort(["url", "warc_ts", "seq"]).unique(
-        subset=["url"], keep="last", maintain_order=True
-    )
-    out = df.to_arrow()
-    # polars may emit large_* types; cast back to the input schema.
-    return conform_table(out, batch.schema)
+    return batch.take(_last_per_url_indices(batch))
 
 
 def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
@@ -97,43 +115,158 @@ def lww_reduce(table: pa.Table) -> pa.Table:
     """Global per-group LWW: keep the max-``(warc_ts, seq)`` row per
     url. Tombstone rows (``_deleted``) win like any other row and are
     RETAINED — filtering happens at read time (see :data:`DELETED_COL`)."""
-    df = pl.from_arrow(table)
-    df = df.sort(["url", "warc_ts", "seq"]).unique(
-        subset=["url"], keep="last", maintain_order=True
-    )
-    return df.to_arrow()
+    if table.num_rows <= 1:
+        return table
+    return table.take(_last_per_url_indices(table))
+
+
+class SpillCombiner:
+    """Map-side exchange stage (replaces an all-to-all shuffle operator).
+
+    Per input block: local LWW combine, stable-hash partition
+    assignment, then split by partition and APPEND one parquet delta
+    file per (partition, block) into the batch's staging directory —
+    i.e. a push-based shuffle to storage (the pattern external shuffle
+    services use), instead of Ray's sort-based exchange, which
+    degenerates on a 64-value key (boundary sampling collapses the
+    reduce side to ~1 task). Returns only tiny manifest rows.
+
+    Idempotence: file names are content-hashes of the sub-batch keys,
+    and even differently-split duplicate deliveries are harmless —
+    the reduce side's LWW collapses any duplicated (url, warc_ts, seq)
+    rows. On a multi-node cluster the staging dir lives on shared
+    storage; single-node it's the local FS.
+    """
+
+    def __init__(self, staging_dir: str, num_partitions: int):
+        self._staging = staging_dir
+        self._num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        batch = local_lww(batch)
+        batch = add_partition_column(batch, self._num_partitions)
+        # One spill FILE per block, one ROW GROUP per partition inside it
+        # — the reduce side reads only its own row groups, and the file
+        # count stays O(blocks), not O(blocks x partitions).
+        idx = pa.compute.sort_indices(batch.column("part"))
+        batch = batch.take(idx)
+        parts_np = batch.column("part").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(parts_np)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(parts_np)]))
+
+        key = hashlib.sha1()
+        key.update("\x00".join(batch.column("url").to_pylist()).encode())
+        key.update(batch.column("seq").to_numpy(zero_copy_only=False).tobytes())
+        name = key.hexdigest()[:20]
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"{name}.parquet")
+        tmp = path + ".inprogress"
+        out_part, out_rows, out_rg = [], [], []
+        with pq.ParquetWriter(tmp, batch.schema) as writer:
+            for rg, (s, e) in enumerate(zip(starts, ends)):
+                sub = batch.slice(s, e - s)
+                writer.write_table(sub, row_group_size=len(sub))
+                out_part.append(int(parts_np[s]))
+                out_rows.append(e - s)
+                out_rg.append(rg)
+        os.replace(tmp, path)
+        return pa.table(
+            {"part": pa.array(out_part, pa.int64()),
+             "rows": pa.array(out_rows, pa.int64()),
+             "path": pa.array([path] * len(out_part), pa.string()),
+             "row_group": pa.array(out_rg, pa.int64())}
+        )
+
+
+class ExtractCombineSpill:
+    """Fused map-side stage: HTML->text extraction + local LWW combine +
+    partition split + row-group spill in ONE actor call, so the
+    extracted text payload never crosses the object store between
+    stages (extract emits only tiny spill-manifest rows downstream).
+    This fusion halves the exchange's object-store traffic; the
+    unfused stages remain available for pipelines that need the
+    intermediate Dataset.
+    """
+
+    def __init__(self, staging_dir: str, num_partitions: int,
+                 url_exclusion_pattern: str | None = None,
+                 wire_schema: pa.Schema | None = None):
+        from .extract import HtmlTextExtractor
+
+        # Each actor is scheduled as 1 CPU, but pyarrow's internal
+        # thread pool defaults to the MACHINE cpu count — N actors x
+        # 32 arrow threads thrash the node (measured 13x slowdown of
+        # the per-batch UDF under a 12-actor pool). Pin arrow to the
+        # actor's own CPU budget.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        self._extract = HtmlTextExtractor(
+            url_exclusion_pattern=url_exclusion_pattern
+        )
+        self._spill = SpillCombiner(staging_dir, num_partitions)
+        #: when set, batches are conformed to this schema first (the
+        #: schema-evolution read edge fused in, so mixed v1/v2 blocks
+        #: need no separate conform operator)
+        self._wire_schema = wire_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._wire_schema is not None and not batch.schema.equals(self._wire_schema):
+            batch = conform_table(batch, self._wire_schema)
+        out = self._extract(batch)
+        if out.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int64()),
+                 "rows": pa.array([], pa.int64()),
+                 "path": pa.array([], pa.string()),
+                 "row_group": pa.array([], pa.int64())}
+            )
+        return self._spill(out)
 
 
 class PartitionMerger:
-    """``map_groups`` callable for one lake partition.
-
-    Reads the partition's committed base file (if any), merges the delta
-    group under LWW, and writes the next immutable version of the
-    partition to a deterministic content-addressed path. Returns one
-    stats row (the partition's lineage record) — the actual data never
-    flows back through the driver.
+    """Reduce-side task for one lake partition: reads the partition's
+    spilled delta files + its committed base file, merges under LWW,
+    writes the next immutable partition file to a deterministic
+    content-addressed path. Returns one stats row (the partition's
+    lineage record) — data never flows back through the driver.
     """
 
     def __init__(
         self,
         lake_dir: str,
+        delta_map: dict[int, list[tuple[str, int]]],
         base_partitions: dict[int, str],
         lake_schema: pa.Schema,
         token: str,
     ):
         self._lake_dir = lake_dir
+        #: part -> [(spill file, row group index)] — only row groups
+        #: named here are read; stale files from crashed attempts are
+        #: ignored entirely.
+        self._delta_map = delta_map
         self._base_partitions = base_partitions
         self._lake_schema = lake_schema  # already evolved (driver-side union)
         self._token = token
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return MERGE_STATS_SCHEMA.empty_table()
+    def merge_one(self, part: int) -> dict:
         import pyarrow.compute as pc
 
-        part = group.column("part")[0].as_py()
-        events_applied = group.num_rows
-        delta = group.drop_columns(["part"])
+        # Same arrow-threadpool pinning as the map side: this runs as a
+        # 1-CPU Ray task, and arrow's default machine-wide pool makes
+        # concurrent merge tasks thrash each other.
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        deltas = [
+            pq.ParquetFile(path).read_row_group(rg)
+            for path, rg in sorted(self._delta_map.get(part, []))
+        ]
+        delta = pa.concat_tables(deltas, promote_options="default")
+        if "part" in delta.column_names:
+            delta = delta.drop_columns(["part"])
+        events_applied = delta.num_rows
         # Materialize the tombstone flag, then conform to the lake schema
         # (drops wire-only leftovers, null-fills columns this delta's
         # schema version didn't carry, applies declared widens).
@@ -153,31 +286,28 @@ class PartitionMerger:
         merged = lww_reduce(merged)
         merged = conform_table(merged, self._lake_schema)
 
+        tombstones = int(
+            pa.compute.sum(merged.column(DELETED_COL)).as_py() or 0
+        ) if DELETED_COL in merged.column_names else 0
+        if merged.num_rows == 0:
+            # Every row deleted: partition disappears from the manifest.
+            return {
+                "part": part, "path": None, "rows": 0, "bytes": 0,
+                "events_applied": events_applied, "tombstones": 0,
+            }
         rel = partition_file_relpath(part, self._token)
         out_path = os.path.join(self._lake_dir, rel)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        if merged.num_rows == 0:
-            # Every row deleted: partition disappears from the manifest.
-            return pa.table(
-                {
-                    "part": [part],
-                    "path": [None],
-                    "rows": [0],
-                    "bytes": [0],
-                    "events_applied": [events_applied],
-                },
-                schema=MERGE_STATS_SCHEMA,
-            )
         tmp = out_path + ".inprogress"
         pq.write_table(merged, tmp)
         os.replace(tmp, out_path)  # readers never observe partial files
-        return pa.table(
-            {
-                "part": [part],
-                "path": [rel],
-                "rows": [merged.num_rows],
-                "bytes": [os.path.getsize(out_path)],
-                "events_applied": [events_applied],
-            },
-            schema=MERGE_STATS_SCHEMA,
-        )
+        return {
+            "part": part, "path": rel, "rows": merged.num_rows,
+            "bytes": os.path.getsize(out_path),
+            "events_applied": events_applied, "tombstones": tombstones,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Reduce task: merge every partition id in the batch."""
+        stats = [self.merge_one(int(p)) for p in batch.column("part").to_pylist()]
+        return pa.Table.from_pylist(stats, schema=MERGE_STATS_SCHEMA)

@@ -46,6 +46,9 @@ class LakeManifest:
     watermark: str | None = None  # last committed segment name (strictly-greater filter)
     schema: pa.Schema | None = None
     partitions: dict[int, str] = field(default_factory=dict)  # part -> relpath
+    #: per-partition stats: {part: {"rows": n, "tombstones": n}} —
+    #: lets maintenance (compaction) target only partitions that need it
+    partition_meta: dict[int, dict[str, int]] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     counters: dict[str, int] = field(default_factory=dict)
 
@@ -57,6 +60,7 @@ class LakeManifest:
             "watermark": self.watermark,
             "schema": None if self.schema is None else schema_to_json(self.schema),
             "partitions": {str(k): v for k, v in self.partitions.items()},
+            "partition_meta": {str(k): v for k, v in self.partition_meta.items()},
             "lineage": self.lineage,
             "counters": self.counters,
         }
@@ -69,6 +73,9 @@ class LakeManifest:
             watermark=doc["watermark"],
             schema=None if doc["schema"] is None else schema_from_json(doc["schema"]),
             partitions={int(k): v for k, v in doc["partitions"].items()},
+            partition_meta={
+                int(k): dict(v) for k, v in doc.get("partition_meta", {}).items()
+            },
             lineage=list(doc.get("lineage", [])),
             counters=dict(doc.get("counters", {})),
         )

@@ -1,0 +1,51 @@
+"""Compaction: tombstones physically dropped, state preserved, and the
+late-event hazard compaction reintroduces is documented behavior."""
+import os
+
+import pyarrow.parquet as pq
+
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+    CdcConfig,
+    lake_snapshot,
+    run_ingest,
+)
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+
+def test_compact_drops_tombstones_preserves_live_rows(tmp_path):
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=17, n_urls=40, n_events=400,
+        n_segments=4, delete_fraction=0.15,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=8, extract_concurrency=2)
+    run_ingest(cfg)
+    before = lake_snapshot(cfg.lake_dir)
+    m = load_manifest(cfg.lake_dir)
+    tombs = sum(v.get("tombstones", 0) for v in m.partition_meta.values())
+    assert tombs > 0, "fixture must produce tombstones"
+    physical_rows = sum(
+        pq.ParquetFile(os.path.join(cfg.lake_dir, rel)).metadata.num_rows
+        for rel in m.partitions.values()
+    )
+    assert physical_rows == before.num_rows + tombs
+
+    out = compact_lake(cfg.lake_dir)
+    assert out["tombstones_dropped"] == tombs
+    m2 = load_manifest(cfg.lake_dir)
+    assert m2.version == m.version + 1
+    assert m2.watermark == m.watermark
+    after = lake_snapshot(cfg.lake_dir)
+    assert after.equals(before)  # visible state unchanged
+    physical2 = sum(
+        pq.ParquetFile(os.path.join(cfg.lake_dir, rel)).metadata.num_rows
+        for rel in m2.partitions.values()
+    )
+    assert physical2 == after.num_rows  # tombstones physically gone
+    # second compaction is a no-op
+    out2 = compact_lake(cfg.lake_dir)
+    assert out2 == {"partitions_rewritten": 0, "tombstones_dropped": 0}
