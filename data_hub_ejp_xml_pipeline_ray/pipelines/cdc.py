@@ -62,6 +62,13 @@ class CdcConfig:
     #: None = whole block per actor call (blocks are already sized by
     #: the read); set a row count only for very large binary payloads.
     extract_batch_size: int | None = None
+    #: Where exchange spill files live. Default: ``<lake>/_staging``.
+    #: On a multi-node cluster this is each node's local NVMe (or the
+    #: shared store); single-node benchmarks may point it at /dev/shm —
+    #: the same memory path Ray's object-store shuffle would use —
+    #: because one virtio disk can't stand in for N nodes' aggregate
+    #: shuffle bandwidth.
+    staging_root: str | None = None
     #: Actor-pool size for the extractor; None = autoscale to the cluster.
     extract_concurrency: Any = None
     read_override_num_blocks: int | None = None
@@ -111,6 +118,10 @@ def _ingest_one_batch(
     """Process one micro-batch of segments and commit. Pure function of
     (committed lake state, segment set) — a crashed batch rewrites the
     same content-addressed files on retry."""
+    import time as _time
+
+    trace = os.environ.get("GRAFT_CDC_TRACE") == "1"
+    t0 = _time.perf_counter()
     token = batch_token(manifest.watermark, [s.name for s in segments])
     wire = wal_source.unified_wire_schema(segments)
     new_lake_schema = merge_schemas(manifest.schema, lake_schema_from_wire(wire))
@@ -130,7 +141,8 @@ def _ingest_one_batch(
     # (which degenerates on a low-cardinality partition key), and the
     # extracted text never re-enters the object store. The take_all()
     # is the phase barrier — only tiny manifest rows reach the driver.
-    staging = os.path.join(cfg.lake_dir, "_staging", token)
+    staging_root = cfg.staging_root or os.path.join(cfg.lake_dir, "_staging")
+    staging = os.path.join(staging_root, token)
     spilled = ds.map_batches(
         ExtractCombineSpill,
         fn_constructor_kwargs={
@@ -145,6 +157,9 @@ def _ingest_one_batch(
         concurrency=concurrency,
         num_cpus=1,
     ).take_all()
+    if trace:
+        print(f"[cdc-trace] phase1 {_time.perf_counter() - t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
     delta_map: dict[int, list[tuple[str, int]]] = {}
     for r in spilled:
         delta_map.setdefault(int(r["part"]), []).append(
@@ -177,6 +192,9 @@ def _ingest_one_batch(
             [merge_partition.remote(merger_ref, p) for p in touched_parts]
         )
 
+    if trace:
+        print(f"[cdc-trace] phase2 {_time.perf_counter() - t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
     import pyarrow.parquet as _pq
 
     # Raw event count from segment footers (metadata-only, driver-side);
@@ -234,7 +252,9 @@ def _ingest_one_batch(
     # any stale dirs from crashed earlier batches.
     import shutil as _shutil
 
-    _shutil.rmtree(os.path.join(cfg.lake_dir, "_staging"), ignore_errors=True)
+    _shutil.rmtree(staging_root, ignore_errors=True)
+    if trace:
+        print(f"[cdc-trace] commit+gc {_time.perf_counter() - t0:.2f}s", flush=True)
     return new_manifest, {
         "events_applied": events_applied,
         "partitions_rewritten": len(stats),

@@ -127,9 +127,6 @@ def read_segments(
         schema = unified_wire_schema(segments)
     target = schema
 
-    def conform(batch: pa.Table) -> pa.Table:
-        return conform_table(batch, target)
-
     ds = ray.data.read_parquet(
         [s.path for s in segments], override_num_blocks=override_num_blocks
     )
