@@ -372,6 +372,68 @@ def q_order_priority_count(sf_dir: str):
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
 
+def q_asof_last_signup(sf_dir: str):
+    """As-of join (custom operator per SURVEY §2.5 rule): for each
+    purchase event, the user's most recent signup at or before it.
+    Implemented as sorted ``pd.merge_asof`` per user group — the
+    partitioning assumption is per-key grouping; no global sort."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        signups = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"])
+        if purchases.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_signup_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        merged = pd.merge_asof(
+            purchases[["event_id", "user_id", "ts"]],
+            signups[["ts"]].rename(columns={"ts": "last_signup_ts"}),
+            left_on="ts", right_on="last_signup_ts", direction="backward",
+        )
+        return merged[["event_id", "user_id", "last_signup_ts"]]
+
+    res = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("last_signup_ts", pa.timestamp("us")),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set (no shuffle: the key set ships
+    to every task once; SURVEY §2.5 'semi/anti join' mapping):
+    customers with no order since 1999."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    t = t.filter(
+        pa.compute.greater_equal(t.column("o_orderdate"), pa.scalar(datetime(1999, 1, 1)))
+    )
+    keys_ref = ray.put(pa.compute.unique(t.column("o_custkey")))
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pc.invert(pc.is_in(batch.column("c_custkey"), value_set=keys))
+        return batch.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (``Dataset.unique`` — a shuffle op)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = ds.unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / dedup / ANN over `documents` + `embeddings`
 # ---------------------------------------------------------------------------
@@ -452,6 +514,55 @@ def q_ann_topk_ivf(sf_dir: str):
                     n_clusters=16, nprobe=6)
 
 
+def q_page_entities(sf_dir: str):
+    """Nested-entity fan-out over deterministic synthetic pages (M6
+    parser shape; rows-only oracle — html grammar is engine-side)."""
+    import random
+
+    from ..sources.synthetic import generate_rich_page
+    from ..stages.entities import PageEntityExtractor
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    rng = random.Random(77)
+    rows = []
+    for i in range(min(n, 2000)):
+        html, _ = generate_rich_page(rng, version=i)
+        rows.append({"url": f"https://site-{i}.example/p", "html": html})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    return ds.map_batches(
+        PageEntityExtractor,
+        fn_constructor_kwargs={"mode": "fanout"},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing as a query (rows-only): deterministic fake
+    image payloads -> actor-pool metadata decode (payload dropped)."""
+    from ..stages.multimodal import DecodeImageMetadata, MEDIA_SCHEMA, make_fake_image
+
+    n = min(
+        pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows,
+        2000,
+    )
+    rows = [
+        {
+            "media_id": i,
+            "url": f"https://site-{i}.example/img.png",
+            "kind": "image",
+            "payload": make_fake_image(64 + i % 100, 48 + i % 50, 3, fill=i),
+            "content_type": "image/png",
+        }
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    return ds.map_batches(
+        DecodeImageMetadata,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+
 def q_cdc_lake_state(sf_dir: str):
     """Flagship CDC pipeline as a query (rows-only oracle): generate a
     deterministic WAL sized by the sf tier, ingest into a fresh lake,
@@ -493,8 +604,13 @@ QUERIES = {
     "fanout_entities": q_fanout_entities,
     "tumbling_window_counts": q_tumbling_window_counts,
     "sessionize": q_sessionize,
+    "asof_last_signup": q_asof_last_signup,
+    "customers_without_orders": q_customers_without_orders,
+    "distinct_segments": q_distinct_segments,
     "exclusion_filter": q_exclusion_filter,
     "null_normalize": q_null_normalize,
+    "page_entities": q_page_entities,
+    "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
@@ -595,6 +711,25 @@ ORACLE_SQL = {
         SELECT user_id, session_index, count(*) AS n_events,
                min(ts) AS session_start
         FROM numbered GROUP BY user_id, session_index
+    """,
+    "asof_last_signup": """
+        SELECT e.event_id, e.user_id, max(s.ts) AS last_signup_ts
+        FROM events e
+        LEFT JOIN events s
+          ON s.user_id = e.user_id
+         AND s.event_type = 'signup'
+         AND s.ts <= e.ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.event_id, e.user_id
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
     """,
     "exclusion_filter": """
         SELECT doc_id, lang, source FROM documents

@@ -54,6 +54,8 @@ def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            if pd.isna(x) and pd.isna(y):
+                continue
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
