@@ -1,0 +1,38 @@
+"""CLI driver smoke: ingest -> show -> compact via subprocess (its own
+Ray session, separate from the test fixture's)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "data_hub_ejp_xml_pipeline_ray.run", *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_ingest_show_compact(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=2, n_urls=20, n_events=200, n_segments=2,
+                 delete_fraction=0.2)
+    r = _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+              "--num-partitions", "4", "--num-cpus", "4"])
+    assert r["commits"] == 1 and r["events_applied"] == 200
+    s = _run(["show", "--lake-dir", lake])
+    assert s["committed"] and s["version"] == 1 and s["tombstones"] > 0
+    c = _run(["compact", "--lake-dir", lake, "--num-cpus", "4"])
+    assert c["tombstones_dropped"] == s["tombstones"]
+    s2 = _run(["show", "--lake-dir", lake])
+    assert s2["tombstones"] == 0 and s2["rows"] == s["rows"] - s["tombstones"]

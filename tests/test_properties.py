@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis): algebraic laws the engine's
+correctness rests on — LWW associativity/idempotence, schema-merge
+laws, text-extraction agreement on arbitrary inputs."""
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+
+from data_hub_ejp_xml_pipeline_ray.functions.text import (
+    extract_text_column,
+    extract_text_reference,
+)
+from data_hub_ejp_xml_pipeline_ray.schemas import merge_schemas, merge_types
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import naive_replay
+from data_hub_ejp_xml_pipeline_ray.stages.merge import local_lww
+
+SETTINGS = dict(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),      # url index
+        st.integers(0, 1000),   # warc_ts micros
+        st.sampled_from(["insert", "update", "delete"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _to_table(evts):
+    seq_counter = {}
+    rows = []
+    for url_i, ts, op in evts:
+        url = f"https://site-{url_i}.example/"
+        seq = seq_counter.get(url, 0)
+        seq_counter[url] = seq + 1
+        rows.append(
+            {
+                "op": op,
+                "url": url,
+                "warc_ts": ts,
+                "seq": seq,
+                "payload": f"{url}@{ts}/{seq}",
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("op", pa.string()), ("url", pa.string()),
+             ("warc_ts", pa.int64()), ("seq", pa.int64()),
+             ("payload", pa.string())]
+        ),
+    )
+
+
+def _winners(table):
+    out = {}
+    for r in table.to_pylist():
+        key = (r["warc_ts"], r["seq"])
+        cur = out.get(r["url"])
+        if cur is None or key > (cur["warc_ts"], cur["seq"]):
+            out[r["url"]] = r
+    return {u: (r["warc_ts"], r["seq"], r["payload"]) for u, r in out.items()}
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_local_lww_matches_naive_winner(evts):
+    t = _to_table(evts)
+    reduced = local_lww(t)
+    # one row per url, and it is the max-(warc_ts, seq) row
+    assert _winners(reduced) == _winners(t)
+    urls = reduced.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+
+
+@given(events_strategy, st.integers(1, 39))
+@settings(**SETTINGS)
+def test_local_lww_is_associative_over_splits(evts, cut):
+    """Combiner law: reduce(reduce(A) + reduce(B)) == reduce(A + B) —
+    this is what makes per-block pre-reduction correct."""
+    t = _to_table(evts)
+    if t.num_rows < 2:
+        return
+    cut = min(cut, t.num_rows - 1)
+    a, b = t.slice(0, cut), t.slice(cut)
+    two_phase = local_lww(
+        pa.concat_tables([local_lww(a), local_lww(b)])
+    )
+    one_shot = local_lww(t)
+    assert _winners(two_phase) == _winners(one_shot)
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_duplicate_delivery_is_noop(evts):
+    """LWW idempotence under at-least-once delivery: feeding the same
+    events twice yields the same winners."""
+    t = _to_table(evts)
+    doubled = pa.concat_tables([t, t])
+    assert _winners(local_lww(doubled)) == _winners(local_lww(t))
+
+
+scalar_types = st.sampled_from(
+    [pa.int32(), pa.int64(), pa.float32(), pa.float64(), pa.string(),
+     pa.bool_(), pa.null(), pa.timestamp("us")]
+)
+
+
+@given(scalar_types, scalar_types)
+@settings(max_examples=60, deadline=None)
+def test_merge_types_total_and_idempotent(a, b):
+    m = merge_types(a, b)
+    assert isinstance(m, pa.DataType)
+    assert merge_types(m, m) == m
+    # merging the result with either input is stable (absorption)
+    assert merge_types(m, b) == m
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), scalar_types),
+        min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), scalar_types),
+        min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_merge_schemas_union_and_idempotent(f1, f2):
+    s1 = pa.schema([pa.field(n, t) for n, t in f1])
+    s2 = pa.schema([pa.field(n, t) for n, t in f2])
+    m = merge_schemas(s1, s2)
+    assert set(m.names) == set(s1.names) | set(s2.names)
+    assert merge_schemas(m, m).equals(m)
+    # existing field order is preserved as a prefix
+    assert m.names[: len(s1.names)] == list(s1.names)
+
+
+html_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+
+
+@given(html_text)
+@settings(max_examples=100, deadline=None)
+def test_text_extraction_engine_matches_spec_on_arbitrary_input(doc):
+    raw = doc.encode("utf-8")
+    expected = extract_text_reference(raw)
+    got = extract_text_column(pa.array([raw], type=pa.binary())).to_pylist()[0]
+    assert got == expected
