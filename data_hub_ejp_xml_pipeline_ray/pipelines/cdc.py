@@ -98,6 +98,7 @@ def lake_schema_from_wire(wire: pa.Schema) -> pa.Schema:
         fields.append(f)
         if f.name == "seq":
             fields.append(pa.field("text", pa.string()))
+    fields.append(pa.field("_src_segment", pa.string()))  # provenance (M2)
     fields.append(pa.field(DELETED_COL, pa.bool_()))
     return pa.schema(fields)
 
@@ -131,7 +132,8 @@ def _ingest_one_batch(
     # dispatch overhead is the non-scaling term on the driver
     blocks = cfg.read_override_num_blocks or min(max(cpus * 3, 16), 256)
     ds = wal_source.read_segments(
-        segments, wire, override_num_blocks=blocks, conform=False
+        segments, wire, override_num_blocks=blocks, conform=False,
+        include_paths=True,
     )
     concurrency = cfg.extract_concurrency or _default_extract_concurrency()
 

@@ -110,6 +110,7 @@ def read_segments(
     schema: pa.Schema | None = None,
     override_num_blocks: int | None = None,
     conform: bool = True,
+    include_paths: bool = False,
 ) -> ray.data.Dataset:
     """Read WAL segments as one Dataset conformed to the unified schema.
 
@@ -128,7 +129,9 @@ def read_segments(
     target = schema
 
     ds = ray.data.read_parquet(
-        [s.path for s in segments], override_num_blocks=override_num_blocks
+        [s.path for s in segments],
+        override_num_blocks=override_num_blocks,
+        include_paths=include_paths,  # per-record provenance (M2 analog)
     )
     if not conform:
         # caller conforms per batch inside its own first stage (saves an

@@ -226,6 +226,22 @@ def _fetch_texts(
     return out
 
 
+def filter_survivors(
+    ds: ray.data.Dataset, drop: set[int], id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Distributed survivors: broadcast the (dup-rate-bounded) drop set
+    and anti-filter the corpus — survivors never materialize on the
+    driver. Use this instead of the ``survivors`` list at scale."""
+    drop_arr = pa.array(sorted(drop), type=pa.int64())
+    ref = ray.put(drop_arr)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=ray.get(ref)))
+        return batch.filter(mask)
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _clusters_and_survivors(
     ds: ray.data.Dataset, pairs: list[tuple[int, int]], id_col: str
 ) -> dict:
@@ -241,6 +257,7 @@ def _clusters_and_survivors(
     survivors = sorted(x for x in all_ids if x not in drop)
     return {
         "survivors": survivors,
+        "drop": drop,  # pass to filter_survivors() for the scale path
         "clusters": {min(v): sorted(v) for v in groups.values()},
         "pairs": pairs,
     }
@@ -288,8 +305,11 @@ def simhash_dedup(
     id_col: str = "doc_id",
 ) -> dict:
     """SimHash near-dup: banded candidates, exact Hamming verify.
-    (Signatures travel with the bucket rows, so verification needs no
-    second corpus pass.)"""
+
+    Verification happens INSIDE each bucket group (signatures travel
+    with the bucket rows), so the driver sees only verified pairs —
+    never O(corpus) signatures. Driver memory is bounded by the
+    duplicate rate, as with :func:`minhash_dedup`."""
     sigs = ds.select_columns([text_col, id_col]).map_batches(
         SimHashSignatures,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
@@ -298,26 +318,32 @@ def simhash_dedup(
         concurrency=(1, 8),
         num_cpus=1,
     )
-    sig_of: dict[int, int] = {}
-    buckets: dict[tuple[int, int], set[int]] = defaultdict(set)
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        for band, key, doc_id, sig in zip(
-            b.column("band").to_pylist(), b.column("key").to_pylist(),
-            b.column("doc_id").to_pylist(), b.column("sig").to_pylist(),
-        ):
-            sig_of[doc_id] = sig & ((1 << 64) - 1)  # back to uint64 semantics
-            buckets[(band, key)].add(doc_id)
-    pairs = set()
-    for members in buckets.values():
-        ms = sorted(members)
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        raw = group.column("sig").to_pylist()
+        sig = {
+            i: s & ((1 << 64) - 1) for i, s in zip(ids, raw)
+        }  # two's-complement back to uint64 semantics
+        ms = sorted(set(ids))
+        out_a, out_b = [], []
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                pairs.add((ms[i], ms[j]))
-    verified = [
-        (a_, b_) for a_, b_ in sorted(pairs)
-        if hamming64(sig_of[a_], sig_of[b_]) <= max_hamming
-    ]
-    return _clusters_and_survivors(ds, verified, id_col)
+                if hamming64(sig[ms[i]], sig[ms[j]]) <= max_hamming:
+                    out_a.append(ms[i])
+                    out_b.append(ms[j])
+        return pa.table(
+            {"id_a": pa.array(out_a, pa.int64()),
+             "id_b": pa.array(out_b, pa.int64())}
+        )
+
+    pairs_ds = sigs.groupby(["band", "key"]).map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+    pairs = set()
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        pairs.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
+    return _clusters_and_survivors(ds, sorted(pairs), id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -209,10 +209,22 @@ class ExtractCombineSpill:
         self._spill = SpillCombiner(staging_dir, num_partitions)
         #: when set, batches are conformed to this schema first (the
         #: schema-evolution read edge fused in, so mixed v1/v2 blocks
-        #: need no separate conform operator)
+        #: need no separate conform operator); provenance column added
+        #: alongside so conform doesn't drop it
+        if wire_schema is not None and "_src_segment" not in wire_schema.names:
+            wire_schema = wire_schema.append(pa.field("_src_segment", pa.string()))
         self._wire_schema = wire_schema
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "path" in batch.column_names:
+            # provenance: source segment basename rides every record to
+            # the lake (the reference stamps source_filename per entity,
+            # ejp_zip.py:66-69; the clock stays confined to manifest
+            # lineage, never merged columns)
+            src = pa.compute.replace_substring_regex(
+                batch.column("path"), pattern=".*/", replacement=""
+            )
+            batch = batch.drop_columns(["path"]).append_column("_src_segment", src)
         if self._wire_schema is not None and not batch.schema.equals(self._wire_schema):
             batch = conform_table(batch, self._wire_schema)
         out = self._extract(batch)

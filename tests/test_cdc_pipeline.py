@@ -235,3 +235,23 @@ def test_read_lake_dataset(small_wal):
     n = ds.count()
     assert n == len(_expected_lake(cfg.wal_dir))
     assert "text" in ds.schema().names
+
+
+def test_provenance_src_segment(small_wal):
+    """Every lake row carries the segment that produced its winning
+    event (M2 provenance analog, ``ejp_zip.py:66-69``)."""
+    cfg = _cfg(small_wal, lake_dir=os.path.join(small_wal, "lake_prov"))
+    run_ingest(cfg)
+    snap = lake_snapshot(cfg.lake_dir)
+    assert "_src_segment" in snap.column_names
+    # winning event's segment per url, from the raw WAL (independent)
+    segs = list_segments(cfg.wal_dir)
+    best = {}
+    for s in segs:
+        for row in pq.read_table(s.path).to_pylist():
+            key = (row["warc_ts"], row["seq"])
+            cur = best.get(row["url"])
+            if cur is None or key > cur[0]:
+                best[row["url"]] = (key, s.name)
+    for r in snap.to_pylist():
+        assert r["_src_segment"] == best[r["url"]][1], r["url"]
