@@ -563,6 +563,26 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_curate_filter(sf_dir: str):
+    """Curation filter prefix (annotate + quality/lang gate) — the
+    SQL-expressible part of the corpus-curation pipeline."""
+    from .curate import annotate_and_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = annotate_and_filter(ds, quality_threshold=0.3)
+    return out.select_columns(["doc_id", "quality", "lang_pred"])
+
+
+def q_curate_corpus(sf_dir: str):
+    """Full curation (filter + exact dedup + MinHash near-dup): the
+    surviving doc ids (rows-only oracle — LSH is not SQL)."""
+    from .curate import curate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = curate(ds, quality_threshold=0.3, near_dup_threshold=0.8)
+    return out.select_columns(["doc_id"])
+
+
 def q_cdc_lake_state(sf_dir: str):
     """Flagship CDC pipeline as a query (rows-only oracle): generate a
     deterministic WAL sized by the sf tier, ingest into a fresh lake,
@@ -624,6 +644,8 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "curate_filter": q_curate_filter,
+    "curate_corpus": q_curate_corpus,
     "cdc_lake_state": q_cdc_lake_state,
 }
 
@@ -812,6 +834,18 @@ ORACLE_SQL = {
           FROM scored)
         SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
     """,
+    "curate_filter": f"""
+        SELECT doc_id, quality, lang_pred FROM (
+          SELECT doc_id,
+                 round( (least({_TOKEN_SQL}, 200) / 200.0 * 0.5
+                       + {_STOP_SQL} * 1.0 / greatest({_TOKEN_SQL}, 1) * 0.3
+                       + (1 - {_PUNCT_SQL} * 1.0 / greatest(length(text), 1)) * 0.2)
+                       * 10000) / 10000 AS quality,
+                 {_LANG_CASE} AS lang_pred
+          FROM documents)
+        WHERE quality >= 0.3 AND lang_pred IN ('en', 'de', 'fr', 'es')
+    """,
     # rows-only (non-SQL-expressible): doc_fingerprint, minhash_dedup_docs,
-    # simhash_dedup_docs, embedding_dedup, ann_topk_ivf, cdc_lake_state
+    # simhash_dedup_docs, embedding_dedup, ann_topk_ivf, curate_corpus,
+    # cdc_lake_state, page_entities, multimodal_decode
 }

@@ -48,9 +48,14 @@ from ..functions.hashing import (
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def _content_hash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """Combiner: hash text, keep min id per hash within the batch —
-    only (hash, id) pairs proceed to the shuffle."""
+def _content_hash_batch(
+    batch: pa.Table, text_col: str, id_col: str, preagg: bool = True
+) -> pa.Table:
+    """Hash text -> (hash, id) pairs. With ``preagg`` (the survivors
+    path) the batch is pre-reduced to min id per hash — a combiner.
+    The drop-ids path needs EVERY pair (pre-reduction would discard
+    exactly the ids it wants), so it passes ``preagg=False``; the pair
+    stream is two ints per row either way."""
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     hashes = np.fromiter(
@@ -69,6 +74,8 @@ def _content_hash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table
         count=len(texts),
     )
     out = pa.table({"content_hash": hashes, id_col: ids})
+    if not preagg:
+        return out
     df = out.group_by("content_hash").aggregate([(id_col, "min")])
     return df.rename_columns(["content_hash", id_col])
 
@@ -224,6 +231,33 @@ def _fetch_texts(
         for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
             out[i] = t
     return out
+
+
+def exact_dedup_drop_ids(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> set[int]:
+    """Exact-dup DROP set: for every content-hash group, all ids except
+    the minimum. Driver memory is bounded by the duplicate count (the
+    inverse of :func:`exact_dedup`, which returns survivors)."""
+    pairs = ds.select_columns([text_col, id_col]).map_batches(
+        _content_hash_batch,
+        fn_kwargs={"text_col": text_col, "id_col": id_col, "preagg": False},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def non_min(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column(id_col).to_pylist())
+        return pa.table({id_col: pa.array(ids[1:], pa.int64())})
+
+    dropped = pairs.groupby("content_hash").map_groups(
+        non_min, batch_format="pyarrow"
+    )
+    return {
+        int(x)
+        for b in dropped.iter_batches(batch_format="pyarrow")
+        for x in b.column(id_col).to_pylist()
+    }
 
 
 def filter_survivors(
