@@ -248,7 +248,9 @@ def _ingest_one_batch(
         counters=counters,
     )
     commit_manifest(cfg.lake_dir, new_manifest)
-    gc_unreferenced(cfg.lake_dir, new_manifest)
+    # keep the PREVIOUS version's files through this commit so readers
+    # holding the old manifest finish their scans (one-version grace)
+    gc_unreferenced(cfg.lake_dir, new_manifest, previous=manifest)
     # staging spill files are dead after the commit (crash-safe analog
     # of delete-after-load, etl.py:202-213): remove this batch's dir and
     # any stale dirs from crashed earlier batches.
@@ -318,6 +320,46 @@ def read_lake(lake_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(paths).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
+    """Point lookup: the stable crc32 partitioning routes each url to
+    exactly one partition file, so a k-url lookup touches at most k
+    files (plus a parquet row-group predicate on ``url``) — no scan,
+    no Ray job. Driver-side by design: this is the small-read path."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import zlib
+
+    from ..stages.merge import DELETED_COL
+
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    by_part: dict[int, list[str]] = {}
+    for u in urls:
+        part = zlib.crc32(u.encode("utf-8")) % manifest.num_partitions
+        by_part.setdefault(part, []).append(u)
+    from ..schemas import conform_table
+
+    tables = []
+    for part, part_urls in sorted(by_part.items()):
+        rel = manifest.partitions.get(part)
+        if rel is None:
+            continue
+        t = pq.read_table(
+            os.path.join(lake_dir, rel),
+            filters=[("url", "in", part_urls)],
+        )
+        tables.append(conform_table(t, manifest.schema))
+    if not tables:
+        out = manifest.schema.empty_table()
+    else:
+        out = pa.concat_tables(tables)
+    if DELETED_COL in out.column_names:
+        mask = pc.fill_null(pc.invert(out.column(DELETED_COL)), True)
+        out = out.filter(mask).drop_columns([DELETED_COL])
+    return out.sort_by("url")
 
 
 def lake_snapshot(lake_dir: str) -> pa.Table:

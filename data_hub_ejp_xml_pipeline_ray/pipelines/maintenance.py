@@ -116,7 +116,7 @@ def compact_lake(lake_dir: str) -> dict:
         counters=manifest.counters,
     )
     commit_manifest(lake_dir, new_manifest)
-    gc_unreferenced(lake_dir, new_manifest)
+    gc_unreferenced(lake_dir, new_manifest, previous=manifest)
     return {
         "partitions_rewritten": len(stats),
         "tombstones_dropped": dropped_total,

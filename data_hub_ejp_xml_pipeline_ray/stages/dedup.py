@@ -23,7 +23,6 @@ semantics are deterministic: the minimum id in each cluster survives.
 from __future__ import annotations
 
 import hashlib
-from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa

@@ -17,12 +17,14 @@ explicit and distributed:
    specified by the engine forever (not a library hash that may change
    between versions), because partition -> base-file routing must be
    stable across runs for resume correctness.
-3. **Per-partition global merge** — ``groupby('part').map_groups``:
-   each task reads ONLY its base partition file (the base lake is never
-   shuffled; shuffle volume is O(deltas)), conforms base + delta to the
-   evolved schema, applies LWW + deletes, and writes an immutable
-   content-addressed partition file. Tombstones are applied, never
-   persisted (full-partition rewrite makes that safe).
+3. **Per-partition global merge** — a reduce task per touched
+   partition reads ONLY its spilled delta row groups plus its own base
+   partition file (the base lake is never shuffled; exchange volume is
+   O(deltas)), conforms both to the evolved schema, applies LWW, and
+   writes an immutable content-addressed partition file. Tombstones are
+   PERSISTED (``_deleted``) so out-of-order late events in later
+   micro-batches cannot resurrect deleted keys; read paths filter them
+   and ``compact_lake`` drops them under a retention decision.
 """
 from __future__ import annotations
 
@@ -30,7 +32,6 @@ import os
 import zlib
 
 import numpy as np
-import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
 

