@@ -159,9 +159,10 @@ def _ingest_one_batch(
         concurrency=concurrency,
         num_cpus=1,
     ).take_all()
+    phase1_s = _time.perf_counter() - t0
     if trace:
-        print(f"[cdc-trace] phase1 {_time.perf_counter() - t0:.2f}s", flush=True)
-        t0 = _time.perf_counter()
+        print(f"[cdc-trace] phase1 {phase1_s:.2f}s", flush=True)
+    t0 = _time.perf_counter()
     delta_map: dict[int, list[tuple[str, int]]] = {}
     for r in spilled:
         delta_map.setdefault(int(r["part"]), []).append(
@@ -194,9 +195,10 @@ def _ingest_one_batch(
             [merge_partition.remote(merger_ref, p) for p in touched_parts]
         )
 
+    phase2_s = _time.perf_counter() - t0
     if trace:
-        print(f"[cdc-trace] phase2 {_time.perf_counter() - t0:.2f}s", flush=True)
-        t0 = _time.perf_counter()
+        print(f"[cdc-trace] phase2 {phase2_s:.2f}s", flush=True)
+    t0 = _time.perf_counter()
     import pyarrow.parquet as _pq
 
     # Raw event count from segment footers (metadata-only, driver-side);
@@ -240,6 +242,15 @@ def _ingest_one_batch(
                 "events_applied": events_applied,
                 "deltas_merged": deltas_merged,
                 "partitions_rewritten": len(stats),
+                "partitions_resumed": sum(
+                    1 for r in stats if r.get("resumed")
+                ),
+                "phase1_seconds": round(phase1_s, 3),
+                "phase2_seconds": round(phase2_s, 3),
+                "events_per_sec": (
+                    round(events_applied / (phase1_s + phase2_s), 1)
+                    if (phase1_s + phase2_s) > 0 else None
+                ),
                 "rows_per_partition": {
                     str(int(r["part"])): int(r["rows"]) for r in stats
                 },

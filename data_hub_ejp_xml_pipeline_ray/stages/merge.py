@@ -272,6 +272,32 @@ class PartitionMerger:
         # concurrent merge tasks thrash each other.
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+
+        # Partition-level resume: the output path is a pure function of
+        # (token, part) and files are written tmp+rename, so an existing
+        # file IS this merge's complete result from a previous attempt
+        # of the same micro-batch — skip the rework (per-partition
+        # checkpoint granularity on batch retry).
+        rel = partition_file_relpath(part, self._token)
+        out_path = os.path.join(self._lake_dir, rel)
+        if os.path.exists(out_path):
+            meta = pq.ParquetFile(out_path)
+            done = meta.read(columns=[DELETED_COL]) if DELETED_COL in [
+                f.name for f in meta.schema_arrow
+            ] else None
+            tomb = (
+                int(pa.compute.sum(done.column(DELETED_COL)).as_py() or 0)
+                if done is not None
+                else 0
+            )
+            return {
+                "part": part, "path": rel,
+                "rows": meta.metadata.num_rows,
+                "bytes": os.path.getsize(out_path),
+                "events_applied": 0,  # replay: no new events counted
+                "tombstones": tomb,
+                "resumed": True,
+            }
         deltas = [
             pq.ParquetFile(path).read_row_group(rg)
             for path, rg in sorted(self._delta_map.get(part, []))

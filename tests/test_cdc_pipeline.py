@@ -275,3 +275,29 @@ def test_lookup_urls_point_read(small_wal):
     for u in live:
         assert rows[u]["text"] == snap[u]["text"]
         assert rows[u]["seq"] == snap[u]["seq"]
+
+
+def test_partition_level_resume_skips_completed_merges(small_wal):
+    """A retried micro-batch reuses already-written partition files
+    (content-addressed path exists => complete result): files are not
+    rewritten, and the final state still matches the oracle."""
+    cfg = _cfg(small_wal, lake_dir=os.path.join(small_wal, "lake_resume2"))
+    run_ingest(cfg)
+    m = load_manifest(cfg.lake_dir)
+    mtimes = {
+        rel: os.path.getmtime(os.path.join(cfg.lake_dir, rel))
+        for rel in m.partitions.values()
+    }
+    # simulate crash after phase 2 but before commit: manifest lost,
+    # partition files present
+    os.remove(os.path.join(cfg.lake_dir, "_manifest.json"))
+    import time as _t
+    _t.sleep(0.05)
+    run_ingest(cfg)
+    m2 = load_manifest(cfg.lake_dir)
+    assert m2.partitions == m.partitions  # same content-addressed files
+    for rel, old_mtime in mtimes.items():
+        assert os.path.getmtime(os.path.join(cfg.lake_dir, rel)) == old_mtime, (
+            f"{rel} was rewritten on resume"
+        )
+    assert _snapshot_dict(cfg.lake_dir) == _expected_lake(cfg.wal_dir)
