@@ -24,16 +24,20 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
-    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
-    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import read_lake
-
     import os
     import tempfile
 
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import read_lake
+
     # Run the CDC ingest sized by the smoke tier, then return the lake
     # as a streaming Dataset (schema: url, warc_ts, seq, text, lang, ...).
-    snapshot = q.q_cdc_lake_state(SF_SMOKE_DIR)  # commits the lake
-    n_docs = 500
+    q.q_cdc_lake_state(SF_SMOKE_DIR)  # generates WAL + commits the lake
+    n_docs = pq.ParquetFile(
+        os.path.join(SF_SMOKE_DIR, "documents.parquet")
+    ).metadata.num_rows
     lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_lake_q_{n_docs}", "lake")
     return read_lake(lake_dir)
 
