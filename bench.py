@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_dedup_docs",
     "ann_topk",
+    "asof_last_signup",
+    "curate_filter",
 ]
 
 

@@ -492,6 +492,113 @@ def q_embedding_dedup(sf_dir: str):
     return pa.table({"vec_id": pa.array(res["survivors"], pa.int64())})
 
 
+def q_top2_events_per_user(sf_dir: str):
+    """Per-group top-k (window-function shape): each user's two highest-
+    value events, deterministic tiebreak by event_id."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        out = g.head(2).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out[["user_id", "event_id", "value", "rank"]]
+
+    res = ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("user_id", pa.int64()), ("event_id", pa.int64()),
+            ("value", pa.float64()), ("rank", pa.int64()),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+def q_cumulative_value_per_user(sf_dir: str):
+    """Running (cumulative) aggregate over the ordered per-user log —
+    prefix sums are order-identical on both sides, so round(.,2) is
+    hash-stable."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["cum_value"] = (g["value"].cumsum() * 100).round() / 100
+        return g[["event_id", "user_id", "cum_value"]]
+
+    res = ds.groupby("user_id").map_groups(cum, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("cum_value", pa.float64()),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact median per group, computed with quantile_cont's linear-
+    interpolation formula so the oracle agrees bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["value"].to_numpy())
+        n = len(vals)
+        h = (n - 1) * 0.5
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        med = vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "median_value": [round(med * 100) / 100]}
+        )
+
+    res = ds.groupby("event_type").map_groups(median, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("event_type", pa.string()), ("median_value", pa.float64()),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+_SCORE_SEED = 321
+
+
+def _score_weights(dim: int = 64) -> np.ndarray:
+    rng = np.random.default_rng(_SCORE_SEED)
+    return np.round(rng.standard_normal(dim), 4)  # short literals for SQL
+
+
+def q_embedding_scores(sf_dir: str):
+    """Batched model scoring (the inference-stage pattern): a broadcast
+    weight vector dotted against every embedding per batch; top 50 by
+    (score desc, vec_id)."""
+    w = _score_weights()
+    w_ref = ray.put(w)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class Scorer:
+        def __init__(self):
+            self.w = ray.get(w_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.vstack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in batch.column("embedding").to_pylist()]
+            )
+            scores = np.sign(vecs @ self.w) * np.floor(
+                np.abs(vecs @ self.w) * 1e6 + 0.5
+            ) / 1e6  # round6 half-away (DuckDB round parity)
+            return pa.table(
+                {"vec_id": batch.column("vec_id"),
+                 "score": pa.array(scores, pa.float64())}
+            )
+
+    scored = ds.map_batches(
+        Scorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), num_cpus=1,
+    )
+    return scored.sort(["score", "vec_id"], descending=[True, False]).limit(50)
+
+
 _ANN_QUERY_IDS = [0, 1, 2]
 
 
@@ -635,6 +742,10 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "order_priority_count": q_order_priority_count,
+    "top2_events_per_user": q_top2_events_per_user,
+    "cumulative_value_per_user": q_cumulative_value_per_user,
+    "median_value_by_type": q_median_value_by_type,
+    "embedding_scores": q_embedding_scores,
     "doc_token_stats": q_doc_token_stats,
     "lang_id": q_lang_id,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -797,6 +908,27 @@ ORACLE_SQL = {
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY o_orderpriority
     """,
+    "top2_events_per_user": """
+        SELECT user_id, event_id, value, rank FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rank
+          FROM events) WHERE rank <= 2
+    """,
+    "cumulative_value_per_user": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) * 100) / 100
+                 AS cum_value
+        FROM events
+    """,
+    "median_value_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5) * 100) / 100 AS median_value
+        FROM events GROUP BY event_type
+    """,
+    "embedding_scores": None,  # filled below with the literal weight vector
     "doc_token_stats": f"""
         SELECT doc_id,
                {_TOKEN_SQL} AS n_tokens,
@@ -849,3 +981,15 @@ ORACLE_SQL = {
     # simhash_dedup_docs, embedding_dedup, ann_topk_ivf, curate_corpus,
     # cdc_lake_state, page_entities, multimodal_decode
 }
+
+# The scoring oracle embeds the deterministic weight vector as a SQL
+# literal (same seed as the Ray side).
+_W_LITERAL = "[" + ", ".join(f"{w:.4f}" for w in _score_weights()) + "]"
+ORACLE_SQL["embedding_scores"] = f"""
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST({_W_LITERAL} AS DOUBLE[]))
+                 * 1000000) / 1000000 AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id LIMIT 50
+"""
