@@ -48,10 +48,18 @@ BENCH_QUERIES = [
 ]
 
 
+#: bump when generate_wal's output changes — keys the /tmp cache so a
+#: stale WAL from an older generator is never reused
+WAL_GEN_VERSION = 1
+
+
 def _bench_wal_dir(sf_dir: str, n_events: int) -> str:
-    """Deterministic WAL cached under /tmp, keyed by size — generated
-    once, reused by every parallelism level (same input requirement)."""
-    wal = os.path.join(tempfile.gettempdir(), f"graft_bench_wal_{n_events}")
+    """Deterministic WAL cached under /tmp, keyed by size + generator
+    version — generated once, reused by every parallelism level (same
+    input requirement)."""
+    wal = os.path.join(
+        tempfile.gettempdir(), f"graft_bench_wal_v{WAL_GEN_VERSION}_{n_events}"
+    )
     marker = os.path.join(wal, "_complete")
     if not os.path.exists(marker):
         shutil.rmtree(wal, ignore_errors=True)
