@@ -114,7 +114,8 @@ def _default_extract_concurrency() -> int:
 
 
 def _ingest_one_batch(
-    cfg: CdcConfig, manifest: LakeManifest, segments: list[wal_source.SegmentMeta]
+    cfg: CdcConfig, manifest: LakeManifest, segments: list[wal_source.SegmentMeta],
+    *, spill_cls=None, lake_schema_fn=None, reduce_fn=None,
 ) -> tuple[LakeManifest, dict[str, int]]:
     """Process one micro-batch of segments and commit. Pure function of
     (committed lake state, segment set) — a crashed batch rewrites the
@@ -123,9 +124,11 @@ def _ingest_one_batch(
 
     trace = os.environ.get("GRAFT_CDC_TRACE") == "1"
     t0 = _time.perf_counter()
+    spill_cls = spill_cls or ExtractCombineSpill
+    lake_schema_fn = lake_schema_fn or lake_schema_from_wire
     token = batch_token(manifest.watermark, [s.name for s in segments])
     wire = wal_source.unified_wire_schema(segments)
-    new_lake_schema = merge_schemas(manifest.schema, lake_schema_from_wire(wire))
+    new_lake_schema = merge_schemas(manifest.schema, lake_schema_fn(wire))
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # blocks >> pool size for load balance, but bounded: per-task
@@ -146,7 +149,7 @@ def _ingest_one_batch(
     staging_root = cfg.staging_root or os.path.join(cfg.lake_dir, "_staging")
     staging = os.path.join(staging_root, token)
     spilled = ds.map_batches(
-        ExtractCombineSpill,
+        spill_cls,
         fn_constructor_kwargs={
             "staging_dir": staging,
             "num_partitions": manifest.num_partitions,
@@ -184,6 +187,7 @@ def _ingest_one_batch(
             base_partitions=manifest.partitions,
             lake_schema=new_lake_schema,
             token=token,
+            reduce_fn=reduce_fn,
         )
         merger_ref = ray.put(merger)
 
@@ -277,7 +281,9 @@ def _ingest_one_batch(
     }
 
 
-def run_ingest(cfg: CdcConfig) -> IngestReport:
+def run_ingest(
+    cfg: CdcConfig, *, spill_cls=None, lake_schema_fn=None, reduce_fn=None
+) -> IngestReport:
     """Tail the WAL past the committed watermark and merge everything
     new, in segment order, committing once per micro-batch. Idempotent:
     calling with no new segments is a no-op; re-calling after a crash
@@ -293,7 +299,11 @@ def run_ingest(cfg: CdcConfig) -> IngestReport:
     )
     for i in range(0, len(segments), cfg.max_segments_per_batch):
         chunk = segments[i : i + cfg.max_segments_per_batch]
-        manifest, stats = _ingest_one_batch(cfg, manifest, chunk)
+        manifest, stats = _ingest_one_batch(
+            cfg, manifest, chunk,
+            spill_cls=spill_cls, lake_schema_fn=lake_schema_fn,
+            reduce_fn=reduce_fn,
+        )
         report.commits += 1
         report.segments_processed += [s.name for s in chunk]
         report.events_applied += stats["events_applied"]
@@ -301,6 +311,26 @@ def run_ingest(cfg: CdcConfig) -> IngestReport:
         report.final_version = manifest.version
         report.watermark = manifest.watermark
     return report
+
+
+def run_entity_ingest(cfg: CdcConfig) -> IngestReport:
+    """Multi-entity demux ingest (the reference's one-document-to-four-
+    entity-tables fan-out, S9/M6): the same WAL drives a SECOND lake of
+    page/link/heading entity rows, merged at page-version granularity —
+    all entity rows of a url are replaced atomically by the rows of its
+    winning event; a delete event's tombstone retires them. Point
+    ``cfg.lake_dir`` at the entity lake (separate manifest/watermark
+    from the page lake; the two ingests are independent consumers of
+    the same WAL, each exactly-once)."""
+    from ..stages.entities import EntityExtractCombineSpill, entity_lake_schema
+    from ..stages.merge import lww_winner_rows
+
+    return run_ingest(
+        cfg,
+        spill_cls=EntityExtractCombineSpill,
+        lake_schema_fn=entity_lake_schema,
+        reduce_fn=lww_winner_rows,
+    )
 
 
 def read_lake(lake_dir: str) -> ray.data.Dataset:

@@ -93,6 +93,108 @@ ENTITY_FANOUT_SCHEMA = pa.schema(
 )
 
 
+#: Entity-lake schema (the demuxed multi-entity table the reference
+#: writes as 4 BQ tables; here one table with an ``entity_type``
+#: discriminator + version columns + tombstone). Sparse columns are
+#: null for rows of other entity kinds.
+ENTITY_LAKE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("seq", pa.int64()),
+        ("entity_type", pa.string()),
+        ("title", pa.string()),
+        ("href", pa.string()),
+        ("anchor", pa.string()),
+        ("link_index", pa.int32()),
+        ("level", pa.int32()),
+        ("text", pa.string()),
+        ("_src_segment", pa.string()),
+        ("_deleted", pa.bool_()),
+    ]
+)
+
+
+class EntityExtractCombineSpill:
+    """Fused map side for the ENTITY lake: conform wire batch ->
+    event-level local LWW -> parse each winning event's html into
+    entity rows (page/link/heading) stamped with the event's
+    ``(warc_ts, seq)`` version -> partition split -> row-group spill.
+
+    Delete events emit one tombstone row so the merge can retire a
+    url's previous entity rows (group-valued LWW keeps ALL rows of the
+    winning version; a tombstone IS that version's only row).
+    """
+
+    def __init__(self, staging_dir: str, num_partitions: int,
+                 url_exclusion_pattern: str | None = None,
+                 wire_schema: pa.Schema | None = None):
+        from .merge import SpillCombiner
+
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+        self._spill = SpillCombiner(staging_dir, num_partitions)
+        self._exclusion = url_exclusion_pattern
+        self._wire_schema = wire_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .merge import local_lww
+
+        if "path" in batch.column_names:
+            src_col = pc.replace_substring_regex(
+                batch.column("path"), pattern=".*/", replacement=""
+            )
+            batch = batch.drop_columns(["path"]).append_column("_src_segment", src_col)
+        if self._exclusion is not None:
+            mask = pc.invert(
+                pc.match_substring_regex(
+                    batch.column("url"), "^(?:" + self._exclusion + ")"
+                )
+            )
+            batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int64()),
+                 "rows": pa.array([], pa.int64()),
+                 "path": pa.array([], pa.string()),
+                 "row_group": pa.array([], pa.int64())}
+            )
+        batch = local_lww(batch)  # event-level combiner: winners only
+        rows = []
+        for r in batch.to_pylist():
+            base = {
+                "url": r["url"], "warc_ts": r["warc_ts"], "seq": r["seq"],
+                "_src_segment": r.get("_src_segment"),
+            }
+            if r.get("op") == "delete":
+                rows.append({**base, "entity_type": None, "_deleted": True})
+                continue
+            parsed = parse_page_entities(r["url"], r.get("html"))
+            rows.append({**base, "entity_type": "page",
+                         "title": parsed["title"], "_deleted": False})
+            for link in parsed["links"]:
+                rows.append({**base, "entity_type": "link", **link,
+                             "_deleted": False})
+            for h in parsed["headings"]:
+                rows.append({**base, "entity_type": "heading", **h,
+                             "_deleted": False})
+        out = pa.Table.from_pylist(rows, schema=ENTITY_LAKE_SCHEMA)
+        # the spill's own local_lww would collapse multi-row versions —
+        # rows here are already event-winners, so spill WITHOUT another
+        # row-level reduce: route through the partition splitter only
+        return self._spill.split_and_spill(out)
+
+
+def entity_lake_schema(_wire: pa.Schema) -> pa.Schema:
+    """lake_schema_fn hook for the entity ingest (static schema; the
+    wire schema's extra columns don't apply to entity rows)."""
+    return ENTITY_LAKE_SCHEMA
+
+
 class PageEntityExtractor:
     """Actor-pool stage: page -> nested single-row records
     (``mode='nested'``) or fan-out entity rows (``mode='fanout'``,

@@ -121,6 +121,23 @@ def lww_reduce(table: pa.Table) -> pa.Table:
     return table.take(_last_per_url_indices(table))
 
 
+def lww_winner_rows(table: pa.Table) -> pa.Table:
+    """Group-valued LWW: a url's state is a SET of rows sharing one
+    ``(warc_ts, seq)`` version (the entity-table case — one page event
+    fans out to many entity rows). Keep ALL rows of each url's max
+    version: reduce the distinct version triples with the row-level
+    kernel, then inner-join the winners back (arrow hash join)."""
+    import pyarrow.compute as pc
+
+    if table.num_rows <= 1:
+        return table
+    versions = table.select(["url", "warc_ts", "seq"])
+    # distinct triples (group_by), then the row-level winner per url
+    distinct = versions.group_by(["url", "warc_ts", "seq"]).aggregate([])
+    winners = distinct.take(_last_per_url_indices(distinct))
+    return table.join(winners, keys=["url", "warc_ts", "seq"], join_type="inner")
+
+
 class SpillCombiner:
     """Map-side exchange stage (replaces an all-to-all shuffle operator).
 
@@ -144,9 +161,16 @@ class SpillCombiner:
         self._num_partitions = num_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = local_lww(batch)
+        return self.split_and_spill(batch)
+
+    def split_and_spill(self, batch: pa.Table) -> pa.Table:
+        """Partition-split + row-group spill WITHOUT the row-level LWW
+        combine (entity spills arrive pre-reduced at event granularity
+        with multiple rows per version — a row-level reduce would
+        corrupt them)."""
         import hashlib
 
-        batch = local_lww(batch)
         batch = add_partition_column(batch, self._num_partitions)
         # One spill FILE per block, one ROW GROUP per partition inside it
         # — the reduce side reads only its own row groups, and the file
@@ -254,7 +278,11 @@ class PartitionMerger:
         base_partitions: dict[int, str],
         lake_schema: pa.Schema,
         token: str,
+        reduce_fn=None,
     ):
+        #: LWW reduction: row-valued (default) or group-valued
+        #: (:func:`lww_winner_rows` for entity tables)
+        self._reduce_fn = reduce_fn or lww_reduce
         self._lake_dir = lake_dir
         #: part -> [(spill file, row group index)] — only row groups
         #: named here are read; stale files from crashed attempts are
@@ -306,12 +334,14 @@ class PartitionMerger:
         if "part" in delta.column_names:
             delta = delta.drop_columns(["part"])
         events_applied = delta.num_rows
-        # Materialize the tombstone flag, then conform to the lake schema
-        # (drops wire-only leftovers, null-fills columns this delta's
-        # schema version didn't carry, applies declared widens).
-        delta = delta.append_column(
-            DELETED_COL, pc.equal(delta.column("op"), DELETE_OP)
-        )
+        # Materialize the tombstone flag (unless the spill already
+        # carries it — entity spills do), then conform to the lake
+        # schema (drops wire-only leftovers, null-fills columns this
+        # delta's schema version didn't carry, applies declared widens).
+        if DELETED_COL not in delta.column_names and "op" in delta.column_names:
+            delta = delta.append_column(
+                DELETED_COL, pc.equal(delta.column("op"), DELETE_OP)
+            )
         delta = conform_table(delta, self._lake_schema)
 
         base_rel = self._base_partitions.get(part)
@@ -322,7 +352,7 @@ class PartitionMerger:
         else:
             merged = delta
 
-        merged = lww_reduce(merged)
+        merged = self._reduce_fn(merged)
         merged = conform_table(merged, self._lake_schema)
 
         tombstones = int(
