@@ -719,6 +719,30 @@ def q_cdc_lake_state(sf_dir: str):
     return lake_snapshot(cfg.lake_dir)
 
 
+def q_cdc_entity_lake(sf_dir: str):
+    """Multi-entity demux CDC as a query (rows-only): same WAL recipe
+    as ``cdc_lake_state``, ingested into the page/link/heading entity
+    lake (group-valued LWW)."""
+    import shutil
+    import tempfile
+
+    from ..pipelines.cdc import CdcConfig, lake_snapshot, run_entity_ingest
+    from ..sources.synthetic import generate_wal
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    work = os.path.join(tempfile.gettempdir(), f"cdc_entity_q_{n_docs}")
+    shutil.rmtree(work, ignore_errors=True)
+    generate_wal(
+        os.path.join(work, "wal"), seed=1234, n_urls=max(20, n_docs // 5),
+        n_events=n_docs * 4, n_segments=8, delete_fraction=0.05, tie_fraction=0.05,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(work, "wal"),
+                    lake_dir=os.path.join(work, "lake"),
+                    num_partitions=16)
+    run_entity_ingest(cfg)
+    return lake_snapshot(cfg.lake_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -758,6 +782,7 @@ QUERIES = {
     "curate_filter": q_curate_filter,
     "curate_corpus": q_curate_corpus,
     "cdc_lake_state": q_cdc_lake_state,
+    "cdc_entity_lake": q_cdc_entity_lake,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
