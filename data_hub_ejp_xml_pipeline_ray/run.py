@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--exclude", default=None,
                             help="url exclusion regex")
             sp.add_argument("--max-segments-per-batch", type=int, default=64)
+            sp.add_argument("--entity", action="store_true",
+                            help="ingest into the demuxed entity lake "
+                                 "(page/link/heading rows) instead of the page lake")
 
     sp = sub.add_parser("ingest", help="one tail->merge->commit pass")
     add_common(sp)
@@ -101,9 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     _init_ray(args.num_cpus)
     try:
         if args.cmd == "ingest":
-            from .pipelines.cdc import run_ingest
+            from .pipelines.cdc import run_entity_ingest, run_ingest
 
-            report = run_ingest(_cfg_from_args(args))
+            runner = run_entity_ingest if getattr(args, "entity", False) else run_ingest
+            report = runner(_cfg_from_args(args))
             print(json.dumps({
                 "commits": report.commits,
                 "events_applied": report.events_applied,

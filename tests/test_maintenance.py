@@ -49,3 +49,39 @@ def test_compact_drops_tombstones_preserves_live_rows(tmp_path):
     # second compaction is a no-op
     out2 = compact_lake(cfg.lake_dir)
     assert out2 == {"partitions_rewritten": 0, "tombstones_dropped": 0}
+
+
+def test_ingest_continues_after_compaction(tmp_path):
+    """Compaction must not disturb subsequent incremental merges: new
+    segments after a compact merge against the compacted partitions."""
+    from data_hub_ejp_xml_pipeline_ray.functions.text import extract_text_reference
+    from data_hub_ejp_xml_pipeline_ray.sources.synthetic import naive_replay
+    from data_hub_ejp_xml_pipeline_ray.sources.wal import list_segments
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=19, n_urls=30, n_events=300,
+                 n_segments=6, delete_fraction=0.12)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=8, extract_concurrency=2,
+                    max_segments_per_batch=3)
+    run_ingest(cfg)  # two commits? no: 6 segments / 3 = 2 commits
+    compact_lake(cfg.lake_dir)
+    # more WAL lands after compaction
+    generate_wal(os.path.join(tmp, "wal"), seed=77, n_urls=30, n_events=150,
+                 n_segments=3, start_segment=6, delete_fraction=0.1)
+    run_ingest(cfg)
+    snap = {r["url"]: (r["warc_ts"], r["seq"], r["text"])
+            for r in lake_snapshot(cfg.lake_dir).to_pylist()}
+    tables = [pq.read_table(s.path) for s in list_segments(cfg.wal_dir)]
+    expected = {
+        url: (row["warc_ts"], row["seq"], extract_text_reference(row["html"]))
+        for url, row in naive_replay(tables).items()
+    }
+    # compaction dropped tombstones; late events in the NEW segments are
+    # all >= their url's prior version by generator construction for the
+    # new urls, but resurrected deletes are possible for dropped
+    # tombstones — assert equality on urls whose final op is live.
+    assert set(snap) >= set(expected)
+    for url, v in expected.items():
+        assert snap[url] == v
