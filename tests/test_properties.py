@@ -153,3 +153,31 @@ def test_text_extraction_engine_matches_spec_on_arbitrary_input(doc):
     expected = extract_text_reference(raw)
     got = extract_text_column(pa.array([raw], type=pa.binary())).to_pylist()[0]
     assert got == expected
+
+
+@given(events_strategy)
+@settings(**SETTINGS)
+def test_lww_winner_rows_keeps_exactly_the_winning_version_group(evts):
+    """Group-valued LWW law (entity tables): output rows are exactly the
+    input rows whose (url, warc_ts, seq) equals the url's max version."""
+    from data_hub_ejp_xml_pipeline_ray.stages.merge import lww_winner_rows
+
+    t = _to_table(evts)
+    if t.num_rows == 0:
+        return
+    # fan out: duplicate each event row 1-3x to simulate multi-row versions
+    import pyarrow as _pa
+    reps = [1 + (i % 3) for i in range(t.num_rows)]
+    idx = [i for i, r in enumerate(reps) for _ in range(r)]
+    fanned = t.take(_pa.array(idx))
+    out = lww_winner_rows(fanned)
+    winners = _winners(t)
+    got_rows = [
+        (r["url"], r["warc_ts"], r["seq"]) for r in out.to_pylist()
+    ]
+    expected_rows = [
+        (r["url"], r["warc_ts"], r["seq"])
+        for r in fanned.to_pylist()
+        if (r["warc_ts"], r["seq"]) == winners[r["url"]][:2]
+    ]
+    assert sorted(got_rows) == sorted(expected_rows)
