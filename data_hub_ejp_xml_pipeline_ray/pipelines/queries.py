@@ -559,6 +559,30 @@ def q_median_value_by_type(sf_dir: str):
     )
 
 
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash (SQL-expressible)
+_SAMPLE_MOD = 1 << 32
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic 10% sample via multiplicative hashing — the
+    reproducible train/val-split primitive (same row set on every run,
+    engine and SQL alike; unlike seeded RNG sampling, it is stable
+    under repartitioning and expressible in SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    thresh = _SAMPLE_MOD // 10
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                t.column("doc_id").cast(pa.int64()), _SAMPLE_MULT
+            ),
+            _SAMPLE_MOD - 1,
+        )
+        return t.filter(pc.less(h, thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _SCORE_SEED = 321
 
 
@@ -766,6 +790,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "order_priority_count": q_order_priority_count,
+    "sample_documents": q_sample_documents,
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
     "median_value_by_type": q_median_value_by_type,
@@ -932,6 +957,10 @@ ORACLE_SQL = {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY o_orderpriority
+    """,
+    "sample_documents": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 < 429496729
     """,
     "top2_events_per_user": """
         SELECT user_id, event_id, value, rank FROM (

@@ -74,3 +74,25 @@ def test_entity_ingest_incremental_equals_single_shot(tmp_path):
     run_entity_ingest(all_)
     assert _entity_snapshot(inc.lake_dir) == _entity_snapshot(all_.lake_dir)
     assert _entity_snapshot(inc.lake_dir) == _expected_entities(inc.wal_dir)
+
+
+def test_entity_lake_compaction(tmp_path):
+    """compact_lake is lake-agnostic: tombstone entity rows are dropped
+    physically, visible state unchanged."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=59, n_urls=20, n_events=200,
+                 n_segments=4, delete_fraction=0.2)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "elake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_entity_ingest(cfg)
+    before = _entity_snapshot(cfg.lake_dir)
+    m = load_manifest(cfg.lake_dir)
+    tombs = sum(v.get("tombstones", 0) for v in m.partition_meta.values())
+    assert tombs > 0
+    out = compact_lake(cfg.lake_dir)
+    assert out["tombstones_dropped"] == tombs
+    assert _entity_snapshot(cfg.lake_dir) == before
