@@ -10,7 +10,7 @@ never round-trip through strings.
 """
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from zoneinfo import ZoneInfo
 
 from dateutil import parser as date_parser
@@ -24,18 +24,37 @@ WATERMARK_FORMAT = "%Y-%m-%d %H:%M:%S"
 DISPLAY_FORMAT = "%d %b %y  %H:%M:%S"
 
 
+def _localize_default_tz(naive: datetime) -> datetime:
+    """Attach US/Eastern with pytz ``localize(is_dst=False)`` semantics
+    (reference ``timestamp.py:14-16``): ambiguous fall-back times and
+    spring-forward gap times both resolve to STANDARD time (EST). With
+    zoneinfo that means fold=1 for ambiguous times and fold=0 for gap
+    times — so prefer whichever fold yields ``dst() == 0``."""
+    dt0 = naive.replace(tzinfo=DEFAULT_TIMEZONE, fold=0)
+    if dt0.dst() != timedelta(0):
+        dt1 = naive.replace(tzinfo=DEFAULT_TIMEZONE, fold=1)
+        if dt1.dst() == timedelta(0):
+            return dt1  # ambiguous: second (standard-time) occurrence
+    return dt0
+
+
 def parse_timestamp(timestamp_str: str) -> datetime:
-    """Parse a timestamp string; naive values are assumed US/Eastern and
-    converted to UTC (reference ``timestamp.py:11-17``)."""
+    """Parse a timestamp string. Reference parity (``timestamp.py:11-17``):
+    tz-AWARE inputs are returned unchanged (their original offset is
+    preserved — ``format_to_iso_timestamp`` keeps it rather than
+    normalizing to Z); NAIVE inputs are assumed US/Eastern
+    (standard-time resolution for ambiguous/gap instants, matching pytz
+    ``localize(is_dst=False)``) and converted to UTC."""
     parsed = date_parser.parse(timestamp_str)
     if parsed.tzinfo is None:
-        parsed = parsed.replace(tzinfo=DEFAULT_TIMEZONE)
-    return parsed.astimezone(timezone.utc)
+        return _localize_default_tz(parsed).astimezone(timezone.utc)
+    return parsed
 
 
 def format_to_iso_timestamp(timestamp_str: str) -> str:
-    """Canonical ISO-8601 UTC form with ``Z`` suffix
-    (reference ``timestamp.py:28-31``)."""
+    """ISO-8601 form with ``Z`` for UTC (reference ``timestamp.py:28-31``).
+    Aware inputs keep their ORIGINAL offset (only a ``+00:00`` offset
+    renders as ``Z``); naive inputs come out as UTC ``Z``."""
     return parse_timestamp(timestamp_str).isoformat().replace("+00:00", "Z")
 
 

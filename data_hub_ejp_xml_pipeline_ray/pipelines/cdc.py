@@ -35,12 +35,14 @@ from ..schemas import WIRE_ONLY_COLUMNS, merge_schemas
 from ..sources import wal as wal_source
 from ..stages.merge import DELETED_COL, ExtractCombineSpill, PartitionMerger
 from ..state.checkpoint import (
+    ConcurrentWriterError,
     LakeManifest,
     batch_token,
     commit_manifest,
     gc_unreferenced,
     load_manifest,
     utcnow_iso,
+    writer_lock,
 )
 
 DEFAULT_NUM_PARTITIONS = 64
@@ -264,15 +266,28 @@ def _ingest_one_batch(
         ],
         counters=counters,
     )
-    commit_manifest(cfg.lake_dir, new_manifest)
-    # keep the PREVIOUS version's files through this commit so readers
-    # holding the old manifest finish their scans (one-version grace)
-    gc_unreferenced(cfg.lake_dir, new_manifest, previous=manifest)
+    import shutil as _shutil
+
+    # Commit under the per-lake writer lock with a compare-and-swap on
+    # the manifest version (T4 run-lock: the reference serializes runs
+    # via an Airflow Variable, dags/s3_xml_import_pipeline.py:103-132).
+    # A stale writer — one that loaded state, then lost the race —
+    # fails here; its staging is GC'd and no partial state is published.
+    try:
+        with writer_lock(cfg.lake_dir):
+            commit_manifest(
+                cfg.lake_dir, new_manifest, expected_version=manifest.version
+            )
+            # keep the PREVIOUS version's files through this commit so
+            # readers holding the old manifest finish their scans
+            # (one-version grace window)
+            gc_unreferenced(cfg.lake_dir, new_manifest, previous=manifest)
+    except ConcurrentWriterError:
+        _shutil.rmtree(staging_root, ignore_errors=True)
+        raise
     # staging spill files are dead after the commit (crash-safe analog
     # of delete-after-load, etl.py:202-213): remove this batch's dir and
     # any stale dirs from crashed earlier batches.
-    import shutil as _shutil
-
     _shutil.rmtree(staging_root, ignore_errors=True)
     if trace:
         print(f"[cdc-trace] commit+gc {_time.perf_counter() - t0:.2f}s", flush=True)

@@ -298,31 +298,48 @@ def _broadcast_dim(sf_dir: str, table: str, key: str, cols: list[str]):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """3-way join expressed as broadcast lookups + pre-aggregated
-    shuffle: lineitem (fact) never joins via shuffle; orders/customer/
-    nation ship to tasks once via ray.put. Per-batch combiner reduces
-    to (nationkey, partial revenue) before the tiny global groupby."""
-    orders_ref = _broadcast_dim(sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_custkey"])
+    """3-way join, scale-shaped: lineitem and orders are both FACT
+    tables, so their equi-join runs as a DISTRIBUTED hash join on
+    ``l_orderkey`` (``Dataset.join`` — hash-shuffle aggregators); only
+    the true dimensions (customer, nation — bounded cardinality) are
+    broadcast via ``ray.put``. A per-batch combiner pre-aggregates
+    lineitem revenue by orderkey before the join, so the shuffled left
+    side carries one row per (block, orderkey), not one per lineitem."""
     cust_ref = _broadcast_dim(sf_dir, "customer", "c_custkey", ["c_custkey", "c_nationkey"])
     nation_ref = _broadcast_dim(sf_dir, "nation", "n_nationkey", ["n_nationkey", "n_name"])
 
-    class JoinAndPartial:
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        )
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
+        return t.group_by("l_orderkey").aggregate([("revenue", "sum")]).rename_columns(
+            ["l_orderkey", "revenue"]
+        )
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = lineitem.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    class NationPartial:
         def __init__(self):
-            self.orders = ray.get(orders_ref)["o_custkey"]
+            # dims fetched once per aggregator actor, not per batch
             self.cust = ray.get(cust_ref)["c_nationkey"]
             self.nation = ray.get(nation_ref)["n_name"]
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rev = batch["l_extendedprice"] * (1.0 - batch["l_discount"])
-            custkey = batch["l_orderkey"].map(self.orders)
-            nationkey = custkey.map(self.cust)
-            name = nationkey.map(self.nation)
-            part = pd.DataFrame({"n_name": name, "revenue": rev})
+            name = batch["o_custkey"].map(self.cust).map(self.nation)
+            part = pd.DataFrame({"n_name": name, "revenue": batch["revenue"]})
             return part.groupby("n_name", as_index=False)["revenue"].sum()
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    partials = ds.map_batches(
-        JoinAndPartial, batch_format="pandas", concurrency=(1, 8), num_cpus=1
+    partials = joined.map_batches(
+        NationPartial, batch_format="pandas", concurrency=(1, 4), num_cpus=1
     )
     agg = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
@@ -406,17 +423,22 @@ def q_asof_last_signup(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Anti join via broadcast key set (no shuffle: the key set ships
-    to every task once; SURVEY §2.5 'semi/anti join' mapping):
-    customers with no order since 1999."""
-    t = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
+    """Anti join via broadcast key set (SURVEY §2.5 'semi/anti join'
+    mapping): customers with no order since 1999. The DISTINCT key set
+    is computed DISTRIBUTED (per-batch unique combiner + ``unique()``
+    shuffle over keys only — the orders fact table never reaches the
+    driver); only the deduplicated keys are ``ray.put`` once."""
+    cutoff = datetime(1999, 1, 1)
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cutoff)))
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    t = t.filter(
-        pa.compute.greater_equal(t.column("o_orderdate"), pa.scalar(datetime(1999, 1, 1)))
-    )
-    keys_ref = ray.put(pa.compute.unique(t.column("o_custkey")))
+    keys = orders.unique("o_custkey")  # distributed distinct; small result
+    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -521,7 +543,9 @@ def q_cumulative_value_per_user(sf_dir: str):
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        g["cum_value"] = (g["value"].cumsum() * 100).round() / 100
+        cs = g["value"].cumsum().to_numpy()
+        # half-away-from-zero (DuckDB round parity; pandas .round is half-even)
+        g["cum_value"] = np.sign(cs) * np.floor(np.abs(cs) * 100 + 0.5) / 100
         return g[["event_id", "user_id", "cum_value"]]
 
     res = ds.groupby("user_id").map_groups(cum, batch_format="pandas")
@@ -545,9 +569,11 @@ def q_median_value_by_type(sf_dir: str):
         h = (n - 1) * 0.5
         lo, hi = int(np.floor(h)), int(np.ceil(h))
         med = vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+        # half-away-from-zero (DuckDB round parity; Python round is half-even)
+        med_r = float(np.sign(med) * np.floor(np.abs(med) * 100 + 0.5) / 100)
         return pd.DataFrame(
             {"event_type": [g["event_type"].iloc[0]],
-             "median_value": [round(med * 100) / 100]}
+             "median_value": [med_r]}
         )
 
     res = ds.groupby("event_type").map_groups(median, batch_format="pandas")
@@ -887,9 +913,12 @@ ORACLE_SQL = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
           SELECT user_id, event_id, ts,
-                 sum(is_new) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_index
+                 -- CAST: DuckDB's windowed sum over ints is HUGEINT;
+                 -- the engine emits int64 (hash parity requires BIGINT)
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_index
           FROM flagged)
         SELECT user_id, session_index, count(*) AS n_events,
                min(ts) AS session_start

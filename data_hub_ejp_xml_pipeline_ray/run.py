@@ -115,10 +115,13 @@ def main(argv: list[str] | None = None) -> int:
                 "version": report.final_version,
             }))
         elif args.cmd == "poll":
-            from .pipelines.cdc import run_ingest
+            from .pipelines.cdc import run_entity_ingest, run_ingest
             from .sources.wal import list_segments, segments_after
             from .state.checkpoint import load_manifest
 
+            runner = (
+                run_entity_ingest if getattr(args, "entity", False) else run_ingest
+            )
             cfg = _cfg_from_args(args)
             deadline = time.monotonic() + args.timeout
             while time.monotonic() < deadline:
@@ -128,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                     m.watermark if m else None,
                 )
                 if fresh:
-                    report = run_ingest(cfg)
+                    report = runner(cfg)
                     print(json.dumps({
                         "commits": report.commits,
                         "events_applied": report.events_applied,

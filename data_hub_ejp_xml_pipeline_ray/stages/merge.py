@@ -29,7 +29,6 @@ explicit and distributed:
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -63,14 +62,70 @@ MERGE_STATS_SCHEMA = pa.schema(
 )
 
 
-def stable_hash_partition(urls: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.Array:
-    """crc32(url) % P as an int64 array. Deterministic forever."""
+def _make_crc32_table() -> np.ndarray:
+    """Standard reflected CRC-32 (IEEE 802.3, poly 0xEDB88320) lookup
+    table — byte-identical to ``zlib.crc32`` (verified row-for-row in
+    tests). Module-level constant: built once per process."""
+    table = np.empty(256, dtype=np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = np.uint32(0xEDB88320) ^ (c >> np.uint32(1)) if c & np.uint32(1) else c >> np.uint32(1)
+        table[i] = c
+    return table
+
+
+_CRC32_TABLE = _make_crc32_table()
+
+
+def _string_buffers(urls: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (starts, ends, data) views of a string array's offsets
+    and value bytes (handles the array's logical slice offset)."""
+    otype = np.int64 if pa.types.is_large_string(urls.type) else np.int32
+    offsets = np.frombuffer(urls.buffers()[1], dtype=otype)[
+        urls.offset : urls.offset + len(urls) + 1
+    ]
+    buf = urls.buffers()[2]
+    data = (
+        np.empty(0, dtype=np.uint8) if buf is None
+        else np.frombuffer(buf, dtype=np.uint8)
+    )
+    starts = offsets[:-1].astype(np.int64)
+    ends = offsets[1:].astype(np.int64)
+    return starts, ends, data
+
+
+def crc32_column(urls: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized ``zlib.crc32`` over every string in the column.
+    Byte-serial within a string (CRC is a sequential fold) but
+    vectorized ACROSS the N strings: one numpy table-lookup step per
+    byte position, so the Python-level loop is O(max_len) not O(rows).
+    Urls are ~tens of bytes, so this is ~40 numpy ops per batch vs a
+    per-row Python loop on the engine's hottest exchange path."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    out = np.empty(len(urls), dtype=np.int64)
-    data = urls.to_pylist()
-    for i, u in enumerate(data):
-        out[i] = zlib.crc32(u.encode("utf-8")) % num_partitions
+    n = len(urls)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    starts, ends, data = _string_buffers(urls)
+    lens = ends - starts
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    max_len = int(lens.max())
+    for k in range(max_len):
+        active = lens > k
+        b = data[starts[active] + k]
+        c = crc[active]
+        crc[active] = _CRC32_TABLE[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def stable_hash_partition(urls: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.Array:
+    """crc32(url) % P as an int64 array. Deterministic forever (pinned
+    to zlib's CRC-32 — partition -> base-file routing must be stable
+    across runs and library versions)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    out = crc32_column(urls).astype(np.int64) % num_partitions
     return pa.array(out, type=pa.int64())
 
 
@@ -171,6 +226,14 @@ class SpillCombiner:
         corrupt them)."""
         import hashlib
 
+        if batch.num_rows == 0:
+            # empty input block: nothing to spill, no manifest rows
+            return pa.table(
+                {"part": pa.array([], pa.int64()),
+                 "rows": pa.array([], pa.int64()),
+                 "path": pa.array([], pa.string()),
+                 "row_group": pa.array([], pa.int64())}
+            )
         batch = add_partition_column(batch, self._num_partitions)
         # One spill FILE per block, one ROW GROUP per partition inside it
         # — the reduce side reads only its own row groups, and the file
@@ -182,8 +245,16 @@ class SpillCombiner:
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(parts_np)]))
 
+        # Content-hash name from the url column's raw Arrow buffers
+        # (normalized offsets + value bytes — equivalent to hashing the
+        # joined strings, with zero per-row Python and zero copies).
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        u_starts, u_ends, u_data = _string_buffers(urls)
         key = hashlib.sha1()
-        key.update("\x00".join(batch.column("url").to_pylist()).encode())
+        key.update((u_starts - u_starts[0]).tobytes())
+        key.update(u_data[u_starts[0] : u_ends[-1]].tobytes())
         key.update(batch.column("seq").to_numpy(zero_copy_only=False).tobytes())
         name = key.hexdigest()[:20]
         os.makedirs(self._staging, exist_ok=True)

@@ -21,20 +21,33 @@ between load and state update re-appends, ``dags/s3_xml_import_pipeline
 """
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
+import time
+import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
-from typing import Any
+from typing import Any, Iterator
 
 import pyarrow as pa
 
 from ..schemas import schema_from_json, schema_to_json
 
 MANIFEST_NAME = "_manifest.json"
+LOCK_NAME = "_commit.lock"
 DATA_DIR = "data"
 MAX_LINEAGE_ENTRIES = 1000
+DEFAULT_LEASE_SECONDS = 120.0
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another writer holds the commit lock or advanced the manifest
+    since this writer loaded its state. The run-serialization analog of
+    the reference's Airflow-Variable run-lock
+    (``dags/s3_xml_import_pipeline.py:103-132``): concurrent runs are
+    REJECTED, not interleaved."""
 
 
 @dataclass
@@ -96,8 +109,80 @@ def load_manifest(lake_dir: str) -> LakeManifest | None:
         return LakeManifest.from_json(json.load(f))
 
 
-def commit_manifest(lake_dir: str, manifest: LakeManifest) -> None:
-    """Atomically publish a new manifest (tmp write + fsync + rename)."""
+@contextlib.contextmanager
+def writer_lock(
+    lake_dir: str,
+    *,
+    lease_seconds: float = DEFAULT_LEASE_SECONDS,
+    owner: str | None = None,
+) -> Iterator[str]:
+    """Exclusive per-lake writer lock (O_EXCL lock file with pid +
+    lease expiry). A live lock raises :class:`ConcurrentWriterError`
+    immediately (fail-fast, like the reference's locked-check that
+    skips the run); a lock whose lease expired is broken — the holder
+    crashed without releasing (leases bound the outage a dead writer
+    can cause on shared storage, where no advisory flock exists)."""
+    os.makedirs(lake_dir, exist_ok=True)
+    path = os.path.join(lake_dir, LOCK_NAME)
+    token = f"{owner or f'pid-{os.getpid()}'}-{uuid.uuid4().hex[:8]}"
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump(
+                    {"owner": token, "expires_at": time.time() + lease_seconds}, f
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            break
+        except FileExistsError:
+            try:
+                with open(path, "r", encoding="utf-8") as f:
+                    doc = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                doc = None  # racer mid-write or mid-delete: retry
+            if doc is not None and doc.get("expires_at", 0) >= time.time():
+                raise ConcurrentWriterError(
+                    f"lake {lake_dir} is locked by {doc.get('owner')} "
+                    f"(lease expires in "
+                    f"{doc.get('expires_at', 0) - time.time():.0f}s)"
+                )
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)  # stale or unreadable: break and retry
+    try:
+        yield token
+    finally:
+        # release only if still ours (a lease-breaker may have replaced it)
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                doc = json.load(f)
+            if doc.get("owner") == token:
+                os.remove(path)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+
+
+def commit_manifest(
+    lake_dir: str,
+    manifest: LakeManifest,
+    *,
+    expected_version: int | None = None,
+) -> None:
+    """Atomically publish a new manifest (tmp write + fsync + rename).
+
+    With ``expected_version``, the publish is compare-and-swap: it
+    fails with :class:`ConcurrentWriterError` when the on-disk manifest
+    version moved since the caller loaded it (a concurrent writer won);
+    call it while holding :func:`writer_lock` so the check-and-swap is
+    atomic."""
+    if expected_version is not None:
+        current = load_manifest(lake_dir)
+        current_version = current.version if current is not None else 0
+        if current_version != expected_version:
+            raise ConcurrentWriterError(
+                f"manifest at {lake_dir} is v{current_version}, expected "
+                f"v{expected_version}: a concurrent writer committed first"
+            )
     os.makedirs(lake_dir, exist_ok=True)
     manifest.lineage = manifest.lineage[-MAX_LINEAGE_ENTRIES:]
     path = manifest_path(lake_dir)
@@ -132,9 +217,9 @@ def gc_unreferenced(
 ) -> list[str]:
     """Delete data files not referenced by the committed manifest —
     orphans from crashed batches and superseded partition versions.
-    Single-driver write semantics (analog of the reference's run-lock,
-    ``dags/s3_xml_import_pipeline.py:103-132``) make this safe to run
-    immediately after a commit; pass ``previous`` to ALSO keep the
+    Run this while holding :func:`writer_lock` (the ingest loop does):
+    the lock serializes writers, so no concurrent writer's fresh files
+    can be swept as orphans; pass ``previous`` to ALSO keep the
     prior manifest's files one more commit, so concurrent readers that
     loaded the old manifest finish their scans (snapshot-isolation
     grace window)."""

@@ -24,7 +24,25 @@ def test_naive_assumed_us_eastern_summer():
 
 
 def test_timezone_aware_passthrough():
-    assert format_to_iso_timestamp("2020-01-01T12:00:00+02:00") == "2020-01-01T10:00:00Z"
+    # reference timestamp.py:11-17: aware inputs are returned UNCHANGED;
+    # the original offset is preserved (only +00:00 renders as Z)
+    assert (
+        format_to_iso_timestamp("2020-01-01T12:00:00+02:00")
+        == "2020-01-01T12:00:00+02:00"
+    )
+    assert format_to_iso_timestamp("2020-01-01T12:00:00+00:00") == "2020-01-01T12:00:00Z"
+
+
+def test_ambiguous_fall_back_resolves_to_standard_time():
+    # 2020-11-01 01:30 happens twice in US/Eastern; pytz localize
+    # (is_dst=False, the reference default) picks EST (UTC-5)
+    assert format_to_iso_timestamp("2020-11-01 01:30:00") == "2020-11-01T06:30:00Z"
+
+
+def test_gap_spring_forward_resolves_to_standard_time():
+    # 2020-03-08 02:30 does not exist in US/Eastern; is_dst=False reads
+    # it as EST (UTC-5)
+    assert format_to_iso_timestamp("2020-03-08 02:30:00") == "2020-03-08T07:30:00Z"
 
 
 def test_parse_returns_utc():
