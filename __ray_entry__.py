@@ -10,8 +10,11 @@ The driver initialises Ray BEFORE importing this module; nothing here
   SURVEY.md §2 (plus training-data additions); see
   ``data_hub_ejp_xml_pipeline_ray/pipelines/queries.py``.
 * ``oracle_sql()`` — matching DuckDB SQL per query where SQL can
-  express the semantics; non-expressible ops (CDC lake state, LSH
-  dedup, IVF ANN, fingerprint) are intentionally absent -> rows-only.
+  express the semantics (including the flagship CDC lakes, whose WAL
+  is derived from the ``events`` table, and the fingerprint /
+  jaccard-dedup operators); only genuinely probabilistic ops (LSH
+  dedup families, IVF ANN, the LSH-based curate_corpus) are absent ->
+  rows-only.
 """
 
 from __future__ import annotations
@@ -25,20 +28,15 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     import os
-    import tempfile
-
-    import pyarrow.parquet as pq
 
     from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
     from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import read_lake
 
-    # Run the CDC ingest sized by the smoke tier, then return the lake
-    # as a streaming Dataset (schema: url, warc_ts, seq, text, lang, ...).
-    q.q_cdc_lake_state(SF_SMOKE_DIR)  # generates WAL + commits the lake
-    n_docs = pq.ParquetFile(
-        os.path.join(SF_SMOKE_DIR, "documents.parquet")
-    ).metadata.num_rows
-    lake_dir = os.path.join(tempfile.gettempdir(), f"cdc_lake_q_{n_docs}", "lake")
+    # Run the CDC ingest (WAL derived from the smoke tier's events
+    # table), then return the committed lake as a streaming Dataset
+    # (schema: url, warc_ts, seq, text, lang, ...).
+    q.q_cdc_lake_state(SF_SMOKE_DIR)  # derives WAL + commits the lake
+    lake_dir = os.path.join(q.derived_cdc_workdir(SF_SMOKE_DIR, "lake"), "lake")
     return read_lake(lake_dir)
 
 

@@ -34,6 +34,7 @@ from ..stages.ann import brute_force_topk, ivf_topk
 from ..stages.dedup import (
     embedding_dedup,
     exact_dedup,
+    jaccard_dedup,
     minhash_dedup,
     simhash_dedup,
 )
@@ -76,6 +77,43 @@ def _keep_extreme(batch: pa.Table, key_cols: list[str], order_cols: list[str],
     from ..schemas import conform_table
 
     return conform_table(out, batch.schema)
+
+
+_BUCKET_MULT = 2654435761  # Knuth multiplicative hash
+
+
+def _bucketed_groups(
+    ds: ray.data.Dataset, key: str, bucket_fn, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Scale-shaped grouped-window executor: hash the group key into
+    ``num_buckets`` buckets and run ONE vectorized kernel call per
+    BUCKET (each holding ~N/num_buckets whole groups), instead of Ray's
+    one-Python-call-per-group ``map_groups`` — with millions of users
+    that is millions of tiny DataFrames. ``bucket_fn`` receives an
+    Arrow table containing complete groups (never a split group: the
+    bucket id is a pure function of the key) and must be vectorized
+    across the groups inside it (polars window exprs / numpy boundary
+    masks)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(t.column(key).cast(pa.int64()), _BUCKET_MULT),
+            (1 << 32) - 1,
+        )
+        b = pc.cast(
+            pc.bit_wise_and(h, num_buckets - 1)
+            if num_buckets & (num_buckets - 1) == 0
+            else pc.subtract(h, pc.multiply(pc.divide(h, num_buckets), num_buckets)),
+            pa.int32(),
+        )
+        return t.append_column("_bucket", b)
+
+    def run_bucket(group: pa.Table) -> pa.Table:
+        return bucket_fn(group.drop_columns(["_bucket"]))
+
+    return ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_bucket").map_groups(run_bucket, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -191,28 +229,33 @@ def q_tumbling_window_counts(sf_dir: str):
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min gap) per user: sorted per-group pandas
-    over the key-partitioned log."""
+    """Session windows (30-min gap) per user. Vectorized bucket kernel
+    (one polars call per ~N/64 users — never per-user Python): sort by
+    (user, ts, event_id), flag gap starts with a grouped ``diff``,
+    number sessions with a grouped cumulative sum, aggregate."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sess = gap.cumsum() + 1
-        out = g.assign(session_index=sess.astype("int64")).groupby(
-            "session_index", as_index=False
-        ).agg(user_id=("user_id", "first"), n_events=("event_id", "count"),
-              session_start=("ts", "min"))
-        return out[["user_id", "session_index", "n_events", "session_start"]]
-
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
+    def sessions_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        gap = pl.col("ts").diff().over("user_id")
+        is_new = gap.is_null() | (gap > pl.duration(minutes=30))
+        out = (
+            df.with_columns(
+                is_new.cast(pl.Int64).cum_sum().over("user_id")
+                .alias("session_index")
+            )
+            .group_by(["user_id", "session_index"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("ts").min().alias("session_start"),
+            )
+        )
+        return out.to_arrow().cast(pa.schema([
             ("user_id", pa.int64()), ("session_index", pa.int64()),
             ("n_events", pa.int64()), ("session_start", pa.timestamp("us")),
-        ])),
-        batch_format="pyarrow",
-    )
+        ]))
+
+    return _bucketed_groups(ds, "user_id", sessions_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -392,34 +435,38 @@ def q_order_priority_count(sf_dir: str):
 def q_asof_last_signup(sf_dir: str):
     """As-of join (custom operator per SURVEY §2.5 rule): for each
     purchase event, the user's most recent signup at or before it.
-    Implemented as sorted ``pd.merge_asof`` per user group — the
-    partitioning assumption is per-key grouping; no global sort."""
+    Vectorized bucket kernel: ONE keyed ``join_asof`` (``by=user_id``)
+    per ~N/64 users — the partitioning assumption is per-key bucketing;
+    no global sort, no per-user Python."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        signups = g[g["event_type"] == "signup"].sort_values(["ts", "event_id"])
-        if purchases.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series([], dtype="int64"),
-                 "user_id": pd.Series([], dtype="int64"),
-                 "last_signup_ts": pd.Series([], dtype="datetime64[us]")}
-            )
-        merged = pd.merge_asof(
-            purchases[["event_id", "user_id", "ts"]],
-            signups[["ts"]].rename(columns={"ts": "last_signup_ts"}),
-            left_on="ts", right_on="last_signup_ts", direction="backward",
-        )
-        return merged[["event_id", "user_id", "last_signup_ts"]]
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        import warnings
 
-    res = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
+        # polars can't VERIFY sortedness under `by` groups (we sort two
+        # lines up); the warning is noise in worker logs
+        warnings.filterwarnings(
+            "ignore", message="Sortedness of columns cannot be checked"
+        )
+        df = pl.from_arrow(t)
+        purchases = df.filter(pl.col("event_type") == "purchase").sort(
+            ["ts", "event_id"]
+        )
+        signups = (
+            df.filter(pl.col("event_type") == "signup")
+            .select(["user_id", pl.col("ts").alias("last_signup_ts")])
+            .sort("last_signup_ts")
+        )
+        merged = purchases.join_asof(
+            signups, left_on="ts", right_on="last_signup_ts",
+            by="user_id", strategy="backward",
+        ).select(["event_id", "user_id", "last_signup_ts"])
+        return merged.to_arrow().cast(pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
             ("last_signup_ts", pa.timestamp("us")),
-        ])),
-        batch_format="pyarrow",
-    )
+        ]))
+
+    return _bucketed_groups(ds, "user_id", asof_bucket)
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -485,7 +532,8 @@ def q_dedup_exact_docs(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprint (rows-only oracle: not SQL-expressible)."""
+    """Rolling-hash document fingerprint; the oracle folds the same
+    polynomial hash in SQL via nested ``list_reduce`` (HUGEINT)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.table(
@@ -499,63 +547,82 @@ def q_doc_fingerprint(sf_dir: str):
 def q_minhash_dedup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = minhash_dedup(ds, threshold=0.8)
-    return pa.table({"doc_id": pa.array(res["survivors"], pa.int64())})
+    return res["survivors_ds"]  # distributed survivors (doc_id column)
 
 
 def q_simhash_dedup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = simhash_dedup(ds, max_hamming=3)
-    return pa.table({"doc_id": pa.array(res["survivors"], pa.int64())})
+    return res["survivors_ds"]
 
 
 def q_embedding_dedup(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     res = embedding_dedup(ds, dim=64, threshold=0.95)
-    return pa.table({"vec_id": pa.array(res["survivors"], pa.int64())})
+    return res["survivors_ds"]
+
+
+def q_jaccard_dedup_docs(sf_dir: str):
+    """Exact prefix-blocked n-gram-Jaccard dedup — the ORACLE-CHECKED
+    member of the near-dup family: blocking (shared 24-char prefix),
+    trigram Jaccard >= 0.8 verify, and transitive-closure clustering
+    are all SQL-expressible (recursive CTE on the oracle side; the
+    engine resolves clusters with distributed min-label propagation)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    res = jaccard_dedup(ds, threshold=0.8, block_prefix_len=24)
+    return res["survivors_ds"]
 
 
 def q_top2_events_per_user(sf_dir: str):
     """Per-group top-k (window-function shape): each user's two highest-
-    value events, deterministic tiebreak by event_id."""
+    value events, deterministic tiebreak by event_id. Vectorized bucket
+    kernel: one sort + grouped row-number per ~N/64 users."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True])
-        out = g.head(2).copy()
-        out["rank"] = range(1, len(out) + 1)
-        return out[["user_id", "event_id", "value", "rank"]]
-
-    res = ds.groupby("user_id").map_groups(top2, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
+    def top2_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(
+            ["user_id", "value", "event_id"], descending=[False, True, False]
+        )
+        out = (
+            df.with_columns(
+                (pl.int_range(pl.len()).over("user_id") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= 2)
+            .select(["user_id", "event_id", "value", "rank"])
+        )
+        return out.to_arrow().cast(pa.schema([
             ("user_id", pa.int64()), ("event_id", pa.int64()),
             ("value", pa.float64()), ("rank", pa.int64()),
-        ])),
-        batch_format="pyarrow",
-    )
+        ]))
+
+    return _bucketed_groups(ds, "user_id", top2_bucket)
 
 
 def q_cumulative_value_per_user(sf_dir: str):
     """Running (cumulative) aggregate over the ordered per-user log —
-    prefix sums are order-identical on both sides, so round(.,2) is
-    hash-stable."""
+    grouped ``cum_sum`` is a sequential fold per group (same operation
+    order as the SQL windowed sum, so round(.,2) is hash-stable).
+    Vectorized bucket kernel: one polars call per ~N/64 users."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
-    def cum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cs = g["value"].cumsum().to_numpy()
-        # half-away-from-zero (DuckDB round parity; pandas .round is half-even)
-        g["cum_value"] = np.sign(cs) * np.floor(np.abs(cs) * 100 + 0.5) / 100
-        return g[["event_id", "user_id", "cum_value"]]
-
-    res = ds.groupby("user_id").map_groups(cum, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
+    def cum_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("value").cum_sum().over("user_id").alias("cum_value")
+        ).select(["event_id", "user_id", "cum_value"]).to_arrow()
+        cs = out.column("cum_value").to_numpy(zero_copy_only=False)
+        # half-away-from-zero (DuckDB round parity; np.round is half-even)
+        rounded = np.sign(cs) * np.floor(np.abs(cs) * 100 + 0.5) / 100
+        out = out.set_column(
+            out.column_names.index("cum_value"), "cum_value",
+            pa.array(rounded, pa.float64()),
+        )
+        return out.cast(pa.schema([
             ("event_id", pa.int64()), ("user_id", pa.int64()),
             ("cum_value", pa.float64()),
-        ])),
-        batch_format="pyarrow",
-    )
+        ]))
+
+    return _bucketed_groups(ds, "user_id", cum_bucket)
 
 
 def q_median_value_by_type(sf_dir: str):
@@ -672,20 +739,41 @@ def q_ann_topk_ivf(sf_dir: str):
 
 
 def q_page_entities(sf_dir: str):
-    """Nested-entity fan-out over deterministic synthetic pages (M6
-    parser shape; rows-only oracle — html grammar is engine-side)."""
-    import random
-
-    from ..sources.synthetic import generate_rich_page
+    """Nested-entity fan-out (M6 parser shape), DRIVER-ORACLE-CHECKED:
+    pages are built deterministically from ``documents.doc_id`` with a
+    title, ``doc_id%2+1`` headings and ``doc_id%3+1`` entity-encoded
+    links, run through the REAL html parser actor pool; the oracle
+    reproduces the parsed entities as SQL literals via lateral
+    ``generate_series``. (Anchors carry ``&amp;`` so entity decode is
+    exercised, not just tag stripping.)"""
     from ..stages.entities import PageEntityExtractor
 
-    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    rng = random.Random(77)
-    rows = []
-    for i in range(min(n, 2000)):
-        html, _ = generate_rich_page(rng, version=i)
-        rows.append({"url": f"https://site-{i}.example/p", "html": html})
-    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    def build_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for d in ids:
+            if d >= 2000:
+                continue
+            heads = "".join(
+                f"<h{j + 1}>H{d}-{j}</h{j + 1}>" for j in range(d % 2 + 1)
+            )
+            links = "".join(
+                f'<a href="https://d{d}-{j}.example/">A{d}-{j} &amp; co</a>'
+                for j in range(d % 3 + 1)
+            )
+            urls.append(f"https://site-{d}.example/p")
+            htmls.append(
+                f"<html><head><title>T{d}</title></head><body>"
+                f"{heads}{links}</body></html>".encode()
+            )
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "html": pa.array(htmls, pa.binary())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        build_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
     return ds.map_batches(
         PageEntityExtractor,
         fn_constructor_kwargs={"mode": "fanout"},
@@ -694,8 +782,11 @@ def q_page_entities(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing as a query (rows-only): deterministic fake
-    image payloads -> actor-pool metadata decode (payload dropped)."""
+    """Multimodal plumbing, DRIVER-ORACLE-CHECKED: deterministic fake
+    image payloads (header encodes dims as a function of media_id) ->
+    actor-pool metadata decode (payload dropped); the oracle recomputes
+    width/height/channels from ``doc_id`` directly. Assumes documents'
+    ``doc_id`` is 0..n-1 (driver testdata contract)."""
     from ..stages.multimodal import DecodeImageMetadata, MEDIA_SCHEMA, make_fake_image
 
     n = min(
@@ -740,24 +831,38 @@ def q_curate_corpus(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
-def q_cdc_lake_state(sf_dir: str):
-    """Flagship CDC pipeline as a query (rows-only oracle): generate a
-    deterministic WAL sized by the sf tier, ingest into a fresh lake,
-    return the merged state."""
-    import shutil
+def derived_cdc_workdir(sf_dir: str, tag: str) -> str:
+    """Deterministic scratch dir for the derived-WAL CDC queries (used
+    by ``__ray_entry__.entry`` to locate the committed lake)."""
     import tempfile
 
-    from ..pipelines.cdc import CdcConfig, lake_snapshot, run_ingest
-    from ..sources.synthetic import generate_wal
+    n_events = pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+    return os.path.join(tempfile.gettempdir(), f"cdc_{tag}_q_{n_events}")
 
-    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    work = os.path.join(
-        tempfile.gettempdir(), f"cdc_lake_q_{n_docs}"
+
+def _run_derived_cdc(sf_dir: str, tag: str, *, entity: bool) -> pa.Table:
+    """Shared engine side of the ORACLE-CHECKED flagship pipelines:
+    derive a deterministic WAL from the sf tier's ``events`` table
+    (:func:`..sources.synthetic.derive_wal_from_events`), run the REAL
+    ingest (tail -> fused extract/combine/spill -> per-partition LWW
+    merge -> manifest commit) into a fresh lake, and return the
+    committed state — which the DuckDB oracle reproduces as a window
+    LWW over ``events`` because every derived column is a SQL literal
+    of the event row."""
+    import shutil
+
+    from ..pipelines.cdc import (
+        CdcConfig, lake_snapshot, run_entity_ingest, run_ingest,
     )
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, tag)
     shutil.rmtree(work, ignore_errors=True)
-    generate_wal(
-        os.path.join(work, "wal"), seed=1234, n_urls=max(20, n_docs // 5),
-        n_events=n_docs * 4, n_segments=8, delete_fraction=0.05, tie_fraction=0.05,
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=entity,
     )
     # extract_concurrency=None -> autoscaling pool sized to the session
     # (a FIXED pool equal to the CPU count would reserve every CPU and
@@ -765,32 +870,36 @@ def q_cdc_lake_state(sf_dir: str):
     cfg = CdcConfig(wal_dir=os.path.join(work, "wal"),
                     lake_dir=os.path.join(work, "lake"),
                     num_partitions=16)
-    run_ingest(cfg)
-    return lake_snapshot(cfg.lake_dir)
+    (run_entity_ingest if entity else run_ingest)(cfg)
+    snap = lake_snapshot(cfg.lake_dir)
+    # oracle comparison: tz-aware UTC -> naive (the events table's ts is
+    # naive; values are identical wall-clock by construction)
+    i = snap.column_names.index("warc_ts")
+    return snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+
+
+def q_cdc_lake_state(sf_dir: str):
+    """Flagship CDC pipeline, DRIVER-ORACLE-CHECKED: WAL derived from
+    ``events``, real ingest into a fresh lake, merged state == SQL
+    window LWW (hash-compared on url/warc_ts/seq/text/lang — ``text``
+    included: the derived html is tag-free, so byte-identical
+    extraction means text == the SQL string literal)."""
+    snap = _run_derived_cdc(sf_dir, "lake", entity=False)
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
 def q_cdc_entity_lake(sf_dir: str):
-    """Multi-entity demux CDC as a query (rows-only): same WAL recipe
-    as ``cdc_lake_state``, ingested into the page/link/heading entity
-    lake (group-valued LWW)."""
-    import shutil
-    import tempfile
-
-    from ..pipelines.cdc import CdcConfig, lake_snapshot, run_entity_ingest
-    from ..sources.synthetic import generate_wal
-
-    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    work = os.path.join(tempfile.gettempdir(), f"cdc_entity_q_{n_docs}")
-    shutil.rmtree(work, ignore_errors=True)
-    generate_wal(
-        os.path.join(work, "wal"), seed=1234, n_urls=max(20, n_docs // 5),
-        n_events=n_docs * 4, n_segments=8, delete_fraction=0.05, tie_fraction=0.05,
+    """Multi-entity demux CDC, DRIVER-ORACLE-CHECKED: the derived html
+    carries a fixed title/h1/link skeleton, so each winning event's
+    parsed page/heading/link entity rows are SQL literals; group-valued
+    LWW == per-user window LWW fanned out via UNION ALL."""
+    snap = _run_derived_cdc(sf_dir, "entity", entity=True)
+    return snap.select(
+        ["url", "warc_ts", "seq", "entity_type", "title", "href",
+         "anchor", "link_index", "level", "text"]
     )
-    cfg = CdcConfig(wal_dir=os.path.join(work, "wal"),
-                    lake_dir=os.path.join(work, "lake"),
-                    num_partitions=16)
-    run_entity_ingest(cfg)
-    return lake_snapshot(cfg.lake_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -827,6 +936,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_dedup_docs": q_simhash_dedup_docs,
+    "jaccard_dedup_docs": q_jaccard_dedup_docs,
     "embedding_dedup": q_embedding_dedup,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1030,6 +1140,152 @@ ORACLE_SQL = {
     "dedup_exact_docs": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
     """,
+    # Near-dup dedup oracle: prefix blocking + exact trigram Jaccard +
+    # recursive-CTE transitive closure; survivor = component minimum.
+    # Must stay in lock-step with stages/dedup.jaccard_dedup /
+    # _token_trigram_set.
+    "jaccard_dedup_docs": """
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+                 substr(text, 1, 24) AS blk
+          FROM documents
+        ), s AS (
+          SELECT doc_id, blk,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      ELSE [array_to_string(toks, ' ')] END AS tri
+          FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.tri, b.tri))::DOUBLE
+                / len(list_distinct(a.tri || b.tri)) >= 0.8
+        ), sym AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+          WHERE e.b != r.a
+        )
+        SELECT doc_id FROM d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM reach WHERE reach.a = d.doc_id AND reach.b < d.doc_id)
+    """,
+    # Flagship CDC lake state: the WAL is DERIVED from `events`
+    # (sources/synthetic.derive_wal_from_events), so the committed lake
+    # equals a window LWW over events; text is the tag-free html string
+    # (byte-identical extraction invariant, checked by hash).
+    "cdc_lake_state": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # Entity-lake CDC: each winning event fans out to page/heading/link
+    # entity rows whose values are literals of the event row.
+    "cdc_entity_lake": """
+        WITH live AS (
+          SELECT user_id, event_id, ts FROM (
+            SELECT user_id, event_id, ts,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1 AND NOT is_del
+        ), base AS (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq, user_id, event_id
+          FROM live
+        )
+        SELECT url, warc_ts, seq, 'page' AS entity_type,
+               'T' || CAST(user_id AS VARCHAR) AS title,
+               NULL::VARCHAR AS href, NULL::VARCHAR AS anchor,
+               NULL::INTEGER AS link_index, NULL::INTEGER AS level,
+               NULL::VARCHAR AS text
+        FROM base
+        UNION ALL
+        SELECT url, warc_ts, seq, 'heading', NULL, NULL, NULL, NULL,
+               CAST(1 AS INTEGER), 'H' || CAST(event_id AS VARCHAR)
+        FROM base
+        UNION ALL
+        SELECT url, warc_ts, seq, 'link', NULL,
+               'https://l' || CAST(event_id AS VARCHAR) || '.example/',
+               'A' || CAST(event_id AS VARCHAR),
+               CAST(0 AS INTEGER), NULL, NULL
+        FROM base
+    """,
+    # Entity fan-out: pages built from doc_id with literal-valued
+    # entities; lateral generate_series reproduces the fan-out.
+    "page_entities": """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000)
+        SELECT 'page' AS entity_type,
+               'https://site-' || CAST(doc_id AS VARCHAR) || '.example/p' AS url,
+               'T' || CAST(doc_id AS VARCHAR) AS title,
+               NULL::VARCHAR AS href, NULL::VARCHAR AS anchor,
+               NULL::INTEGER AS link_index, NULL::INTEGER AS level,
+               NULL::VARCHAR AS text
+        FROM ids
+        UNION ALL
+        SELECT 'heading',
+               'https://site-' || CAST(doc_id AS VARCHAR) || '.example/p',
+               NULL, NULL, NULL, NULL, CAST(j + 1 AS INTEGER),
+               'H' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+        FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 2)) AS j
+              FROM ids)
+        UNION ALL
+        SELECT 'link',
+               'https://site-' || CAST(doc_id AS VARCHAR) || '.example/p',
+               NULL,
+               'https://d' || CAST(doc_id AS VARCHAR) || '-'
+                 || CAST(j AS VARCHAR) || '.example/',
+               'A' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+                 || ' & co',
+               CAST(j AS INTEGER), NULL, NULL
+        FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+              FROM ids)
+    """,
+    # Multimodal decode: fake-payload header dims are a pure function
+    # of media_id == doc_id.
+    "multimodal_decode": """
+        SELECT doc_id AS media_id,
+               'https://site-' || CAST(doc_id AS VARCHAR)
+                 || '.example/img.png' AS url,
+               'image' AS kind, 'image/png' AS content_type,
+               CAST(64 + doc_id % 100 AS INTEGER) AS width,
+               CAST(48 + doc_id % 50 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels
+        FROM documents WHERE doc_id < 2000
+    """,
+    # Rolling polynomial hash over tokens, mod 2^61-1 — expressible via
+    # DuckDB list_reduce with HUGEINT intermediates (tokens are ASCII by
+    # the [A-Za-z0-9]+ definition, so unicode(char) == utf-8 byte).
+    # Lock-step with functions/textstats.fingerprint_text.
+    "doc_fingerprint": """
+        SELECT doc_id,
+               CAST(list_reduce(
+                 list_prepend(0::HUGEINT, list_transform(
+                   regexp_extract_all(text, '[A-Za-z0-9]+'),
+                   t -> (list_reduce(
+                           list_prepend(0::HUGEINT, list_transform(
+                             split(t, ''), c -> unicode(c)::HUGEINT)),
+                           (h, c) -> (h * 31 + c) % 2305843009213693951)
+                         + 1))),
+                 (h, t) -> (h * 1000003 + t) % 2305843009213693951)
+               AS BIGINT) AS fingerprint
+        FROM documents
+    """,
     "ann_topk": """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS e FROM embeddings
@@ -1060,9 +1316,9 @@ ORACLE_SQL = {
           FROM documents)
         WHERE quality >= 0.3 AND lang_pred IN ('en', 'de', 'fr', 'es')
     """,
-    # rows-only (non-SQL-expressible): doc_fingerprint, minhash_dedup_docs,
-    # simhash_dedup_docs, embedding_dedup, ann_topk_ivf, curate_corpus,
-    # cdc_lake_state, page_entities, multimodal_decode
+    # rows-only (non-SQL-expressible — probabilistic LSH / IVF):
+    # minhash_dedup_docs, simhash_dedup_docs, embedding_dedup,
+    # ann_topk_ivf, curate_corpus
 }
 
 # The scoring oracle embeds the deterministic weight vector as a SQL

@@ -211,6 +211,73 @@ def generate_wal(
     return paths
 
 
+def derive_wal_from_events(
+    events_path: str,
+    wal_dir: str,
+    *,
+    n_segments: int = 8,
+    entity_html: bool = False,
+) -> list[str]:
+    """Derive a deterministic CDC WAL from a driver ``events`` parquet
+    table, so the final lake state is expressible as PURE SQL over the
+    same table (the driver-oracle trick for the flagship pipelines):
+
+    * ``url``     = ``https://u<user_id>.example/page``  (key = user)
+    * ``warc_ts`` = ``ts`` (read as UTC), ``seq`` = ``event_id``
+    * ``op``      = ``delete`` when ``event_type = 'error'`` else ``update``
+    * ``html``    — tag/entity-free plain text (page lake: extracted
+      ``text`` == the html string), or, with ``entity_html``, a fixed
+      title/h1/link skeleton whose parsed entities are SQL literals
+    * ``lang``    = ``event_type``
+
+    Segments slice the event_id order; ``warc_ts`` stays naturally
+    out-of-order per url across segments (the LWW stress the real WAL
+    generator also exercises)."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        events_path, columns=["event_id", "ts", "user_id", "event_type"]
+    ).sort_by("event_id")
+    n = t.num_rows
+    user_s = pc.cast(t.column("user_id"), pa.string())
+    eid_s = pc.cast(t.column("event_id"), pa.string())
+    sep = pa.scalar("", pa.string())
+    url = pc.binary_join_element_wise("https://u", user_s, ".example/page", sep)
+    is_del = pc.equal(t.column("event_type"), "error")
+    op = pc.if_else(is_del, "delete", "update")
+    if entity_html:
+        html = pc.binary_join_element_wise(
+            "<html><head><title>T", user_s, "</title></head><body><h1>H",
+            eid_s, '</h1><a href="https://l', eid_s, '.example/">A', eid_s,
+            "</a></body></html>", sep,
+        )
+    else:
+        html = pc.binary_join_element_wise("page u", user_s, " rev ", eid_s, sep)
+    html = pc.if_else(is_del, pa.scalar(None, pa.string()), html)
+    wire = pa.table(
+        {
+            "op": op,
+            "url": url,
+            "warc_ts": pc.assume_timezone(t.column("ts"), "UTC"),
+            "seq": t.column("event_id"),
+            "html": pc.cast(html, pa.binary()),
+            "lang": t.column("event_type"),
+            "schema_version": pa.array([1] * n, pa.int32()),
+            "fetch_status": pa.array([200] * n, pa.int32()),
+        },
+        schema=EVENTS_SCHEMA_V1,
+    )
+    os.makedirs(wal_dir, exist_ok=True)
+    per = max(1, (n + n_segments - 1) // n_segments)
+    paths = []
+    for i in range(0, n, per):
+        seg = wire.slice(i, per)
+        path = os.path.join(wal_dir, f"segment-{i // per:05d}.parquet")
+        pq.write_table(seg, path)
+        paths.append(path)
+    return paths
+
+
 def naive_replay(event_tables: list[pa.Table]) -> dict[str, dict]:
     """Independent LWW replay oracle: fold all events in (warc_ts, seq)
     order per url; final state = payload of the winning event unless it

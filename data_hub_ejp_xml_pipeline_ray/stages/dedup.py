@@ -16,9 +16,16 @@ Five operators, each Ray-Data-first:
 Scale notes (the partitioning assumptions, per SURVEY §2.8): signatures
 and band keys are computed batch-parallel in actor pools (per-actor
 seeded state built once); the only shuffles move (bucket_key, doc_id)
-pairs — never documents; candidate PAIRS (not docs) come to the driver
-for union-find, which assumes a bounded duplicate rate. Surviving-id
+pairs — never documents. Cluster resolution is DISTRIBUTED
+(:func:`minlabel_components`: iterated min-label propagation over the
+pair graph via join + groupby-min, converging in O(diameter) rounds);
+the driver sees only verified pairs and the converged labels — both
+bounded by the duplicate rate, never O(corpus). Survivors stream
+through :func:`filter_survivors` (broadcast drop-set anti-filter); the
+corpus id universe is never materialized driver-side. Surviving-id
 semantics are deterministic: the minimum id in each cluster survives.
+Degenerate-bucket pair caps are LOUD (marker rows +
+``capped_dropped_pairs`` in every result) — no silent recall loss.
 """
 from __future__ import annotations
 
@@ -31,7 +38,6 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..functions.hashing import (
-    UnionFind,
     band_keys,
     hamming64,
     jaccard,
@@ -132,35 +138,59 @@ class MinHashSignatures:
         )
 
 
+#: Sentinel id_a value for capped-bucket marker rows: id_b carries the
+#: number of DROPPED pairs. Degenerate buckets may not truncate
+#: silently (the no-silent-caps rule) — consumers must surface the count.
+CAP_MARKER = -1
+
+PAIRS_PER_BUCKET_CAP = 200
+
+
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket (cap guards a degenerate
-    bucket from emitting O(n^2) pairs; capped buckets log via row)."""
+    """Candidate pairs within one LSH bucket. A degenerate bucket that
+    would emit more than :data:`PAIRS_PER_BUCKET_CAP` pairs is capped,
+    and the truncation is LOUD: a marker row (``id_a == CAP_MARKER``,
+    ``id_b == dropped-pair count``) rides the pair stream so callers
+    can report the recall loss instead of hiding it."""
     ids = sorted(set(group.column("doc_id").to_pylist()))
-    cap = 200  # pairs-per-bucket bound; beyond this the bucket is degenerate
+    n = len(ids)
+    total = n * (n - 1) // 2
     pairs_a, pairs_b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
+    for i in range(n):
+        if len(pairs_a) >= PAIRS_PER_BUCKET_CAP:
+            break
+        for j in range(i + 1, n):
             pairs_a.append(ids[i])
             pairs_b.append(ids[j])
-            if len(pairs_a) >= cap:
+            if len(pairs_a) >= PAIRS_PER_BUCKET_CAP:
                 break
-        if len(pairs_a) >= cap:
-            break
+    if total > len(pairs_a):
+        pairs_a.append(CAP_MARKER)
+        pairs_b.append(total - len(pairs_a) + 1)
     return pa.table(
         {"id_a": pa.array(pairs_a, type=pa.int64()),
          "id_b": pa.array(pairs_b, type=pa.int64())}
     )
 
 
-def candidate_pairs_from_buckets(buckets: ray.data.Dataset) -> list[tuple[int, int]]:
+def candidate_pairs_from_buckets(
+    buckets: ray.data.Dataset,
+) -> tuple[list[tuple[int, int]], int]:
+    """Distinct candidate pairs + the total number of pairs dropped by
+    degenerate-bucket capping (0 in healthy runs; NEVER silently
+    swallowed — callers propagate it in their result)."""
     pairs_ds = buckets.groupby(["band", "key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
     seen: set[tuple[int, int]] = set()
+    capped_dropped = 0
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            seen.add((a_, b_))
-    return sorted(seen)
+            if a_ == CAP_MARKER:
+                capped_dropped += b_
+            else:
+                seen.add((a_, b_))
+    return sorted(seen), capped_dropped
 
 
 def minhash_dedup(
@@ -175,7 +205,9 @@ def minhash_dedup(
     seed: int = 1234,
 ) -> dict:
     """Full MinHash-LSH near-dup pipeline. Returns
-    ``{"survivors": sorted ids, "clusters": {root: members}, "pairs": verified}``.
+    ``{"survivors_ds": Dataset of surviving ids, "drop": drop-id set,
+    "clusters": {root: members}, "pairs": verified,
+    "capped_dropped_pairs": n}``.
 
     The input dataset is consumed twice (signatures, then verify); pass
     a cheap re-readable source. Verification re-computes exact Jaccard
@@ -192,13 +224,9 @@ def minhash_dedup(
         concurrency=(1, 8),
         num_cpus=1,
     )
-    cands = candidate_pairs_from_buckets(sigs)
+    cands, capped = candidate_pairs_from_buckets(sigs)
     if not cands:
-        all_ids = sorted(
-            x for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow")
-            for x in b.column(id_col).to_pylist()
-        )
-        return {"survivors": all_ids, "clusters": {}, "pairs": []}
+        return _dedup_result(ds, [], id_col, capped)
 
     needed = {i for p in cands for i in p}
     texts = _fetch_texts(ds, needed, text_col, id_col)
@@ -208,7 +236,7 @@ def minhash_dedup(
         for a_, b_ in cands
         if jaccard(shingles[a_], shingles[b_]) >= threshold
     ]
-    return _clusters_and_survivors(ds, verified, id_col)
+    return _dedup_result(ds, verified, id_col, capped)
 
 
 def _fetch_texts(
@@ -275,25 +303,165 @@ def filter_survivors(
     return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _clusters_and_survivors(
-    ds: ray.data.Dataset, pairs: list[tuple[int, int]], id_col: str
-) -> dict:
-    uf = UnionFind()
-    for a_, b_ in pairs:
-        uf.union(a_, b_)
-    groups = uf.groups()
-    drop = {m for root, members in groups.items() for m in members if m != min(members)}
-    all_ids = [
-        x for b in ds.select_columns([id_col]).iter_batches(batch_format="pyarrow")
-        for x in b.column(id_col).to_pylist()
-    ]
-    survivors = sorted(x for x in all_ids if x not in drop)
+def minlabel_components(
+    pairs_ds: ray.data.Dataset, *, max_iters: int = 30, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Distributed connected components over a pair Dataset
+    (``id_a``/``id_b`` columns) by iterated min-label propagation:
+    every node repeatedly adopts the minimum label among itself and its
+    neighbors (one ``join`` + ``groupby``-min per round), converging in
+    O(component diameter) rounds — near-dup clusters are shallow, so
+    this is a handful of small shuffles over PAIR rows only; documents
+    and the id universe never participate.
+
+    Returns a Dataset of ``(node, label)`` where ``label`` is the
+    component minimum. Only pair participants appear (singletons are
+    their own component implicitly). Convergence is detected by the
+    monotonically decreasing label sum (labels only ever decrease).
+
+    Implementation note: the per-round neighbor lookup is a tagged
+    union + ``groupby(key).map_groups`` CO-GROUP, not ``Dataset.join``
+    — Ray 2.49's hash-join aggregator builds a schema-less empty table
+    for a partition that received no shards on one side and then
+    rejects the join (and its aggregator actors can deadlock against
+    live actor pools), while groupby only visits populated groups."""
+    from ray.data.aggregate import Sum as _Sum
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a, b = batch.column("id_a"), batch.column("id_b")
+        return pa.table(
+            {"src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    edges = pairs_ds.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every round: materialize ONCE (pair-sized)
+    if edges.count() == 0:
+        return ray.data.from_arrow(label_schema.empty_table())
+
+    def with_self(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return label_schema.empty_table()
+        lab = pc.min_element_wise(batch.column("src"), batch.column("min_dst"))
+        return pa.table({"node": batch.column("src"), "label": lab})
+
+    labels = (
+        edges.groupby("src").aggregate(Min("dst", alias_name="min_dst"))
+        .map_batches(with_self, batch_format="pyarrow")
+        .materialize()
+    )
+    # tagged edge rows reused every round: key = src; dst rides along.
+    tagged_edges = edges.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("src"), "dst": t.column("dst"),
+             "label": pa.nulls(t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def push(group: pa.Table) -> pa.Table:
+        """Co-group on node: adopt the group's label and push it to every
+        neighbor; also re-emit the node's own label (self-retention)."""
+        lab = pc.min(group.column("label")).as_py()
+        if lab is None:
+            return label_schema.empty_table()  # node with no label row yet
+        dsts = group.column("dst").drop_null()
+        n = len(dsts)
+        out_node = pa.concat_arrays(
+            [dsts.combine_chunks(), group.column("node").slice(0, 1).combine_chunks()]
+        )
+        return pa.table(
+            {"node": out_node,
+             "label": pa.array([lab] * (n + 1), pa.int64())}
+        )
+
+    prev_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+    for _ in range(max_iters):
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"),
+                 "dst": pa.nulls(t.num_rows, pa.int64()),
+                 "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        cand = tagged_edges.union(tagged_labels).groupby("node").map_groups(
+            push, batch_format="pyarrow"
+        )
+        merged = (
+            cand.groupby("node").aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: (
+                    label_schema.empty_table()
+                    if t.num_rows == 0 or "node" not in t.column_names
+                    else t.select(["node", "label"])
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        new_sum = merged.aggregate(_Sum("label", alias_name="s"))["s"]
+        labels = merged
+        if new_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def resolve_clusters(pairs: list[tuple[int, int]]) -> dict:
+    """Cluster resolution for a verified pair list. The heavy lifting is
+    :func:`minlabel_components` (distributed — no O(corpus) driver
+    structure); only the converged ``(node, label)`` rows — bounded by
+    the number of PAIR PARTICIPANTS, i.e. the duplicate rate — are
+    pulled back to build the drop set and cluster map."""
+    if not pairs:
+        return {"drop": set(), "clusters": {}, "pairs": []}
+    pairs_ds = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+             "id_b": pa.array([b for _, b in pairs], pa.int64())}
+        )
+    )
+    labels = minlabel_components(pairs_ds)
+    clusters: dict[int, list[int]] = {}
+    drop: set[int] = set()
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for node, label in zip(
+            b.column("node").to_pylist(), b.column("label").to_pylist()
+        ):
+            clusters.setdefault(label, []).append(node)
+            if node != label:
+                drop.add(node)
     return {
-        "survivors": survivors,
-        "drop": drop,  # pass to filter_survivors() for the scale path
-        "clusters": {min(v): sorted(v) for v in groups.values()},
+        "drop": drop,  # pass to filter_survivors() — the scale path
+        "clusters": {k: sorted(v) for k, v in clusters.items()},
         "pairs": pairs,
     }
+
+
+def _dedup_result(
+    ds: ray.data.Dataset, pairs: list[tuple[int, int]], id_col: str,
+    capped_dropped: int = 0,
+) -> dict:
+    """Shared result shape for the near-dup operators: distributed
+    cluster resolution, drop set (duplicate-rate-bounded), and the
+    SURVIVORS AS A DATASET (``filter_survivors`` anti-filter) — the
+    corpus id universe is never materialized on the driver."""
+    res = resolve_clusters(pairs)
+    res["capped_dropped_pairs"] = capped_dropped
+    if capped_dropped:
+        print(
+            f"[dedup] WARNING: degenerate LSH buckets dropped "
+            f"{capped_dropped} candidate pairs (recall loss)",
+            flush=True,
+        )
+    res["survivors_ds"] = filter_survivors(
+        ds.select_columns([id_col]), res["drop"], id_col
+    )
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -376,12 +544,81 @@ def simhash_dedup(
     pairs = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         pairs.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
-    return _clusters_and_survivors(ds, sorted(pairs), id_col)
+    return _dedup_result(ds, sorted(pairs), id_col)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (standalone verify kernel)
 # ---------------------------------------------------------------------------
+
+def _token_trigram_set(text: str | None) -> set[str]:
+    """Word-trigram shingle set with EXACT SQL parity (see the
+    ``jaccard_dedup_docs`` oracle): tokens are ``[A-Za-z0-9]+`` runs;
+    fewer than 3 tokens collapse to one whole-text shingle."""
+    import re as _re
+
+    toks = _re.findall(r"[A-Za-z0-9]+", text or "")
+    if len(toks) >= 3:
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    return {" ".join(toks)}
+
+
+def jaccard_dedup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    block_prefix_len: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Exact n-gram-Jaccard near-dup dedup with DETERMINISTIC prefix
+    blocking (candidates = docs sharing their first
+    ``block_prefix_len`` characters) — every stage is SQL-expressible,
+    so unlike the MinHash/SimHash family this operator is fully
+    oracle-checkable (prefix self-join + trigram Jaccard + recursive-CTE
+    transitive closure). Blocking recall is limited to shared-prefix
+    duplicates by construction (the near-dup corpus this targets:
+    crawl re-fetches whose edits occur mid-document).
+
+    Scale shape: only ``(block_key, id)`` rows shuffle; candidate texts
+    are fetched by broadcast id-set filter; clusters resolve via the
+    distributed :func:`minlabel_components`; survivors stream through
+    :func:`filter_survivors`."""
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            batch.column(text_col), start=0, stop=block_prefix_len
+        )
+        return pa.table({"key_s": key, id_col: batch.column(id_col)})
+
+    blocks = ds.select_columns([text_col, id_col]).map_batches(
+        block_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        g = pa.table({"doc_id": group.column(id_col)})
+        return _bucket_pairs(g)
+
+    pairs_ds = blocks.groupby("key_s").map_groups(block_pairs, batch_format="pyarrow")
+    cands: set[tuple[int, int]] = set()
+    capped = 0
+    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            if a_ == CAP_MARKER:
+                capped += b_
+            else:
+                cands.add((a_, b_))
+    if not cands:
+        return _dedup_result(ds, [], id_col, capped)
+    needed = {i for p in cands for i in p}
+    texts = _fetch_texts(ds, needed, text_col, id_col)
+    tri = {i: _token_trigram_set(texts.get(i)) for i in needed}
+    verified = [
+        (a_, b_) for a_, b_ in sorted(cands)
+        if len(tri[a_] & tri[b_]) / len(tri[a_] | tri[b_]) >= threshold
+    ]
+    return _dedup_result(ds, verified, id_col, capped)
+
 
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
@@ -474,4 +711,4 @@ def embedding_dedup(
     pairs = set()
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
         pairs.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
-    return _clusters_and_survivors(ds, sorted(pairs), id_col)
+    return _dedup_result(ds, sorted(pairs), id_col)

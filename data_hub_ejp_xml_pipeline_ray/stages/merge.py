@@ -119,14 +119,37 @@ def crc32_column(urls: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return crc ^ np.uint32(0xFFFFFFFF)
 
 
-def stable_hash_partition(urls: pa.Array | pa.ChunkedArray, num_partitions: int) -> pa.Array:
-    """crc32(url) % P as an int64 array. Deterministic forever (pinned
-    to zlib's CRC-32 — partition -> base-file routing must be stable
-    across runs and library versions)."""
+def stable_hash_partition(
+    urls: pa.Array | pa.ChunkedArray,
+    num_partitions: int,
+    splits: frozenset[tuple[int, int]] | None = None,
+) -> pa.Array:
+    """crc32(url) % P as an int64 array, descended through the
+    partition-split map when one is given (see
+    ``state.checkpoint.resolve_partition``): rows whose
+    ``(residue, modulus)`` was split re-route to ``crc % (2*modulus)``,
+    iterated to the live covering — vectorized (one ``np.isin`` pass
+    per split depth). Deterministic forever (pinned to zlib's CRC-32 —
+    partition -> base-file routing must be stable across runs and
+    library versions)."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    out = crc32_column(urls).astype(np.int64) % num_partitions
-    return pa.array(out, type=pa.int64())
+    crc = crc32_column(urls).astype(np.int64)
+    parts = crc % num_partitions
+    if splits:
+        enc_splits = np.fromiter(
+            (((int(m) << 32) | int(r)) for r, m in splits),
+            dtype=np.int64, count=len(splits),
+        )
+        mod = np.full(len(parts), num_partitions, dtype=np.int64)
+        while True:
+            enc = (mod << 32) | parts
+            mask = np.isin(enc, enc_splits)
+            if not mask.any():
+                break
+            mod[mask] *= 2
+            parts[mask] = crc[mask] % mod[mask]
+    return pa.array(parts, type=pa.int64())
 
 
 def _last_per_url_indices(batch: pa.Table) -> pa.Array:
@@ -161,9 +184,12 @@ def local_lww(batch: pa.Table) -> pa.Table:
     return batch.take(_last_per_url_indices(batch))
 
 
-def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+def add_partition_column(
+    batch: pa.Table, num_partitions: int,
+    splits: frozenset[tuple[int, int]] | None = None,
+) -> pa.Table:
     return batch.append_column(
-        "part", stable_hash_partition(batch.column("url"), num_partitions)
+        "part", stable_hash_partition(batch.column("url"), num_partitions, splits)
     )
 
 
@@ -211,9 +237,11 @@ class SpillCombiner:
     storage; single-node it's the local FS.
     """
 
-    def __init__(self, staging_dir: str, num_partitions: int):
+    def __init__(self, staging_dir: str, num_partitions: int,
+                 splits: frozenset[tuple[int, int]] | None = None):
         self._staging = staging_dir
         self._num_partitions = num_partitions
+        self._splits = splits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = local_lww(batch)
@@ -234,7 +262,7 @@ class SpillCombiner:
                  "path": pa.array([], pa.string()),
                  "row_group": pa.array([], pa.int64())}
             )
-        batch = add_partition_column(batch, self._num_partitions)
+        batch = add_partition_column(batch, self._num_partitions, self._splits)
         # One spill FILE per block, one ROW GROUP per partition inside it
         # — the reduce side reads only its own row groups, and the file
         # count stays O(blocks), not O(blocks x partitions).
@@ -289,7 +317,8 @@ class ExtractCombineSpill:
 
     def __init__(self, staging_dir: str, num_partitions: int,
                  url_exclusion_pattern: str | None = None,
-                 wire_schema: pa.Schema | None = None):
+                 wire_schema: pa.Schema | None = None,
+                 splits: frozenset[tuple[int, int]] | None = None):
         from .extract import HtmlTextExtractor
 
         # Each actor is scheduled as 1 CPU, but pyarrow's internal
@@ -302,7 +331,7 @@ class ExtractCombineSpill:
         self._extract = HtmlTextExtractor(
             url_exclusion_pattern=url_exclusion_pattern
         )
-        self._spill = SpillCombiner(staging_dir, num_partitions)
+        self._spill = SpillCombiner(staging_dir, num_partitions, splits)
         #: when set, batches are conformed to this schema first (the
         #: schema-evolution read edge fused in, so mixed v1/v2 blocks
         #: need no separate conform operator); provenance column added

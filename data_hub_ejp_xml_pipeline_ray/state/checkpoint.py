@@ -59,11 +59,24 @@ class LakeManifest:
     watermark: str | None = None  # last committed segment name (strictly-greater filter)
     schema: pa.Schema | None = None
     partitions: dict[int, str] = field(default_factory=dict)  # part -> relpath
-    #: per-partition stats: {part: {"rows": n, "tombstones": n}} —
-    #: lets maintenance (compaction) target only partitions that need it
+    #: per-partition stats: {part: {"rows": n, "tombstones": n,
+    #: "bytes": n, "modulus": m}} — lets maintenance (compaction /
+    #: partition split) target only partitions that need it
     partition_meta: dict[int, dict[str, int]] = field(default_factory=dict)
+    #: partition-split history: [residue, modulus] pairs of every parent
+    #: partition that was split (partition-count EVOLUTION: a split
+    #: replaces partition (r, m) by children (r, 2m) and (r+m, 2m)).
+    #: The live partitions always form an exact covering of crc32
+    #: space; :func:`resolve_partition` walks this map, so url ->
+    #: partition routing stays stable across splits. Entries are
+    #: append-only (a split is never undone) — resolution must work
+    #: even for children whose data files later disappear.
+    splits: list[list[int]] = field(default_factory=list)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     counters: dict[str, int] = field(default_factory=dict)
+
+    def split_set(self) -> frozenset[tuple[int, int]]:
+        return frozenset((int(r), int(m)) for r, m in self.splits)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -74,6 +87,7 @@ class LakeManifest:
             "schema": None if self.schema is None else schema_to_json(self.schema),
             "partitions": {str(k): v for k, v in self.partitions.items()},
             "partition_meta": {str(k): v for k, v in self.partition_meta.items()},
+            "splits": [[int(r), int(m)] for r, m in self.splits],
             "lineage": self.lineage,
             "counters": self.counters,
         }
@@ -89,9 +103,25 @@ class LakeManifest:
             partition_meta={
                 int(k): dict(v) for k, v in doc.get("partition_meta", {}).items()
             },
+            splits=[[int(r), int(m)] for r, m in doc.get("splits", [])],
             lineage=list(doc.get("lineage", [])),
             counters=dict(doc.get("counters", {})),
         )
+
+
+def resolve_partition(
+    crc: int, num_partitions: int, splits: frozenset[tuple[int, int]]
+) -> int:
+    """Route a url's crc32 to its live partition residue under the
+    split map: start at ``crc % P`` and, while the current
+    ``(residue, modulus)`` was split, descend to ``crc % (2*modulus)``.
+    Terminates in O(max split depth)."""
+    m = num_partitions
+    r = crc % m
+    while (r, m) in splits:
+        m *= 2
+        r = crc % m
+    return r
 
 
 def manifest_path(lake_dir: str) -> str:

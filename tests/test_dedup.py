@@ -78,7 +78,11 @@ def test_minhash_dedup_verified_pairs_are_exact_and_recall_high():
         assert len(got & truth) / len(truth) >= 0.9
     # survivors = all ids minus non-min members of verified clusters
     drop = {m for ms in result["clusters"].values() for m in ms if m != min(ms)}
-    assert sorted(set(d["doc_id"] for d in docs) - drop) == result["survivors"]
+    assert drop == result["drop"]
+    survivors = sorted(
+        r["doc_id"] for r in result["survivors_ds"].take_all()
+    )
+    assert sorted(set(d["doc_id"] for d in docs) - drop) == survivors
 
 
 def test_simhash_dedup_exact_hamming_verify():
@@ -125,4 +129,88 @@ def test_embedding_dedup_finds_planted_near_dups():
     assert planted <= set(result["pairs"])
     # survivors drop exactly the odd ids of planted pairs
     dropped = {b for _, b in planted}
-    assert set(result["survivors"]) == {r["vec_id"] for r in rows} - dropped
+    survivors = {r["vec_id"] for r in result["survivors_ds"].take_all()}
+    assert survivors == {r["vec_id"] for r in rows} - dropped
+
+
+def test_minlabel_components_resolves_transitive_chains():
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import minlabel_components
+
+    pairs = [(2, 3), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+             "id_b": pa.array([b for _, b in pairs], pa.int64())}
+        )
+    )
+    labels = {
+        r["node"]: r["label"] for r in minlabel_components(ds).take_all()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+
+def test_minlabel_components_empty_pairs():
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import minlabel_components
+
+    ds = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    )
+    assert minlabel_components(ds).take_all() == []
+
+
+def test_bucket_pair_cap_is_loud():
+    """A degenerate bucket must emit a marker row counting the dropped
+    pairs — never silently truncate (no-silent-caps rule)."""
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import (
+        CAP_MARKER,
+        PAIRS_PER_BUCKET_CAP,
+        _bucket_pairs,
+        candidate_pairs_from_buckets,
+    )
+
+    n = 50  # 1225 candidate pairs > cap of 200
+    group = pa.table({"doc_id": pa.array(list(range(n)), pa.int64())})
+    out = _bucket_pairs(group)
+    ids_a = out.column("id_a").to_pylist()
+    assert ids_a.count(CAP_MARKER) == 1
+    emitted = len(ids_a) - 1
+    assert emitted == PAIRS_PER_BUCKET_CAP
+    dropped = out.column("id_b").to_pylist()[ids_a.index(CAP_MARKER)]
+    assert dropped == n * (n - 1) // 2 - emitted
+
+    buckets = ray.data.from_arrow(
+        pa.table(
+            {"band": pa.array([0] * n, pa.int32()),
+             "key": pa.array([7] * n, pa.int64()),
+             "doc_id": pa.array(list(range(n)), pa.int64())}
+        )
+    )
+    pairs, capped = candidate_pairs_from_buckets(buckets)
+    assert len(pairs) == PAIRS_PER_BUCKET_CAP
+    assert capped == n * (n - 1) // 2 - PAIRS_PER_BUCKET_CAP
+
+
+def test_jaccard_dedup_prefix_blocking_and_closure():
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import jaccard_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [
+        {"doc_id": 0, "text": base + "tail one"},
+        {"doc_id": 1, "text": base + "tail two"},     # near dup of 0
+        {"doc_id": 2, "text": base + "tail three"},   # near dup of 0/1
+        {"doc_id": 3, "text": "completely different words " * 10},
+        {"doc_id": 4, "text": "prefix shared but rest diverges entirely "
+                              + "unrelated tokens " * 20},
+        {"doc_id": 5, "text": "prefix shared but rest diverges entirely "
+                              + "other content words repeated here " * 20},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    res = jaccard_dedup(ds, threshold=0.8, block_prefix_len=24)
+    assert res["drop"] == {1, 2}  # 0 survives its cluster; 4/5 below threshold
+    survivors = sorted(r["doc_id"] for r in res["survivors_ds"].take_all())
+    assert survivors == [0, 3, 4, 5]
+    assert res["capped_dropped_pairs"] == 0
