@@ -42,8 +42,10 @@ BENCH_QUERIES = [
     "lang_id",
     "dedup_exact_docs",
     "minhash_dedup_docs",
+    "jaccard_dedup_docs",
     "ann_topk",
     "asof_last_signup",
+    "cumulative_value_per_user",
     "curate_filter",
 ]
 

@@ -33,7 +33,12 @@ import ray.data
 
 from ..schemas import WIRE_ONLY_COLUMNS, merge_schemas
 from ..sources import wal as wal_source
-from ..stages.merge import DELETED_COL, ExtractCombineSpill, PartitionMerger
+from ..stages.merge import (
+    DELETED_COL,
+    ERROR_PART,
+    ExtractCombineSpill,
+    PartitionMerger,
+)
 from ..state.checkpoint import (
     ConcurrentWriterError,
     LakeManifest,
@@ -41,11 +46,13 @@ from ..state.checkpoint import (
     commit_manifest,
     gc_unreferenced,
     load_manifest,
+    residue_modulus,
     utcnow_iso,
     writer_lock,
 )
 
 DEFAULT_NUM_PARTITIONS = 64
+ERRORS_DIR = "_errors"
 
 
 @dataclass
@@ -159,6 +166,11 @@ def _ingest_one_batch(
             "num_partitions": manifest.num_partitions,
             "url_exclusion_pattern": cfg.url_exclusion_pattern,
             "wire_schema": wire,  # fused schema-evolution conform
+            "splits": manifest.split_set(),  # partition-split routing
+            # dead-letter quarantine (M4 parity: the reference wraps
+            # parse failures in ParseDocumentError; bad rows land in
+            # <lake>/_errors with provenance instead of silent decode)
+            "errors_dir": os.path.join(cfg.lake_dir, ERRORS_DIR),
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
@@ -171,7 +183,11 @@ def _ingest_one_batch(
         print(f"[cdc-trace] phase1 {phase1_s:.2f}s", flush=True)
     t0 = _time.perf_counter()
     delta_map: dict[int, list[tuple[str, int]]] = {}
+    error_rows = 0
     for r in spilled:
+        if int(r["part"]) == ERROR_PART:
+            error_rows += int(r["rows"])  # dead-letter marker, not a delta
+            continue
         delta_map.setdefault(int(r["part"]), []).append(
             (r["path"], int(r["row_group"]))
         )
@@ -228,10 +244,16 @@ def _ingest_one_batch(
             new_meta[part] = {
                 "rows": int(row["rows"]),
                 "tombstones": int(row["tombstones"]),
+                "bytes": int(row["bytes"]),
+                "modulus": residue_modulus(
+                    part, manifest.num_partitions, manifest.split_set()
+                ),
             }
     counters = dict(manifest.counters)
     counters["events_applied"] = counters.get("events_applied", 0) + events_applied
     counters["commits"] = counters.get("commits", 0) + 1
+    if error_rows:
+        counters["error_rows"] = counters.get("error_rows", 0) + error_rows
 
     new_manifest = LakeManifest(
         num_partitions=manifest.num_partitions,
@@ -240,6 +262,7 @@ def _ingest_one_batch(
         schema=new_lake_schema,
         partitions=new_partitions,
         partition_meta=new_meta,
+        splits=list(manifest.splits),
         lineage=manifest.lineage
         + [
             {
@@ -249,6 +272,7 @@ def _ingest_one_batch(
                 "segments": [s.name for s in segments],
                 "events_applied": events_applied,
                 "deltas_merged": deltas_merged,
+                "error_rows": error_rows,
                 "partitions_rewritten": len(stats),
                 "partitions_resumed": sum(
                     1 for r in stats if r.get("resumed")
@@ -380,6 +404,22 @@ def read_lake(lake_dir: str) -> ray.data.Dataset:
     )
 
 
+def read_errors(lake_dir: str) -> pa.Table:
+    """Quarantined dead-letter rows (``<lake>/_errors``): the wire rows
+    that failed the WAL contract or UTF-8 decode, with ``error`` tag +
+    ``_src_segment`` provenance. Empty table when the lake is clean."""
+    import glob as _glob
+
+    from ..stages.merge import ERRORS_SCHEMA
+
+    files = sorted(_glob.glob(os.path.join(lake_dir, ERRORS_DIR, "*.parquet")))
+    if not files:
+        return ERRORS_SCHEMA.empty_table()
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
 def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
     """Point lookup: the stable crc32 partitioning routes each url to
     exactly one partition file, so a k-url lookup touches at most k
@@ -391,12 +431,17 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
 
     from ..stages.merge import DELETED_COL
 
+    from ..state.checkpoint import resolve_partition
+
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    splits = manifest.split_set()
     by_part: dict[int, list[str]] = {}
     for u in urls:
-        part = zlib.crc32(u.encode("utf-8")) % manifest.num_partitions
+        part = resolve_partition(
+            zlib.crc32(u.encode("utf-8")), manifest.num_partitions, splits
+        )
         by_part.setdefault(part, []).append(u)
     from ..schemas import conform_table
 

@@ -1,4 +1,4 @@
-"""Lake maintenance: tombstone compaction.
+"""Lake maintenance: tombstone compaction + partition-count evolution.
 
 Tombstones are persisted by the merge so late (out-of-order) events
 cannot resurrect deleted keys (see ``stages/merge.DELETED_COL``). Once
@@ -26,7 +26,9 @@ from ..state.checkpoint import (
     commit_manifest,
     gc_unreferenced,
     load_manifest,
+    residue_modulus,
     utcnow_iso,
+    writer_lock,
 )
 
 
@@ -96,7 +98,13 @@ def compact_lake(lake_dir: str) -> dict:
             new_meta.pop(part, None)
         else:
             new_partitions[part] = row["path"]
-            new_meta[part] = {"rows": int(row["rows"]), "tombstones": 0}
+            # preserve modulus (split routing bookkeeping) across rewrites
+            kept_meta = dict(manifest.partition_meta.get(part, {}))
+            kept_meta.update(
+                rows=int(row["rows"]), tombstones=0,
+                bytes=os.path.getsize(os.path.join(lake_dir, row["path"])),
+            )
+            new_meta[part] = kept_meta
 
     new_manifest = LakeManifest(
         num_partitions=manifest.num_partitions,
@@ -105,6 +113,7 @@ def compact_lake(lake_dir: str) -> dict:
         schema=manifest.schema,
         partitions=new_partitions,
         partition_meta=new_meta,
+        splits=list(manifest.splits),
         lineage=manifest.lineage
         + [{
             "version": manifest.version + 1,
@@ -121,3 +130,118 @@ def compact_lake(lake_dir: str) -> dict:
         "partitions_rewritten": len(stats),
         "tombstones_dropped": dropped_total,
     }
+
+
+def split_partition(lake_dir: str, part: int) -> dict:
+    """Partition-count evolution: replace live partition ``(r, m)`` by
+    children ``(r, 2m)`` and ``(r+m, 2m)`` (one extra crc32 bit), so a
+    partition that outgrew one task's memory at merge time is halved
+    without touching any other partition. The split is recorded in the
+    manifest's ``splits`` map — ingest/lookup routing resolves through
+    it forever, so the crc32 partitioning contract survives. Runs the
+    rewrite in a Ray task (the partition may be large); commits CAS
+    under the writer lock.
+
+    At 100x data with a fixed P this is the maintenance valve the r1
+    audit called for: ``partition_meta`` carries per-partition bytes to
+    drive :func:`split_overflowing`."""
+    import ray
+
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    if part not in manifest.partitions:
+        raise KeyError(f"partition {part} not live in {lake_dir}")
+    splits = manifest.split_set()
+    m = residue_modulus(part, manifest.num_partitions, splits)
+    rel = manifest.partitions[part]
+    token = f"split-{manifest.version + 1}"
+
+    @ray.remote(num_cpus=1)
+    def rewrite_children(path: str, r: int, mod: int) -> list[dict]:
+        import numpy as np
+        import pyarrow as _pa
+
+        from ..stages.merge import DELETED_COL as _DEL, crc32_column
+
+        _pa.set_cpu_count(1)
+        table = pq.read_table(path)
+        crc = crc32_column(table.column("url")).astype(np.int64)
+        child = crc % (2 * mod)
+        out = []
+        for c in (r, r + mod):
+            sub = table.filter(_pa.array(child == c))
+            if sub.num_rows == 0:
+                continue
+            new_rel = os.path.join("data", f"part-{c:05d}-{token}.parquet")
+            out_path = os.path.join(lake_dir, new_rel)
+            tmp = out_path + ".inprogress"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, out_path)
+            tomb = (
+                int(pc.sum(sub.column(_DEL)).as_py() or 0)
+                if _DEL in sub.column_names else 0
+            )
+            out.append({
+                "part": c, "path": new_rel, "rows": sub.num_rows,
+                "tombstones": tomb, "bytes": os.path.getsize(out_path),
+            })
+        return out
+
+    children = ray.get(
+        rewrite_children.remote(os.path.join(lake_dir, rel), part, m)
+    )
+    with writer_lock(lake_dir):
+        current = load_manifest(lake_dir)
+        new_partitions = dict(current.partitions)
+        new_meta = dict(current.partition_meta)
+        new_partitions.pop(part, None)
+        new_meta.pop(part, None)
+        for ch in children:
+            new_partitions[int(ch["part"])] = ch["path"]
+            new_meta[int(ch["part"])] = {
+                "rows": int(ch["rows"]), "tombstones": int(ch["tombstones"]),
+                "bytes": int(ch["bytes"]), "modulus": 2 * m,
+            }
+        new_manifest = LakeManifest(
+            num_partitions=current.num_partitions,
+            version=current.version + 1,
+            watermark=current.watermark,
+            schema=current.schema,
+            partitions=new_partitions,
+            partition_meta=new_meta,
+            splits=list(current.splits) + [[int(part), int(m)]],
+            lineage=current.lineage + [{
+                "version": current.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "split",
+                "parent": int(part), "modulus": int(m),
+                "children": [int(c["part"]) for c in children],
+            }],
+            counters=current.counters,
+        )
+        commit_manifest(
+            lake_dir, new_manifest, expected_version=manifest.version
+        )
+        gc_unreferenced(lake_dir, new_manifest, previous=manifest)
+    return {
+        "parent": part, "modulus": m,
+        "children": {int(c["part"]): int(c["rows"]) for c in children},
+    }
+
+
+def split_overflowing(lake_dir: str, max_partition_bytes: int) -> dict:
+    """Split every live partition whose committed size exceeds
+    ``max_partition_bytes`` (driven by the manifest's per-partition
+    byte stats — no data scan). One split level per call; run to
+    fixpoint from a cron if partitions are badly overgrown."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    over = [
+        part for part, meta in manifest.partition_meta.items()
+        if meta.get("bytes", 0) > max_partition_bytes
+        and part in manifest.partitions
+    ]
+    results = [split_partition(lake_dir, part) for part in sorted(over)]
+    return {"splits": len(results), "parents": [r["parent"] for r in results]}

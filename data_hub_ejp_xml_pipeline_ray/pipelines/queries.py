@@ -697,10 +697,9 @@ def q_embedding_scores(sf_dir: str):
             self.w = ray.get(w_ref)  # fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.vstack(
-                [np.asarray(v, dtype=np.float64)
-                 for v in batch.column("embedding").to_pylist()]
-            )
+            from ..stages.ann import _as_matrix
+
+            vecs = _as_matrix(batch.column("embedding"))  # zero-copy reshape
             scores = np.sign(vecs @ self.w) * np.floor(
                 np.abs(vecs @ self.w) * 1e6 + 0.5
             ) / 1e6  # round6 half-away (DuckDB round parity)
@@ -732,10 +731,24 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF/LSH-bucketed ANN scale path (rows-only oracle: approximate)."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10,
-                    n_clusters=16, nprobe=6)
+    """IVF ANN via the PERSISTED index (rows-only oracle: approximate):
+    write-once centroid-partitioned layout, then a search that reads
+    only the probed inverted lists (IO ~ nprobe/n_clusters of the
+    corpus — the real scale path; ``ivf_topk`` merely saved flops)."""
+    import shutil
+    import tempfile
+
+    from ..stages.ann import build_ivf_index, ivf_index_search
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_q_{n}")
+    if not os.path.exists(os.path.join(index_dir, "_ivf_meta.json")):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, n_clusters=16)
+    return ivf_index_search(
+        index_dir, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10, nprobe=6
+    )
 
 
 def q_page_entities(sf_dir: str):

@@ -6,10 +6,14 @@
   grouped reduce keeps the global top-k per query. Only
   O(num_queries * k) rows per batch leave the tasks — the corpus never
   moves.
-* :func:`ivf_topk` — the scale path: a seeded k-means (driver-side, on
-  a bounded sample) builds a coarse quantizer; batches assign rows to
-  their nearest centroid; queries probe only ``nprobe`` inverted lists.
-  Recall is tested against the brute-force baseline.
+* :func:`ivf_topk` — in-flight IVF: a seeded k-means (driver-side, on
+  a bounded sample) builds a coarse quantizer; batches assign rows and
+  score only probed lists. Saves FLOPs but still SCANS the corpus.
+* :func:`build_ivf_index` / :func:`ivf_index_search` — the real scale
+  path: a write-once pass persists the corpus as centroid-partitioned
+  parquet (one inverted list per directory); a search reads ONLY the
+  ``nprobe`` probed lists, so IO ~ nprobe/n_clusters of the corpus
+  (asserted < 50% in tests). Recall is tested against brute force.
 
 Deterministic ordering contract: neighbors rank by (cosine DESC,
 vec_id ASC); similarities are rounded to 6 decimals BEFORE ranking so
@@ -25,6 +29,29 @@ import ray.data
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Embedding column -> (n, dim) float64 matrix. Zero-copy fast
+    path: a null-free ``list``/``fixed_size_list`` column's values
+    buffer is reshaped directly (one vectorized float32->float64
+    widening, no Python-object round-trip); ragged/null columns fall
+    back to the row-wise path."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if col.null_count == 0 and pa.types.is_fixed_size_list(t):
+        dim = t.list_size
+        vals = col.values.to_numpy(zero_copy_only=False)
+        vals = vals[col.offset * dim : (col.offset + len(col)) * dim]
+        return vals.reshape(len(col), dim).astype(np.float64, copy=False)
+    if col.null_count == 0 and (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+    ):
+        lens = pc.unique(pc.list_value_length(col))
+        if len(lens) == 1:
+            dim = lens[0].as_py()
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            return vals.reshape(len(col), dim).astype(np.float64, copy=False)
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
 
 
@@ -204,3 +231,176 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         _final_topk_factory(k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the REAL scale path
+# ---------------------------------------------------------------------------
+#
+# ``ivf_topk`` above still scans the whole corpus per query batch (it
+# saves flops, not IO). The persisted index fixes that: a write-once
+# build pass assigns every vector to its centroid and lays the corpus
+# out as one parquet file per inverted list; a query then READS only
+# the ``nprobe`` probed lists — IO proportional to nprobe/n_clusters of
+# the corpus, the property that matters at 100 TB.
+
+IVF_META_NAME = "_ivf_meta.json"
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    sample_limit: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> dict:
+    """Write-once IVF index build: seeded k-means on a bounded sample
+    (the only driver materialization), then a distributed assignment
+    pass writes ``centroid=<c>/`` partitioned parquet (Ray
+    ``write_parquet(partition_cols=...)`` — one inverted list per
+    directory) plus a JSON meta file holding the centroid matrix."""
+    import json
+    import os
+
+    sample_tbl = ds.select_columns([vec_col]).limit(sample_limit).take_all()
+    sample = np.vstack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample_tbl]
+    )
+    centroids = _kmeans(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _as_matrix(batch.column(vec_col))
+            d = ((vecs[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            return batch.append_column(
+                "centroid", pa.array(d.argmin(axis=1).astype(np.int32))
+            )
+
+    ds.select_columns([vec_col, id_col]).map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1,
+    ).write_parquet(index_dir, partition_cols=["centroid"])
+    meta = {
+        "n_clusters": int(len(centroids)),
+        "dim": int(centroids.shape[1]),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": centroids.tolist(),
+    }
+    with open(os.path.join(index_dir, IVF_META_NAME), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_search(
+    index_dir: str,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> ray.data.Dataset:
+    """Search a persisted IVF index reading ONLY the probed inverted
+    lists (union over queries); within a batch each query is scored
+    strictly against its own probe set (standard IVF semantics).
+    Returns (query_id, neighbor_id, cosine, rank) like the other ANN
+    entry points, plus never touching un-probed list files."""
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, IVF_META_NAME), encoding="utf-8") as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    qraw = np.asarray(query_vecs, dtype=np.float64)
+    qunit = _unit_rows(qraw)
+    # probe with the RAW query vector: centroids live in the raw space
+    # (assignment is unnormalized L2) — probing with the unit vector
+    # would mix metrics and mis-rank lists
+    qd = ((qraw[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed_union = sorted(set(probe.ravel().tolist()))
+    paths = [
+        p
+        for c in probed_union
+        for p in sorted(glob.glob(os.path.join(index_dir, f"centroid={c}", "*.parquet")))
+    ]
+    qref = ray.put(
+        {"qids": list(query_ids), "unit": qunit, "probe": probe}
+    )
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+
+    class ProbeScorer:
+        def __init__(self):
+            q = ray.get(qref)
+            self.qids = q["qids"]
+            self.qmat = q["unit"]
+            self.probe = q["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            cents = np.asarray(
+                batch.column("centroid").to_pylist(), dtype=np.int64
+            )
+            unit = _unit_rows(_as_matrix(batch.column(vec_col)))
+            sims = _round6_half_away(unit @ self.qmat.T)
+            out_q, out_id, out_sim = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(cents, self.probe[qi])
+                if not mask.any():
+                    continue
+                col = sims[mask, qi]
+                mids = ids[mask]
+                order = np.lexsort((mids, -col))[: min(k, len(mids))]
+                out_q.extend([qid] * len(order))
+                out_id.extend(mids[order].tolist())
+                out_sim.extend(col[order].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "neighbor_id": pa.array(out_id, type=pa.int64()),
+                    "cosine": pa.array(out_sim, type=pa.float64()),
+                }
+            )
+
+    partials = ray.data.read_parquet(paths).map_batches(
+        ProbeScorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), num_cpus=1,
+    )
+    return partials.groupby("query_id").map_groups(
+        _final_topk_factory(k), batch_format="pyarrow"
+    )
+
+
+def ivf_index_probed_fraction(index_dir: str, query_vecs: np.ndarray,
+                              *, nprobe: int = 4) -> float:
+    """Fraction of the index's data bytes a search with these queries
+    would read — the IO-savings check the scale audit demands."""
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, IVF_META_NAME), encoding="utf-8") as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    qraw = np.asarray(query_vecs, dtype=np.float64)
+    qd = ((qraw[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probed = set(np.argsort(qd, axis=1)[:, :nprobe].ravel().tolist())
+
+    def dir_bytes(c: int) -> int:
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(index_dir, f"centroid={c}", "*.parquet"))
+        )
+
+    total = sum(dir_bytes(c) for c in range(meta["n_clusters"]))
+    if total == 0:
+        return 0.0
+    return sum(dir_bytes(c) for c in probed) / total

@@ -651,9 +651,9 @@ class HyperplaneBuckets:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(self.vec_col).to_pylist()]
-        )
+        from .ann import _as_matrix
+
+        vecs = _as_matrix(batch.column(self.vec_col))  # zero-copy reshape
         bits = (vecs @ self.planes) > 0
         keys = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
         return pa.table(
@@ -691,10 +691,10 @@ def embedding_dedup(
     )
 
     def verify_bucket(group: pa.Table) -> pa.Table:
+        from .ann import _as_matrix
+
         ids = group.column(id_col).to_pylist()
-        vecs = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in group.column(vec_col).to_pylist()]
-        )
+        vecs = _as_matrix(group.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms

@@ -128,16 +128,19 @@ class EntityExtractCombineSpill:
 
     def __init__(self, staging_dir: str, num_partitions: int,
                  url_exclusion_pattern: str | None = None,
-                 wire_schema: pa.Schema | None = None):
+                 wire_schema: pa.Schema | None = None,
+                 splits: frozenset[tuple[int, int]] | None = None,
+                 errors_dir: str | None = None):
         from .merge import SpillCombiner
 
         import pyarrow as _pa
 
         _pa.set_cpu_count(1)
         _pa.set_io_thread_count(2)
-        self._spill = SpillCombiner(staging_dir, num_partitions)
+        self._spill = SpillCombiner(staging_dir, num_partitions, splits)
         self._exclusion = url_exclusion_pattern
         self._wire_schema = wire_schema
+        self._errors_dir = errors_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -156,13 +159,27 @@ class EntityExtractCombineSpill:
                 )
             )
             batch = batch.filter(mask)
+        err_manifest = None
+        if self._errors_dir is not None and batch.num_rows:
+            from .merge import ERROR_PART, quarantine_bad_rows, write_dead_letters
+
+            batch, err = quarantine_bad_rows(batch)
+            if err is not None:
+                path = write_dead_letters(self._errors_dir, err)
+                err_manifest = pa.table(
+                    {"part": pa.array([ERROR_PART], pa.int64()),
+                     "rows": pa.array([err.num_rows], pa.int64()),
+                     "path": pa.array([path], pa.string()),
+                     "row_group": pa.array([-1], pa.int64())}
+                )
         if batch.num_rows == 0:
-            return pa.table(
+            empty = pa.table(
                 {"part": pa.array([], pa.int64()),
                  "rows": pa.array([], pa.int64()),
                  "path": pa.array([], pa.string()),
                  "row_group": pa.array([], pa.int64())}
             )
+            return pa.concat_tables([empty, err_manifest]) if err_manifest else empty
         batch = local_lww(batch)  # event-level combiner: winners only
         rows = []
         for r in batch.to_pylist():
@@ -186,7 +203,10 @@ class EntityExtractCombineSpill:
         # the spill's own local_lww would collapse multi-row versions —
         # rows here are already event-winners, so spill WITHOUT another
         # row-level reduce: route through the partition splitter only
-        return self._spill.split_and_spill(out)
+        spilled = self._spill.split_and_spill(out)
+        return (
+            pa.concat_tables([spilled, err_manifest]) if err_manifest else spilled
+        )
 
 
 def entity_lake_schema(_wire: pa.Schema) -> pa.Schema:

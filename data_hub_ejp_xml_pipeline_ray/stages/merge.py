@@ -41,6 +41,111 @@ from ..state.checkpoint import partition_file_relpath
 BASE_OP = "base"
 DELETE_OP = "delete"
 
+#: Sentinel partition id for dead-letter manifest rows emitted by the
+#: fused map stage: ``path`` points at the quarantined-errors parquet,
+#: ``rows`` counts the bad rows. The driver folds these into counters
+#: instead of the delta map.
+ERROR_PART = -1
+
+#: Schema of the quarantine (dead-letter) table: the offending wire row
+#: with provenance + a machine-readable error tag (the reference wraps
+#: parse failures in ParseDocumentError with the source name attached,
+#: ejp_xml_pipeline/transform_zip_xml/ejp_xml.py:20-42).
+ERRORS_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("seq", pa.int64()),
+        pa.field("error", pa.string()),
+        pa.field("_src_segment", pa.string()),
+        pa.field("html", pa.binary()),
+    ]
+)
+
+
+def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
+    """Split a wire batch into (good rows, dead-letter rows).
+
+    Quarantined: rows violating the WAL contract (null url / warc_ts /
+    seq — unmergeable keys) and rows whose html payload is not valid
+    UTF-8 (the reference raises ParseDocumentError; the engine
+    previously decoded them silently with errors='replace'). The checks
+    are vectorized; the per-row UTF-8 scan runs only when a whole-column
+    cast fails (rare)."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return batch, None
+    null_key = pc.is_null(batch.column("url"))
+    for key_col in ("warc_ts", "seq"):
+        if key_col in batch.column_names:
+            null_key = pc.or_(null_key, pc.is_null(batch.column(key_col)))
+    bad_utf8 = np.zeros(batch.num_rows, dtype=bool)
+    if "html" in batch.column_names:
+        html_col = batch.column("html")
+        if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
+            try:
+                html_col.cast(pa.string())
+            except pa.ArrowInvalid:
+                for i, b in enumerate(html_col.to_pylist()):
+                    if b is None:
+                        continue
+                    try:
+                        b.decode("utf-8")
+                    except UnicodeDecodeError:
+                        bad_utf8[i] = True
+    null_key_np = pc.fill_null(null_key, False).to_numpy(zero_copy_only=False)
+    bad_any = null_key_np | bad_utf8
+    if not bad_any.any():
+        return batch, None
+    bad = batch.filter(pa.array(bad_any))
+    good = batch.filter(pa.array(~bad_any))
+    reasons = np.where(
+        null_key_np[bad_any], "null_key_field", "invalid_utf8_html"
+    )
+    err = pa.table(
+        {
+            "url": bad.column("url").cast(pa.string()),
+            "warc_ts": bad.column("warc_ts"),
+            "seq": bad.column("seq"),
+            "error": pa.array(reasons.tolist(), pa.string()),
+            "_src_segment": (
+                bad.column("_src_segment")
+                if "_src_segment" in bad.column_names
+                else pa.nulls(bad.num_rows, pa.string())
+            ),
+            "html": (
+                bad.column("html").cast(pa.binary())
+                if "html" in bad.column_names
+                else pa.nulls(bad.num_rows, pa.binary())
+            ),
+        },
+        schema=ERRORS_SCHEMA,
+    )
+    return good, err
+
+
+def write_dead_letters(errors_dir: str, err: pa.Table) -> str:
+    """Persist a quarantine table content-addressed (idempotent on
+    batch retry); returns the file path."""
+    import hashlib
+
+    os.makedirs(errors_dir, exist_ok=True)
+    key = hashlib.sha1()
+    key.update(str(err.num_rows).encode())
+    key.update(
+        "\x00".join(
+            f"{u}:{s}" for u, s in zip(
+                err.column("url").to_pylist(), err.column("seq").to_pylist()
+            )
+        ).encode()
+    )
+    path = os.path.join(errors_dir, f"errors-{key.hexdigest()[:16]}.parquet")
+    tmp = path + ".inprogress"
+    pq.write_table(err, tmp)
+    os.replace(tmp, path)
+    return path
+
 #: Hidden lake column persisting delete markers. Tombstones MUST be
 #: persisted (not just applied): events are out-of-order in ``warc_ts``
 #: across micro-batches, so without a stored tombstone a later batch
@@ -318,7 +423,8 @@ class ExtractCombineSpill:
     def __init__(self, staging_dir: str, num_partitions: int,
                  url_exclusion_pattern: str | None = None,
                  wire_schema: pa.Schema | None = None,
-                 splits: frozenset[tuple[int, int]] | None = None):
+                 splits: frozenset[tuple[int, int]] | None = None,
+                 errors_dir: str | None = None):
         from .extract import HtmlTextExtractor
 
         # Each actor is scheduled as 1 CPU, but pyarrow's internal
@@ -339,6 +445,7 @@ class ExtractCombineSpill:
         if wire_schema is not None and "_src_segment" not in wire_schema.names:
             wire_schema = wire_schema.append(pa.field("_src_segment", pa.string()))
         self._wire_schema = wire_schema
+        self._errors_dir = errors_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "path" in batch.column_names:
@@ -352,15 +459,30 @@ class ExtractCombineSpill:
             batch = batch.drop_columns(["path"]).append_column("_src_segment", src)
         if self._wire_schema is not None and not batch.schema.equals(self._wire_schema):
             batch = conform_table(batch, self._wire_schema)
+        err_rows: list[pa.Table] = []
+        if self._errors_dir is not None:
+            batch, err = quarantine_bad_rows(batch)
+            if err is not None:
+                path = write_dead_letters(self._errors_dir, err)
+                err_rows.append(pa.table(
+                    {"part": pa.array([ERROR_PART], pa.int64()),
+                     "rows": pa.array([err.num_rows], pa.int64()),
+                     "path": pa.array([path], pa.string()),
+                     "row_group": pa.array([-1], pa.int64())}
+                ))
         out = self._extract(batch)
         if out.num_rows == 0:
-            return pa.table(
+            spilled = pa.table(
                 {"part": pa.array([], pa.int64()),
                  "rows": pa.array([], pa.int64()),
                  "path": pa.array([], pa.string()),
                  "row_group": pa.array([], pa.int64())}
             )
-        return self._spill(out)
+        else:
+            spilled = self._spill(out)
+        if err_rows:
+            spilled = pa.concat_tables([spilled] + err_rows)
+        return spilled
 
 
 class PartitionMerger:

@@ -124,6 +124,20 @@ def resolve_partition(
     return r
 
 
+def residue_modulus(
+    residue: int, num_partitions: int, splits: frozenset[tuple[int, int]]
+) -> int:
+    """Modulus of a live partition residue under the split map (the
+    inverse bookkeeping of :func:`resolve_partition`): descend from P
+    doubling while the prefix residue was split."""
+    m = num_partitions
+    cur = residue % m
+    while (cur, m) in splits:
+        m *= 2
+        cur = residue % m
+    return m
+
+
 def manifest_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, MANIFEST_NAME)
 

@@ -54,3 +54,49 @@ def test_ivf_recall_floor():
         truth = {i for i, _ in exact[qid]}
         recall = len(by_q.get(qid, set()) & truth) / len(truth)
         assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_persisted_ivf_index_probes_under_half_the_corpus(tmp_path):
+    """build_ivf_index lays the corpus out as one inverted list per
+    centroid dir; a search must (a) hit a recall floor vs brute force
+    and (b) read < 50% of the index bytes (the IO property ivf_topk
+    lacks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_hub_ejp_xml_pipeline_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_probed_fraction,
+        ivf_index_search,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 16
+    # clustered corpus so the coarse quantizer has structure to find
+    centers = rng.standard_normal((8, dim)) * 4
+    vecs = centers[rng.integers(0, 8, n)] + rng.standard_normal((n, dim)) * 0.3
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    index_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, index_dir, n_clusters=32, seed=3)
+    assert meta["n_clusters"] == 32
+
+    qids = [0, 1, 2]
+    qvecs = vecs[:3]
+    exact = brute_force_topk(ds, qids, qvecs, k=10).to_pandas()
+    approx = ivf_index_search(index_dir, qids, qvecs, k=10, nprobe=4).to_pandas()
+
+    # recall floor
+    recall = 0.0
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recall += len(e & a) / len(e)
+    assert recall / len(qids) >= 0.8
+
+    # the probed lists are a strict minority of the index bytes
+    frac = ivf_index_probed_fraction(index_dir, qvecs, nprobe=4)
+    assert 0 < frac < 0.5, f"probed fraction {frac}"

@@ -137,11 +137,11 @@ def test_resume_after_kill_between_stage_and_commit(small_wal):
     real_commit = cdc_mod.commit_manifest
     calls = {"n": 0}
 
-    def crashing_commit(lake_dir, manifest):
+    def crashing_commit(lake_dir, manifest, **kwargs):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated crash before manifest swap")
-        real_commit(lake_dir, manifest)
+        real_commit(lake_dir, manifest, **kwargs)
 
     cdc_mod.commit_manifest = crashing_commit
     try:

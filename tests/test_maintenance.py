@@ -85,3 +85,67 @@ def test_ingest_continues_after_compaction(tmp_path):
     assert set(snap) >= set(expected)
     for url, v in expected.items():
         assert snap[url] == v
+
+
+def test_split_partition_then_ingest_converges(tmp_path):
+    """Partition-count evolution: ingest half the WAL, split the
+    largest partition (and one child again), ingest the rest — the
+    final state must equal a clean single-shot lake AND the replay
+    oracle; lookups must route through the split map."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import lookup_urls
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        split_overflowing,
+        split_partition,
+    )
+
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=23, n_urls=120, n_events=1200,
+        n_segments=6, delete_fraction=0.08, tie_fraction=0.05,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2,
+                    max_segments_per_batch=3)
+
+    # clean single-shot reference lake
+    ref_cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                        lake_dir=os.path.join(tmp, "ref_lake"),
+                        num_partitions=4, extract_concurrency=2)
+    run_ingest(ref_cfg)
+    expected = lake_snapshot(ref_cfg.lake_dir)
+
+    # ingest first batch, then split the biggest partition twice
+    import shutil
+    shutil.move(os.path.join(tmp, "wal", "segment-00003.parquet"), tmp)
+    shutil.move(os.path.join(tmp, "wal", "segment-00004.parquet"), tmp)
+    shutil.move(os.path.join(tmp, "wal", "segment-00005.parquet"), tmp)
+    run_ingest(cfg)
+    m = load_manifest(cfg.lake_dir)
+    biggest = max(m.partition_meta, key=lambda p: m.partition_meta[p]["rows"])
+    out = split_partition(cfg.lake_dir, biggest)
+    assert out["parent"] == biggest and out["modulus"] == 4
+    m2 = load_manifest(cfg.lake_dir)
+    assert [biggest, 4] in m2.splits
+    assert biggest not in m2.partitions or m2.partition_meta[biggest]["modulus"] == 8
+    # split one child again (depth 2) if live
+    child = next(iter(out["children"]))
+    out2 = split_partition(cfg.lake_dir, child)
+    assert out2["modulus"] == 8
+
+    # byte-threshold driven split touches every oversized partition
+    split_overflowing(cfg.lake_dir, max_partition_bytes=1)
+
+    # land the rest of the WAL and ingest through the split routing
+    for seg in ["segment-00003.parquet", "segment-00004.parquet",
+                "segment-00005.parquet"]:
+        shutil.move(os.path.join(tmp, seg), os.path.join(tmp, "wal", seg))
+    run_ingest(cfg)
+
+    got = lake_snapshot(cfg.lake_dir)
+    assert got.equals(expected)
+
+    # split-aware point lookup
+    some = expected.column("url").to_pylist()[:5]
+    looked = lookup_urls(cfg.lake_dir, some)
+    assert looked.column("url").to_pylist() == sorted(some)
