@@ -374,6 +374,32 @@ def run_entity_ingest(cfg: CdcConfig) -> IngestReport:
     )
 
 
+def run_nested_ingest(cfg: CdcConfig, *, struct_version: int = 1) -> IngestReport:
+    """Nested single-table lake: one committed row per url whose
+    entities are Arrow ``list<struct>`` columns (the reference's
+    row-with-nested-lists warehouse shape). ``struct_version=2`` adds
+    ``rel`` INSIDE the link struct — nested schema evolution through
+    the normal merge path: the manifest schema union recurses into the
+    struct (schemas.merge_types) and old partitions null-fill the new
+    field inside every element at read/merge time
+    (schemas.conform_array)."""
+    from ..stages.entities import (
+        NestedExtractCombineSpill,
+        NestedExtractCombineSpillV2,
+        nested_lake_schema,
+    )
+
+    spill_cls = (
+        NestedExtractCombineSpillV2 if struct_version >= 2
+        else NestedExtractCombineSpill
+    )
+    return run_ingest(
+        cfg,
+        spill_cls=spill_cls,
+        lake_schema_fn=lambda _wire: nested_lake_schema(struct_version),
+    )
+
+
 def read_lake(lake_dir: str) -> ray.data.Dataset:
     """Read the committed lake as a Dataset under the unified schema
     (old partitions null-filled / widened on the fly)."""

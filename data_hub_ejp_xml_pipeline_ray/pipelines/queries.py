@@ -365,8 +365,16 @@ def q_revenue_by_nation(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # join partitions sized to data volume (~500k combined rows per
+    # partition): each partition costs a fixed aggregator-actor
+    # overhead, so a small input must not pay for 16+ of them, while
+    # 100x data gets proportionally more
+    n_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).metadata.num_rows
+    n_part = max(4, min(256, n_rows // 500_000 + 1))
     joined = lineitem.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=n_part,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

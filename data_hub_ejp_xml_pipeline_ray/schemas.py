@@ -150,17 +150,57 @@ def unify_many(schemas: list[pa.Schema]) -> pa.Schema:
     return out
 
 
+def conform_array(col: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Array:
+    """Conform an array to ``target``, recursing into struct/list types
+    (NESTED column-add: a struct gains a field -> old rows null-fill it
+    inside every element). pyarrow's ``cast`` rejects struct widening
+    ("struct fields don't match"), so nested evolution is rebuilt here
+    from the child arrays — validity and list offsets preserved
+    buffer-for-buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type.equals(target):
+        return col
+    if pa.types.is_struct(col.type) and pa.types.is_struct(target):
+        have = {f.name for f in col.type}
+        children = []
+        for f in target:
+            if f.name in have:
+                children.append(conform_array(col.field(f.name), f.type))
+            else:
+                children.append(pa.nulls(len(col), f.type))
+        mask = col.is_null() if col.null_count else None
+        return pa.StructArray.from_arrays(
+            children, fields=list(target), mask=mask
+        )
+    if (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ) and (pa.types.is_list(target) or pa.types.is_large_list(target)):
+        child = conform_array(col.values, target.value_type)
+        return pa.Array.from_buffers(
+            pa.list_(child.type) if pa.types.is_list(target) else pa.large_list(child.type),
+            len(col),
+            col.buffers()[:2],
+            null_count=col.null_count,
+            offset=col.offset,
+            children=[child],
+        )
+    return col.cast(target)
+
+
 def conform_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Cast ``table`` to ``schema``: missing columns null-filled, extra
-    columns dropped, compatible types cast. This is the read-side half of
-    schema evolution (old lake partitions read under the unified schema)."""
+    columns dropped, compatible types cast — recursively for nested
+    struct/list columns (:func:`conform_array`). This is the read-side
+    half of schema evolution (old lake partitions read under the
+    unified schema)."""
     cols = []
     n = table.num_rows
     for f in schema:
         if f.name in table.column_names:
             col = table.column(f.name)
             if not col.type.equals(f.type):
-                col = col.cast(f.type)
+                col = conform_array(col, f.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, f.type))

@@ -122,6 +122,7 @@ def generate_wal(
     tie_fraction: float = 0.05,
     v2_from_segment: int | None = None,
     start_segment: int = 0,
+    rich_pages: bool = False,
 ) -> list[str]:
     """Write ``n_segments`` WAL segment parquet files under ``wal_dir``.
 
@@ -190,7 +191,10 @@ def generate_wal(
             else:
                 v = page_version.get(url, 0)
                 page_version[url] = v + 1
-                page_html, _ = generate_page(rng, version=v)
+                if rich_pages:  # title/link/heading entity grammar
+                    page_html, _ = generate_rich_page(rng, version=v)
+                else:
+                    page_html, _ = generate_page(rng, version=v)
                 lang = rng.choice(["en", "de", "fr", "es", "zh"])
             rows["op"].append(op)
             rows["url"].append(url)

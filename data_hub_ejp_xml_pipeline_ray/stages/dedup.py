@@ -411,14 +411,37 @@ def minlabel_components(
     return labels
 
 
-def resolve_clusters(pairs: list[tuple[int, int]]) -> dict:
-    """Cluster resolution for a verified pair list. The heavy lifting is
-    :func:`minlabel_components` (distributed — no O(corpus) driver
-    structure); only the converged ``(node, label)`` rows — bounded by
-    the number of PAIR PARTICIPANTS, i.e. the duplicate rate — are
-    pulled back to build the drop set and cluster map."""
+#: Pair-count threshold for in-process cluster resolution. Below it the
+#: pair graph is trivially small (it is ALREADY driver-resident — the
+#: verify step produced it) and a local union-find costs microseconds;
+#: above it, resolution runs distributed via
+#: :func:`minlabel_components`. Note the input is PAIRS (bounded by the
+#: duplicate rate), never corpus ids — the O(corpus) driver structure
+#: the r1 audit flagged is gone on both branches.
+DISTRIBUTED_RESOLVE_THRESHOLD = 100_000
+
+
+def resolve_clusters(
+    pairs: list[tuple[int, int]], *, force_distributed: bool = False
+) -> dict:
+    """Cluster resolution for a verified pair list: connected
+    components + per-component min. Small pair sets resolve in-process
+    (a union-find over a list the driver is already holding);
+    web-scale dup rates cross :data:`DISTRIBUTED_RESOLVE_THRESHOLD` and
+    switch to :func:`minlabel_components` — only the converged
+    ``(node, label)`` rows (pair-participant-bounded) return."""
     if not pairs:
         return {"drop": set(), "clusters": {}, "pairs": []}
+    if len(pairs) < DISTRIBUTED_RESOLVE_THRESHOLD and not force_distributed:
+        from ..functions.hashing import UnionFind
+
+        uf = UnionFind()
+        for a_, b_ in pairs:
+            uf.union(a_, b_)
+        groups = uf.groups()
+        clusters = {min(v): sorted(v) for v in groups.values()}
+        drop = {m for ms in clusters.values() for m in ms if m != min(ms)}
+        return {"drop": drop, "clusters": clusters, "pairs": pairs}
     pairs_ds = ray.data.from_arrow(
         pa.table(
             {"id_a": pa.array([a for a, _ in pairs], pa.int64()),

@@ -215,6 +215,130 @@ def entity_lake_schema(_wire: pa.Schema) -> pa.Schema:
     return ENTITY_LAKE_SCHEMA
 
 
+#: Nested single-table lake: one row per url carrying its entities as
+#: Arrow ``list<struct>`` columns — the reference's row-with-nested-
+#: lists shape (persons[] / versions[] built by extract_list,
+#: ejp_manuscript_xml.py:549-602) committed THROUGH the lake, not just
+#: parsed in flight. v2 of the link struct adds ``rel`` (NESTED column
+#: add — schema evolution inside a struct element, the
+#: bq_data_service.py:142-188 recursive-union case).
+def nested_lake_schema(version: int = 1) -> pa.Schema:
+    link_fields = [
+        ("href", pa.string()), ("anchor", pa.string()),
+        ("link_index", pa.int32()),
+    ]
+    if version >= 2:
+        link_fields.append(("rel", pa.string()))
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("seq", pa.int64()),
+            ("title", pa.string()),
+            ("links", pa.list_(pa.struct(link_fields))),
+            ("headings", pa.list_(HEADING_STRUCT)),
+            ("n_links", pa.int32()),
+            ("n_headings", pa.int32()),
+            ("_src_segment", pa.string()),
+            ("_deleted", pa.bool_()),
+        ]
+    )
+
+
+def _site_of(url: str) -> str:
+    m = re.match(r"https?://([^/]+)", url or "")
+    return m.group(1) if m else ""
+
+
+class NestedExtractCombineSpill:
+    """Fused map side for the NESTED lake: conform -> event-level local
+    LWW -> parse each winner into ONE row with ``list<struct>`` entity
+    columns -> partition split -> spill. Row-valued LWW merges it (one
+    row per url), so the nested columns ride the normal merge path —
+    including schema evolution when ``struct_version=2`` adds ``rel``
+    inside the link struct."""
+
+    struct_version = 1
+
+    def __init__(self, staging_dir: str, num_partitions: int,
+                 url_exclusion_pattern: str | None = None,
+                 wire_schema: pa.Schema | None = None,
+                 splits: frozenset[tuple[int, int]] | None = None,
+                 errors_dir: str | None = None):
+        from .merge import SpillCombiner
+
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+        self._spill = SpillCombiner(staging_dir, num_partitions, splits)
+        self._errors_dir = errors_dir
+        self._schema = nested_lake_schema(self.struct_version)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .merge import ERROR_PART, local_lww, quarantine_bad_rows, write_dead_letters
+
+        if "path" in batch.column_names:
+            src_col = pc.replace_substring_regex(
+                batch.column("path"), pattern=".*/", replacement=""
+            )
+            batch = batch.drop_columns(["path"]).append_column("_src_segment", src_col)
+        err_manifest = None
+        if self._errors_dir is not None and batch.num_rows:
+            batch, err = quarantine_bad_rows(batch)
+            if err is not None:
+                path = write_dead_letters(self._errors_dir, err)
+                err_manifest = pa.table(
+                    {"part": pa.array([ERROR_PART], pa.int64()),
+                     "rows": pa.array([err.num_rows], pa.int64()),
+                     "path": pa.array([path], pa.string()),
+                     "row_group": pa.array([-1], pa.int64())}
+                )
+        empty = pa.table(
+            {"part": pa.array([], pa.int64()),
+             "rows": pa.array([], pa.int64()),
+             "path": pa.array([], pa.string()),
+             "row_group": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return pa.concat_tables([empty, err_manifest]) if err_manifest else empty
+        batch = local_lww(batch)
+        rows = []
+        for r in batch.to_pylist():
+            base = {
+                "url": r["url"], "warc_ts": r["warc_ts"], "seq": r["seq"],
+                "_src_segment": r.get("_src_segment"),
+            }
+            if r.get("op") == "delete":
+                rows.append({**base, "_deleted": True})
+                continue
+            p = parse_page_entities(r["url"], r.get("html"))
+            links = p["links"]
+            if self.struct_version >= 2:
+                site = _site_of(r["url"])
+                links = [
+                    {**lk, "rel": ("internal" if _site_of(lk["href"]) == site
+                                   else "external")}
+                    for lk in links
+                ]
+            rows.append({
+                **base, "title": p["title"], "links": links,
+                "headings": p["headings"], "n_links": len(links),
+                "n_headings": len(p["headings"]), "_deleted": False,
+            })
+        out = pa.Table.from_pylist(rows, schema=self._schema)
+        spilled = self._spill.split_and_spill(out)
+        return (
+            pa.concat_tables([spilled, err_manifest]) if err_manifest else spilled
+        )
+
+
+class NestedExtractCombineSpillV2(NestedExtractCombineSpill):
+    struct_version = 2
+
+
 class PageEntityExtractor:
     """Actor-pool stage: page -> nested single-row records
     (``mode='nested'``) or fan-out entity rows (``mode='fanout'``,

@@ -81,11 +81,15 @@ def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
         if key_col in batch.column_names:
             null_key = pc.or_(null_key, pc.is_null(batch.column(key_col)))
     bad_utf8 = np.zeros(batch.num_rows, dtype=bool)
+    html_as_string: pa.Array | None = None
     if "html" in batch.column_names:
         html_col = batch.column("html")
         if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
             try:
-                html_col.cast(pa.string())
+                # one whole-column validation cast; on success it is
+                # REUSED as the decoded html (the extractor skips its
+                # own cast) so the hot path pays UTF-8 validation once
+                html_as_string = html_col.cast(pa.string())
             except pa.ArrowInvalid:
                 for i, b in enumerate(html_col.to_pylist()):
                     if b is None:
@@ -97,6 +101,10 @@ def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     null_key_np = pc.fill_null(null_key, False).to_numpy(zero_copy_only=False)
     bad_any = null_key_np | bad_utf8
     if not bad_any.any():
+        if html_as_string is not None:
+            batch = batch.set_column(
+                batch.column_names.index("html"), "html", html_as_string
+            )
         return batch, None
     bad = batch.filter(pa.array(bad_any))
     good = batch.filter(pa.array(~bad_any))

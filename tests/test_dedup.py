@@ -214,3 +214,14 @@ def test_jaccard_dedup_prefix_blocking_and_closure():
     survivors = sorted(r["doc_id"] for r in res["survivors_ds"].take_all())
     assert survivors == [0, 3, 4, 5]
     assert res["capped_dropped_pairs"] == 0
+
+
+def test_resolve_clusters_local_and_distributed_agree():
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import resolve_clusters
+
+    pairs = [(2, 3), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23),
+             (5, 40), (40, 41), (41, 6)]
+    a = resolve_clusters(pairs)
+    b = resolve_clusters(pairs, force_distributed=True)
+    assert a["drop"] == b["drop"]
+    assert a["clusters"] == b["clusters"]
