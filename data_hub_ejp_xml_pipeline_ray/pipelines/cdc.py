@@ -81,6 +81,10 @@ class CdcConfig:
     #: Actor-pool size for the extractor; None = autoscale to the cluster.
     extract_concurrency: Any = None
     read_override_num_blocks: int | None = None
+    #: Dead-letter quarantine of malformed wire rows (invalid UTF-8
+    #: html / null contract keys) into ``<lake>/_errors``. Disable for
+    #: trusted input to skip the per-batch UTF-8 validation cast.
+    quarantine: bool = True
 
 
 @dataclass
@@ -170,7 +174,9 @@ def _ingest_one_batch(
             # dead-letter quarantine (M4 parity: the reference wraps
             # parse failures in ParseDocumentError; bad rows land in
             # <lake>/_errors with provenance instead of silent decode)
-            "errors_dir": os.path.join(cfg.lake_dir, ERRORS_DIR),
+            "errors_dir": (
+                os.path.join(cfg.lake_dir, ERRORS_DIR) if cfg.quarantine else None
+            ),
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,

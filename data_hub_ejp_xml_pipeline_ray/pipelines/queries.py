@@ -122,8 +122,8 @@ def _bucketed_groups(
 
 def q_lww_latest_by_user(sf_dir: str):
     """LWW reduce (SURVEY §2.8): last event per user by (ts, event_id)
-    — combiner per block, then grouped reduce; mirrors the engine's
-    two-phase merge."""
+    — combiner per block, then a bucketed vectorized reduce (one polars
+    call per ~N/64 users; mirrors the engine's two-phase merge)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     ds = ds.map_batches(
         _keep_extreme,
@@ -131,10 +131,17 @@ def q_lww_latest_by_user(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def last_row(g: pa.Table) -> pa.Table:
-        return _keep_extreme(g, ["user_id"], ["ts", "event_id"])
+    def last_rows_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = df.unique(subset=["user_id"], keep="last", maintain_order=True)
+        return out.select(["user_id", "event_id", "ts", "value"]).to_arrow().cast(
+            pa.schema([
+                ("user_id", pa.int64()), ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")), ("value", pa.float64()),
+            ])
+        )
 
-    return ds.groupby("user_id").map_groups(last_row, batch_format="pyarrow")
+    return _bucketed_groups(ds, "user_id", last_rows_bucket)
 
 
 def q_watermark_filter(sf_dir: str):
@@ -157,7 +164,9 @@ def q_max_ts_per_type(sf_dir: str):
 
 
 def q_dedup_first_event(sf_dir: str):
-    """Grouped-first (O4 analog): first event per (user, type)."""
+    """Grouped-first (O4 analog): first event per (user, type) — same
+    bucketed vectorized shape as the LWW reduce (bucket on user; both
+    group keys live in the same bucket)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ds = ds.map_batches(
         _keep_extreme,
@@ -166,15 +175,19 @@ def q_dedup_first_event(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def first_row(g: pa.Table) -> pa.Table:
-        g = _keep_extreme(g, ["user_id", "event_type"], ["ts", "event_id"], "first")
-        return g.select(["user_id", "event_type", "event_id"]).rename_columns(
-            ["user_id", "event_type", "first_event_id"]
+    def first_rows_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "event_type", "ts", "event_id"])
+        out = df.unique(
+            subset=["user_id", "event_type"], keep="first", maintain_order=True
         )
+        return out.select(["user_id", "event_type", "event_id"]).rename(
+            {"event_id": "first_event_id"}
+        ).to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("first_event_id", pa.int64()),
+        ]))
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        first_row, batch_format="pyarrow"
-    )
+    return _bucketed_groups(ds, "user_id", first_rows_bucket)
 
 
 def q_fanout_entities(sf_dir: str):

@@ -81,9 +81,31 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sp, lake_only=True)
     sp = sub.add_parser("show", help="print committed manifest summary")
     add_common(sp, lake_only=True)
+    sp = sub.add_parser(
+        "split", help="partition-count evolution: split one partition "
+                      "or every partition over a byte threshold")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--part", type=int, default=None,
+                    help="partition residue to split")
+    sp.add_argument("--max-partition-bytes", type=int, default=None,
+                    help="split every partition larger than this")
+    sp = sub.add_parser("errors", help="print quarantined dead-letter rows")
+    add_common(sp, lake_only=True)
 
     args = p.parse_args(argv)
 
+    if args.cmd == "errors":
+        from .pipelines.cdc import read_errors
+
+        errs = read_errors(args.lake_dir)
+        print(json.dumps({
+            "lake": args.lake_dir, "error_rows": errs.num_rows,
+            "by_error": {
+                k: errs.column("error").to_pylist().count(k)
+                for k in set(errs.column("error").to_pylist())
+            },
+        }))
+        return 0
     if args.cmd == "show":
         from .state.checkpoint import load_manifest
 
@@ -144,6 +166,18 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import compact_lake
 
             print(json.dumps(compact_lake(args.lake_dir)))
+        elif args.cmd == "split":
+            from .pipelines.maintenance import split_overflowing, split_partition
+
+            if args.part is not None:
+                print(json.dumps(split_partition(args.lake_dir, args.part)))
+            elif args.max_partition_bytes is not None:
+                print(json.dumps(
+                    split_overflowing(args.lake_dir, args.max_partition_bytes)
+                ))
+            else:
+                print(json.dumps({"error": "pass --part or --max-partition-bytes"}))
+                return 2
     finally:
         import ray
 

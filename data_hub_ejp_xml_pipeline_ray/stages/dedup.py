@@ -266,6 +266,8 @@ def exact_dedup_drop_ids(
     """Exact-dup DROP set: for every content-hash group, all ids except
     the minimum. Driver memory is bounded by the duplicate count (the
     inverse of :func:`exact_dedup`, which returns survivors)."""
+    import polars as pl
+
     pairs = ds.select_columns([text_col, id_col]).map_batches(
         _content_hash_batch,
         fn_kwargs={"text_col": text_col, "id_col": id_col, "preagg": False},
@@ -273,12 +275,28 @@ def exact_dedup_drop_ids(
         zero_copy_batch=True,
     )
 
-    def non_min(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        return pa.table({id_col: pa.array(ids[1:], pa.int64())})
+    def non_min_bucket(group: pa.Table) -> pa.Table:
+        # whole hash-bucket per call (vectorized grouped-min filter),
+        # not one Python call per content hash
+        df = pl.from_arrow(group)
+        out = df.filter(
+            pl.col(id_col) != pl.col(id_col).min().over("content_hash")
+        )
+        return pa.table(
+            {id_col: out.get_column(id_col).to_arrow().cast(pa.int64())}
+        )
 
-    dropped = pairs.groupby("content_hash").map_groups(
-        non_min, batch_format="pyarrow"
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t.column("content_hash"), 63), pa.int32()
+        )
+        return t.append_column("_bucket", b)
+
+    dropped = pairs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_bucket").map_groups(
+        lambda g: non_min_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
     )
     return {
         int(x)

@@ -36,3 +36,17 @@ def test_cli_ingest_show_compact(tmp_path):
     assert c["tombstones_dropped"] == s["tombstones"]
     s2 = _run(["show", "--lake-dir", lake])
     assert s2["tombstones"] == 0 and s2["rows"] == s["rows"] - s["tombstones"]
+
+
+def test_cli_split_and_errors(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=3, n_urls=30, n_events=200, n_segments=2)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    e = _run(["errors", "--lake-dir", lake])
+    assert e["error_rows"] == 0
+    sp = _run(["split", "--lake-dir", lake, "--part", "0", "--num-cpus", "4"])
+    assert sp["parent"] == 0 and sp["modulus"] == 4
+    s = _run(["show", "--lake-dir", lake])
+    assert s["version"] == 2
