@@ -271,6 +271,89 @@ def q_sessionize(sf_dir: str):
     return _bucketed_groups(ds, "user_id", sessions_bucket)
 
 
+def q_hopping_window_counts(sf_dir: str):
+    """Hopping event-time windows (size 2h, hop 1h — each event lands
+    in two windows; the overlapping-window sibling of
+    ``tumbling_window_counts``): explode each event to its member
+    windows per batch (vectorized), then one grouped count."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        def cc(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        w0 = cc(pc.floor_temporal(t.column("ts"), unit="hour"))
+        w1 = cc(
+            pc.subtract(w0, pa.scalar(3_600_000_000, pa.duration("us"))).cast(
+                w0.type
+            )
+        )
+        et = cc(t.column("event_type"))
+        return pa.table(
+            {"event_type": pa.concat_arrays([et, et]),
+             "window_start": pa.concat_arrays([w0, w1])}
+        )
+
+    ds = ds.map_batches(explode_windows, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events")
+    )
+
+
+def q_events_in_prior_hour(sf_dir: str):
+    """Time-range self-join (the range-join custom operator per SURVEY
+    §2.5): for each event, how many events the same user generated in
+    ``[ts-1h, ts)``. Bucketed vectorized kernel: one polars
+    time-rolling window (``closed='left'``) per ~N/64 users; the SQL
+    oracle is the equivalent non-equi join."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prior_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        win = (
+            df.rolling(index_column="ts", period="1h", closed="left",
+                       group_by="user_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_prior"))
+            .unique(subset=["user_id", "ts"], keep="first")
+        )
+        out = df.join(win, on=["user_id", "ts"], how="left").select(
+            ["event_id", "n_prior"]
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("n_prior", pa.int64()),
+        ]))
+
+    return _bucketed_groups(ds, "user_id", prior_bucket)
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus term top-k (the canonical map-reduce): per-batch token
+    explosion + LOCAL count combiner, tiny global groupby sum, sort +
+    limit. Deterministic tiebreak by term."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.select(
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term")
+            )
+            .explode("term")
+            .drop_nulls()
+            .group_by("term").agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("term", pa.string()), ("n", pa.int64())])
+        )
+
+    counts = ds.map_batches(local_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    agg = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "term"], descending=[True, False]).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Projection / filter / normalization over `documents`
 # ---------------------------------------------------------------------------
@@ -947,6 +1030,9 @@ QUERIES = {
     "dedup_first_event": q_dedup_first_event,
     "fanout_entities": q_fanout_entities,
     "tumbling_window_counts": q_tumbling_window_counts,
+    "hopping_window_counts": q_hopping_window_counts,
+    "events_in_prior_hour": q_events_in_prior_hour,
+    "top_terms": q_top_terms,
     "sessionize": q_sessionize,
     "asof_last_signup": q_asof_last_signup,
     "customers_without_orders": q_customers_without_orders,
@@ -1046,6 +1132,32 @@ ORACLE_SQL = {
                count(*) AS n_events,
                round(sum(value) * 100) / 100 AS sum_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "hopping_window_counts": """
+        SELECT event_type, window_start, count(*) AS n_events FROM (
+          SELECT event_type, date_trunc('hour', ts) AS window_start
+          FROM events
+          UNION ALL
+          SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR
+          FROM events)
+        GROUP BY event_type, window_start
+    """,
+    "events_in_prior_hour": """
+        SELECT a.event_id, count(b.event_id) AS n_prior
+        FROM events a
+        LEFT JOIN events b
+          ON b.user_id = a.user_id
+         AND b.ts >= a.ts - INTERVAL 1 HOUR
+         AND b.ts <  a.ts
+        GROUP BY a.event_id
+    """,
+    "top_terms": """
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents)
+        GROUP BY term
+        ORDER BY n DESC, term
+        LIMIT 50
     """,
     "sessionize": """
         WITH flagged AS (

@@ -92,3 +92,15 @@ def test_spill_file_name_is_content_addressed(tmp_path):
     assert {p.split("/")[-1] for p in p1} == {p.split("/")[-1] for p in p2}
     p3 = set(sc2.split_and_spill(batch(["u1", "u3"], [1, 2])).column("path").to_pylist())
     assert {p.split("/")[-1] for p in p1} != {p.split("/")[-1] for p in p3}
+
+
+def test_vectorized_partitioner_agrees_with_scalar_resolver_under_splits():
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import resolve_partition
+
+    urls = [f"https://u{i}.example/{i%7}" for i in range(500)]
+    P = 8
+    splits = frozenset({(3, 8), (3, 16), (5, 8), (11, 16)})
+    vec = stable_hash_partition(pa.array(urls), P, splits).to_pylist()
+    for u, got in zip(urls, vec):
+        crc = zlib.crc32(u.encode())
+        assert got == resolve_partition(crc, P, splits)

@@ -181,3 +181,92 @@ def test_lww_winner_rows_keeps_exactly_the_winning_version_group(evts):
         if (r["warc_ts"], r["seq"]) == winners[r["url"]][:2]
     ]
     assert sorted(got_rows) == sorted(expected_rows)
+
+
+@given(st.lists(st.text(max_size=80), min_size=0, max_size=50))
+@settings(**SETTINGS)
+def test_crc32_column_matches_zlib_on_arbitrary_strings(strings):
+    import zlib
+
+    import numpy as np
+
+    from data_hub_ejp_xml_pipeline_ray.stages.merge import crc32_column
+
+    got = crc32_column(pa.array(strings, pa.string()))
+    ref = np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in strings], dtype=np.uint32
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.integers(-1000, 1000),
+                          st.one_of(st.none(), st.text(max_size=8))),
+                max_size=4,
+            ),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_conform_array_nested_add_preserves_values_and_nulls(rows):
+    from data_hub_ejp_xml_pipeline_ray.schemas import conform_array
+
+    s1 = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    s2 = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string()),
+                             ("c", pa.int32())]))
+    pyrows = (
+        None if r is None else [{"a": a, "b": b} for a, b in r]
+        for r in rows
+    )
+    arr = pa.array(list(pyrows), s1)
+    out = conform_array(arr, s2)
+    assert out.type.equals(s2)
+    expect = [
+        None if r is None else [{"a": a, "b": b, "c": None} for a, b in r]
+        for r in rows
+    ]
+    assert out.to_pylist() == expect
+
+
+@given(
+    st.integers(2, 6),                     # log2-ish P selector
+    st.lists(st.integers(0, 1 << 31), min_size=1, max_size=40),  # crcs
+    st.integers(0, 10),                    # number of splits to apply
+    st.randoms(use_true_random=False),
+)
+@settings(**SETTINGS)
+def test_split_map_always_routes_to_exactly_one_live_partition(
+    p_sel, crcs, n_splits, rnd
+):
+    """Invariant: after ANY chain of splits, resolve_partition maps
+    every crc to a residue whose modulus (per residue_modulus) is
+    consistent, and the vectorized partitioner agrees with the scalar
+    resolver."""
+    import numpy as np
+
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        residue_modulus,
+        resolve_partition,
+    )
+
+    P = 1 << p_sel
+    splits = set()
+    # grow a random valid split chain: only live (unsplit) coverings split
+    for _ in range(n_splits):
+        # pick a random crc's current residue to split
+        c = rnd.choice(crcs)
+        r = resolve_partition(c, P, frozenset(splits))
+        m = residue_modulus(r, P, frozenset(splits))
+        splits.add((r, m))
+    fs = frozenset(splits)
+    for c in crcs:
+        r = resolve_partition(c, P, fs)
+        m = residue_modulus(r, P, fs)
+        assert c % m == r            # the residue really is c's class
+        assert (r, m) not in fs      # routed partition is live (unsplit)
