@@ -146,12 +146,14 @@ def q_lww_latest_by_user(sf_dir: str):
 
 def q_watermark_filter(sf_dir: str):
     """Strictly-greater high-watermark filter (tailer semantics,
-    ``airflow_s3_util_extension.py:130-133``)."""
+    ``airflow_s3_util_extension.py:130-133``) — pushed INTO the parquet
+    read (row-group statistics prune before any bytes move; at 100 TB
+    only matching row groups leave storage)."""
     wm = datetime(2024, 1, 15)
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.greater(t.column("ts"), pa.scalar(wm))),
-        batch_format="pyarrow", zero_copy_batch=True,
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+        filter=(pc.field("ts") > wm),
     )
 
 
@@ -523,15 +525,14 @@ def q_top_customers(sf_dir: str):
 
 
 def q_order_priority_count(sf_dir: str):
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
-    ds = ds.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.greater_equal(t.column("o_orderdate"), pa.scalar(datetime(1996, 1, 1))),
-                pc.less(t.column("o_orderdate"), pa.scalar(datetime(1998, 1, 1))),
-            )
-        ).drop_columns(["o_orderdate"]),
-        batch_format="pyarrow", zero_copy_batch=True,
+    """Date-range count — predicate pushed into the parquet read."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= datetime(1996, 1, 1))
+            & (pc.field("o_orderdate") < datetime(1998, 1, 1))
+        ),
     )
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 

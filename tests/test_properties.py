@@ -270,3 +270,54 @@ def test_split_map_always_routes_to_exactly_one_live_partition(
         m = residue_modulus(r, P, fs)
         assert c % m == r            # the residue really is c's class
         assert (r, m) not in fs      # routed partition is live (unsplit)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(min_size=1, max_size=20)),  # url
+            st.one_of(st.none(), st.binary(max_size=40)),            # html
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_quarantine_partitions_every_row_exactly_once(rows):
+    """Arbitrary (url, html-bytes) rows: quarantine never crashes,
+    good + bad == input, and bad rows are exactly the contract
+    violators (null url or undecodable html)."""
+    from datetime import datetime, timezone
+
+    from data_hub_ejp_xml_pipeline_ray.stages.merge import quarantine_bad_rows
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    batch = pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array([ts] * len(rows), pa.timestamp("us", tz="UTC")),
+            "seq": pa.array(list(range(len(rows))), pa.int64()),
+            "html": pa.array([h for _, h in rows], pa.binary()),
+        }
+    )
+    good, err = quarantine_bad_rows(batch)
+    n_err = 0 if err is None else err.num_rows
+    assert good.num_rows + n_err == batch.num_rows
+
+    def is_bad(u, h):
+        if u is None:
+            return True
+        if h is None:
+            return False
+        try:
+            h.decode("utf-8")
+            return False
+        except UnicodeDecodeError:
+            return True
+
+    expected_bad = sum(1 for u, h in rows if is_bad(u, h))
+    assert n_err == expected_bad
+    # good rows individually decodable
+    for h in (good.column("html").to_pylist() if good.num_rows else []):
+        if isinstance(h, bytes):
+            h.decode("utf-8")
