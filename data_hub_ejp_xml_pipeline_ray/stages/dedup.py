@@ -229,14 +229,121 @@ def minhash_dedup(
         return _dedup_result(ds, [], id_col, capped)
 
     needed = {i for p in cands for i in p}
-    texts = _fetch_texts(ds, needed, text_col, id_col)
-    shingles = {i: shingle_hashes(texts.get(i, "") or "", shingle_n) for i in needed}
-    verified = [
-        (a_, b_)
-        for a_, b_ in cands
-        if jaccard(shingles[a_], shingles[b_]) >= threshold
-    ]
+    if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
+        # web-scale dup rates: texts never reach the driver
+        verified = verify_pairs_distributed(
+            ds, cands, threshold=threshold, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+    else:
+        texts = _fetch_texts(ds, needed, text_col, id_col)
+        shingles = {
+            i: shingle_hashes(texts.get(i, "") or "", shingle_n) for i in needed
+        }
+        verified = [
+            (a_, b_)
+            for a_, b_ in cands
+            if jaccard(shingles[a_], shingles[b_]) >= threshold
+        ]
     return _dedup_result(ds, verified, id_col, capped)
+
+
+#: Candidate-doc threshold for driver-side text fetch during pair
+#: verification. Below it the texts are small and `_fetch_texts` is
+#: cheapest; above it verification runs DISTRIBUTED (shingle rows
+#: shuffle by pair id; the driver holds only the pair list).
+DISTRIBUTED_VERIFY_THRESHOLD = 20_000
+
+
+def verify_pairs_distributed(
+    ds: ray.data.Dataset,
+    cands: list[tuple[int, int]],
+    *,
+    threshold: float,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    trigram_strings: bool = False,
+) -> list[tuple[int, int]]:
+    """Exact-Jaccard verification of candidate pairs WITHOUT driver-side
+    text materialization: candidate docs are broadcast-filtered, their
+    shingle sets computed in tasks and exploded to one row per
+    (pair, side), then a groupby(pair) co-group computes Jaccard — only
+    candidate docs' SHINGLES shuffle, texts never leave the tasks and
+    the driver sees only verified pairs. ``trigram_strings`` selects
+    the jaccard_dedup shingle definition (SQL-parity trigrams hashed
+    for transport) over the MinHash hash-shingles."""
+    if not cands:
+        return []
+    # doc -> [pair indices] map, broadcast once (pairs are already
+    # driver-resident; this adds no new asymptotic driver state)
+    by_doc: dict[int, list[int]] = {}
+    for pid, (a, b) in enumerate(cands):
+        by_doc.setdefault(a, []).append(pid)
+        by_doc.setdefault(b, []).append(pid)
+    map_ref = ray.put(by_doc)
+    id_arr = pa.array(sorted(by_doc), type=pa.int64())
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        doc_map = ray.get(map_ref)
+        mask = pc.is_in(batch.column(id_col), value_set=id_arr)
+        batch = batch.filter(mask)
+        out_pid, out_id, out_sh = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            if trigram_strings:
+                # STABLE hash (not builtin hash(): PYTHONHASHSEED varies
+                # per worker process); collisions are ~2^-61 per pair
+                sh = {
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            s.encode("utf-8"), digest_size=8
+                        ).digest(), "little",
+                    ) >> 2
+                    for s in _token_trigram_set(t)
+                }
+            else:
+                # >>2 fits uint64 shingle hashes into int64 transport
+                # (collision odds ~2^-62 per pair — immaterial)
+                sh = set(
+                    (shingle_hashes(t or "", shingle_n) >> np.uint64(2)).tolist()
+                )
+            sh_list = sorted(sh)
+            for pid in doc_map.get(i, ()):
+                out_pid.append(pid)
+                out_id.append(i)
+                out_sh.append(sh_list)
+        return pa.table(
+            {"pair_id": pa.array(out_pid, pa.int64()),
+             "doc_id_": pa.array(out_id, pa.int64()),
+             "shingles": pa.array(out_sh, pa.list_(pa.int64()))}
+        )
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True,
+        num_cpus=1,
+    )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            return pa.table({"pair_id": pa.array([], pa.int64())})
+        a = set(group.column("shingles")[0].as_py())
+        b = set(group.column("shingles")[1].as_py())
+        union = a | b
+        j = (len(a & b) / len(union)) if union else 1.0
+        if j >= threshold:
+            return pa.table(
+                {"pair_id": group.column("pair_id").slice(0, 1)}
+            )
+        return pa.table({"pair_id": pa.array([], pa.int64())})
+
+    ok = rows.groupby("pair_id").map_groups(verify_group, batch_format="pyarrow")
+    verified_ids = sorted(
+        x for b in ok.iter_batches(batch_format="pyarrow")
+        for x in b.column("pair_id").to_pylist()
+    )
+    return [cands[pid] for pid in verified_ids]
 
 
 def _fetch_texts(
@@ -568,12 +675,23 @@ def simhash_dedup(
             i: s & ((1 << 64) - 1) for i, s in zip(ids, raw)
         }  # two's-complement back to uint64 semantics
         ms = sorted(set(ids))
+        n = len(ms)
+        total = n * (n - 1) // 2
         out_a, out_b = [], []
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
+        checked = 0
+        for i in range(n):
+            if checked >= PAIRS_PER_BUCKET_CAP:
+                break
+            for j in range(i + 1, n):
+                checked += 1
                 if hamming64(sig[ms[i]], sig[ms[j]]) <= max_hamming:
                     out_a.append(ms[i])
                     out_b.append(ms[j])
+                if checked >= PAIRS_PER_BUCKET_CAP:
+                    break
+        if total > checked:  # degenerate bucket: LOUD truncation marker
+            out_a.append(CAP_MARKER)
+            out_b.append(total - checked)
         return pa.table(
             {"id_a": pa.array(out_a, pa.int64()),
              "id_b": pa.array(out_b, pa.int64())}
@@ -583,9 +701,14 @@ def simhash_dedup(
         verify_bucket, batch_format="pyarrow"
     )
     pairs = set()
+    capped = 0
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        pairs.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
-    return _dedup_result(ds, sorted(pairs), id_col)
+        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
+            if a_ == CAP_MARKER:
+                capped += b_
+            else:
+                pairs.add((a_, b_))
+    return _dedup_result(ds, sorted(pairs), id_col, capped)
 
 
 # ---------------------------------------------------------------------------
@@ -652,12 +775,18 @@ def jaccard_dedup(
     if not cands:
         return _dedup_result(ds, [], id_col, capped)
     needed = {i for p in cands for i in p}
-    texts = _fetch_texts(ds, needed, text_col, id_col)
-    tri = {i: _token_trigram_set(texts.get(i)) for i in needed}
-    verified = [
-        (a_, b_) for a_, b_ in sorted(cands)
-        if len(tri[a_] & tri[b_]) / len(tri[a_] | tri[b_]) >= threshold
-    ]
+    if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
+        verified = verify_pairs_distributed(
+            ds, sorted(cands), threshold=threshold, shingle_n=3,
+            text_col=text_col, id_col=id_col, trigram_strings=True,
+        )
+    else:
+        texts = _fetch_texts(ds, needed, text_col, id_col)
+        tri = {i: _token_trigram_set(texts.get(i)) for i in needed}
+        verified = [
+            (a_, b_) for a_, b_ in sorted(cands)
+            if len(tri[a_] & tri[b_]) / len(tri[a_] | tri[b_]) >= threshold
+        ]
     return _dedup_result(ds, verified, id_col, capped)
 
 

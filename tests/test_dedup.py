@@ -225,3 +225,47 @@ def test_resolve_clusters_local_and_distributed_agree():
     b = resolve_clusters(pairs, force_distributed=True)
     assert a["drop"] == b["drop"]
     assert a["clusters"] == b["clusters"]
+
+
+def test_distributed_pair_verification_matches_local(monkeypatch):
+    """Forcing the distributed verify path (texts never on the driver)
+    must yield the same verified pairs/survivors as the local path."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    docs = _mk_docs(n=60)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    local = minhash_dedup(ds, threshold=0.7)
+    monkeypatch.setattr(dd, "DISTRIBUTED_VERIFY_THRESHOLD", 0)
+    dist = minhash_dedup(ds, threshold=0.7)
+    assert set(local["pairs"]) == set(dist["pairs"])
+    assert local["drop"] == dist["drop"]
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    jd_docs = [
+        {"doc_id": 0, "text": base + "tail one"},
+        {"doc_id": 1, "text": base + "tail two"},
+        {"doc_id": 2, "text": "other words entirely " * 10},
+    ]
+    jds = ray.data.from_arrow(pa.Table.from_pylist(jd_docs))
+    dist_j = dd.jaccard_dedup(jds, threshold=0.8)
+    monkeypatch.setattr(dd, "DISTRIBUTED_VERIFY_THRESHOLD", 10**9)
+    local_j = dd.jaccard_dedup(jds, threshold=0.8)
+    assert local_j["drop"] == dist_j["drop"] == {1}
+
+
+def test_simhash_degenerate_bucket_cap_is_loud():
+    """Many identical docs = one degenerate bucket; the capped verify
+    must report the dropped comparisons, not hide them."""
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import (
+        PAIRS_PER_BUCKET_CAP,
+        simhash_dedup,
+    )
+
+    docs = [{"doc_id": i, "text": "same text every time"} for i in range(40)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    res = simhash_dedup(ds, max_hamming=3)
+    # 40 identical docs -> 780 candidate comparisons per bucket > cap
+    assert res["capped_dropped_pairs"] > 0
+    # the doc with id 0 still survives; every pair found is hamming-0
+    survivors = {r["doc_id"] for r in res["survivors_ds"].take_all()}
+    assert 0 in survivors
