@@ -50,6 +50,17 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     )
 
 
+def _pool_for(sf_dir: str, table: str, rows_per_actor: int,
+              lo: int = 2, hi: int = 16) -> int:
+    """Actor-pool size scaled to the input (footer-only row count):
+    fixed pools beat autoscaling ramp-up ~2x at small inputs, while
+    100x data gets proportionally more actors (capped)."""
+    rows = pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).metadata.num_rows
+    return max(lo, min(hi, rows // rows_per_actor))
+
+
 def _round2(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """round(x*100)/100 with half-away ties — DuckDB round() parity."""
     out = pc.divide(
@@ -651,19 +662,26 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_minhash_dedup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    res = minhash_dedup(ds, threshold=0.8)
+    res = minhash_dedup(
+        ds, threshold=0.8, concurrency=_pool_for(sf_dir, "documents", 800)
+    )
     return res["survivors_ds"]  # distributed survivors (doc_id column)
 
 
 def q_simhash_dedup_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    res = simhash_dedup(ds, max_hamming=3)
+    res = simhash_dedup(
+        ds, max_hamming=3, concurrency=_pool_for(sf_dir, "documents", 800)
+    )
     return res["survivors_ds"]
 
 
 def q_embedding_dedup(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    res = embedding_dedup(ds, dim=64, threshold=0.95)
+    res = embedding_dedup(
+        ds, dim=64, threshold=0.95,
+        concurrency=_pool_for(sf_dir, "embeddings", 2000),
+    )
     return res["survivors_ds"]
 
 
@@ -815,7 +833,7 @@ def q_embedding_scores(sf_dir: str):
 
     scored = ds.map_batches(
         Scorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), num_cpus=1,
+        concurrency=_pool_for(sf_dir, "embeddings", 2500), num_cpus=1,
     )
     return scored.sort(["score", "vec_id"], descending=[True, False]).limit(50)
 
@@ -832,7 +850,10 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
 
 def q_ann_topk(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return brute_force_topk(ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10)
+    return brute_force_topk(
+        ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10,
+        concurrency=_pool_for(sf_dir, "embeddings", 2500),
+    )
 
 
 def q_ann_topk_ivf(sf_dir: str):

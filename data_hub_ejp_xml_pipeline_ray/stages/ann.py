@@ -28,6 +28,16 @@ import ray
 import ray.data
 
 
+def _cap_pool(n: int) -> int:
+    """Clamp a fixed actor-pool size to leave read-stage CPU headroom
+    (a pool == session CPUs starves the read and deadlocks)."""
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    return max(1, min(n, cpus - 2 if cpus > 3 else 1))
+
+
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Embedding column -> (n, dim) float64 matrix. Zero-copy fast
     path: a null-free ``list``/``fixed_size_list`` column's values
@@ -135,6 +145,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    concurrency: int = 2,
 ) -> ray.data.Dataset:
     """Exact cosine top-k of every query over the corpus. Returns a
     Dataset of (query_id, neighbor_id, cosine, rank)."""
@@ -144,7 +155,9 @@ def brute_force_topk(
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        # FIXED pool sized by the caller: autoscaling pools ramp slowly
+        # (2x wall at small inputs); capped for read headroom
+        concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(
@@ -210,6 +223,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    concurrency: int = 2,
 ) -> ray.data.Dataset:
     """IVF ANN: k-means coarse quantizer from a bounded sample (driver
     materializes only the sample), batches score only probed lists."""
@@ -225,7 +239,7 @@ def ivf_topk(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(
@@ -285,7 +299,7 @@ def build_ivf_index(
 
     ds.select_columns([vec_col, id_col]).map_batches(
         Assign, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), num_cpus=1,
+        concurrency=_cap_pool(4), num_cpus=1,
     ).write_parquet(index_dir, partition_cols=["centroid"])
     meta = {
         "n_clusters": int(len(centroids)),
@@ -372,7 +386,7 @@ def ivf_index_search(
 
     partials = ray.data.read_parquet(paths).map_batches(
         ProbeScorer, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8), num_cpus=1,
+        concurrency=_cap_pool(2), num_cpus=1,
     )
     return partials.groupby("query_id").map_groups(
         _final_topk_factory(k), batch_format="pyarrow"

@@ -49,6 +49,20 @@ from ..functions.hashing import (
 )
 
 
+def _cap_pool(n: int) -> int:
+    """Clamp a fixed actor-pool size to leave CPU headroom for the read
+    stage: a pool equal to the session CPU count STARVES the upstream
+    read and deadlocks the pipeline (measured in the 4-CPU test
+    session). Always leaves 2 CPUs free (1 when the session is tiny)."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    return max(1, min(n, cpus - 2 if cpus > 3 else 1))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -203,6 +217,7 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 1234,
+    concurrency: int = 4,
 ) -> dict:
     """Full MinHash-LSH near-dup pipeline. Returns
     ``{"survivors_ds": Dataset of surviving ids, "drop": drop-id set,
@@ -221,7 +236,10 @@ def minhash_dedup(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        # FIXED pool: autoscaling (1, N) pools ramp slowly and cost ~2x
+        # wall at small inputs; callers size this to the corpus, capped
+        # to leave read headroom (deadlock guard)
+        concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
     cands, capped = candidate_pairs_from_buckets(sigs)
@@ -652,6 +670,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    concurrency: int = 4,
 ) -> dict:
     """SimHash near-dup: banded candidates, exact Hamming verify.
 
@@ -664,7 +683,7 @@ def simhash_dedup(
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
 
@@ -844,6 +863,7 @@ def embedding_dedup(
     seed: int = 99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    concurrency: int = 4,
 ) -> dict:
     """Cosine near-dup over embeddings: hyperplane-LSH buckets, exact
     within-bucket cosine verify, union-find clusters. ``num_planes``
@@ -856,7 +876,7 @@ def embedding_dedup(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
 

@@ -149,3 +149,26 @@ def test_split_partition_then_ingest_converges(tmp_path):
     some = expected.column("url").to_pylist()[:5]
     looked = lookup_urls(cfg.lake_dir, some)
     assert looked.column("url").to_pylist() == sorted(some)
+
+
+def test_split_partition_on_nested_lake_preserves_state(tmp_path):
+    """Maintenance ops must work on every lake shape: splitting a
+    partition whose rows carry list<struct> columns preserves the
+    visible state bit-for-bit."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import run_nested_ingest
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import split_partition
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=61, n_urls=30, n_events=200,
+                 n_segments=2, rich_pages=True)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_nested_ingest(cfg, struct_version=2)
+    before = lake_snapshot(cfg.lake_dir)
+    m = load_manifest(cfg.lake_dir)
+    biggest = max(m.partition_meta, key=lambda p: m.partition_meta[p]["rows"])
+    split_partition(cfg.lake_dir, biggest)
+    after = lake_snapshot(cfg.lake_dir)
+    assert after.equals(before)
+    assert load_manifest(cfg.lake_dir).splits == [[biggest, 4]]
