@@ -50,3 +50,19 @@ def test_cli_split_and_errors(tmp_path):
     assert sp["parent"] == 0 and sp["modulus"] == 4
     s = _run(["show", "--lake-dir", lake])
     assert s["version"] == 2
+
+
+def test_cli_poll_entity_routes_to_entity_lake(tmp_path):
+    """poll --entity must ingest into the ENTITY lake (regression: it
+    silently ran the page ingest)."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "elake")
+    generate_wal(wal, seed=5, n_urls=10, n_events=60, n_segments=1,
+                 rich_pages=True)
+    r = _run(["poll", "--wal-dir", wal, "--lake-dir", lake,
+              "--num-partitions", "4", "--num-cpus", "4",
+              "--entity", "--interval", "0.5", "--timeout", "6"])
+    assert r["commits"] == 1
+    s = _run(["show", "--lake-dir", lake])
+    # entity lake schema is the giveaway: entity_type discriminator
+    assert "entity_type" in s["schema"]

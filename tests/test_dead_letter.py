@@ -85,3 +85,31 @@ def test_clean_ingest_has_no_error_rows(tmp_path):
     run_ingest(cfg)
     assert read_errors(cfg.lake_dir).num_rows == 0
     assert "error_rows" not in load_manifest(cfg.lake_dir).counters
+
+
+def test_entity_lake_quarantines_corrupt_rows(tmp_path):
+    """The demuxed entity ingest shares the dead-letter path: corrupt
+    rows land in _errors, good rows fan out to entity rows."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import run_entity_ingest
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=37, n_urls=10, n_events=60, n_segments=1,
+                 rich_pages=True)
+    _corrupt_segment(os.path.join(wal, "segment-00001.parquet"))
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_entity_ingest(cfg)
+    errs = read_errors(cfg.lake_dir)
+    assert errs.num_rows == 2
+    snap = lake_snapshot(cfg.lake_dir)
+    urls = set(snap.column("url").to_pylist())
+    assert "https://bad-utf8.example/" not in urls
+    assert {"https://good.example/", "https://good2.example/"} <= urls
+    # good corrupt-segment rows produced page entity rows
+    pages = snap.filter(
+        pa.compute.equal(snap.column("entity_type"), "page")
+    )
+    assert {"https://good.example/", "https://good2.example/"} <= set(
+        pages.column("url").to_pylist()
+    )
