@@ -181,18 +181,27 @@ def run_scaling() -> dict:
     """
     lo_cpus, hi_cpus = 8, 32
     events = os.environ.get("GRAFT_BENCH_EVENTS", "8000000")
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     out = {}
     # hi first: the SECOND run inherits the first's page cache, so any
     # cache bias favors the low level -> reported efficiency is a
-    # conservative lower bound.
+    # conservative lower bound. Best-of-N per level: single runs on a
+    # shared box occasionally absorb one-off interference (observed a
+    # 1.7x-slow 8-CPU run from ambient disk/page-cache churn); the best
+    # run is the least-contended measurement of the same fixed work.
     for n in (hi_cpus, lo_cpus):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_EVENTS=events)
         env.pop("GRAFT_SCALING", None)
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or res["cdc"]["events_per_sec"] > best["cdc"]["events_per_sec"]:
+                best = res
+        out[n] = best
     thr_lo = out[lo_cpus]["cdc"]["events_per_sec"]
     thr_hi = out[hi_cpus]["cdc"]["events_per_sec"]
     eff = thr_hi / (thr_lo * (hi_cpus / lo_cpus))
