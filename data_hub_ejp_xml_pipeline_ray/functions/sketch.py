@@ -1,0 +1,129 @@
+"""HyperLogLog cardinality sketch — the mergeable-sketch operator slot:
+per-batch partial sketches combine by element-wise register max, so
+distinct counting runs as map_batches partials + one tiny reduce with
+NO shuffle of the raw values (contrast the exact path, which must move
+every distinct (key, value) pair).
+
+Standard HLL (Flajolet et al. 2007 constants), deterministic via
+blake2b hashing — no seeds, no clock. Registers are 2^p uint8; a
+p=12 sketch is 4 KB and its standard error ~1.04/sqrt(2^p) = 1.6%.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def empty_registers(p: int = 12) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def update_registers(reg: np.ndarray, values: pa.Array | list) -> np.ndarray:
+    """Fold a column of values into the registers (vectorized over the
+    hash array). Nulls are skipped."""
+    p = int(np.log2(len(reg)))
+    vals = values.to_pylist() if isinstance(values, (pa.Array, pa.ChunkedArray)) else values
+    hashes = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for v in vals
+            if v is not None
+        ),
+        dtype=np.uint64,
+    )
+    if len(hashes) == 0:
+        return reg
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1
+    lz = np.full(len(rest), 64 - p, dtype=np.uint8)
+    cur = rest.copy()
+    found = np.zeros(len(rest), dtype=bool)
+    for bit in range(64 - p):
+        is_set = (cur >> np.uint64(63)) != 0
+        newly = is_set & ~found
+        lz[newly] = bit
+        found |= is_set
+        cur = cur << np.uint64(1)
+    rank = (lz + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def merge_registers(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sketch union = element-wise max (associative + commutative +
+    idempotent — safe under Ray task retries and any partial order)."""
+    return np.maximum(a, b)
+
+
+def estimate(reg: np.ndarray) -> float:
+    """Standard HLL estimate with the small-range (linear counting)
+    correction."""
+    m = len(reg)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.sum(reg == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_count_distinct(
+    ds, column: str, *, p: int = 12, group_col: str | None = None
+):
+    """Distributed distinct-count over a Dataset column: per-batch
+    partial sketches (map_batches), merged driver-side by register max
+    (the merge is a few KB per group — never the values). With
+    ``group_col``, returns ``{group: estimate}``; else a float."""
+    import ray.data  # noqa: F401  (Dataset type)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups: dict = {}
+        if group_col is None:
+            reg = update_registers(empty_registers(p), batch.column(column))
+            groups[""] = reg
+        else:
+            keys = batch.column(group_col).to_pylist()
+            vals = batch.column(column).to_pylist()
+            for k, v in zip(keys, vals):
+                reg = groups.setdefault(k, empty_registers(p))
+                if v is not None:
+                    update_registers(reg, [v])
+            # NOTE: per-row fold here is fine — this branch exists for
+            # low-cardinality group keys; vectorize per group if needed
+        return pa.table(
+            {
+                "g": pa.array([str(k) for k in groups], pa.string()),
+                "reg": pa.array(
+                    [g.tobytes() for g in groups.values()], pa.binary()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged: dict[str, np.ndarray] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, raw in zip(b.column("g").to_pylist(), b.column("reg").to_pylist()):
+            reg = np.frombuffer(raw, dtype=np.uint8).copy()
+            if g in merged:
+                merged[g] = merge_registers(merged[g], reg)
+            else:
+                merged[g] = reg
+    if group_col is None:
+        return estimate(merged[""])
+    return {g: estimate(r) for g, r in merged.items()}

@@ -340,6 +340,30 @@ def q_events_in_prior_hour(sf_dir: str):
     return _bucketed_groups(ds, "user_id", prior_bucket)
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped count-distinct: per-batch (type, user) dedup
+    combiner so only distinct pairs shuffle, then a grouped distinct
+    count. (The approximate sibling is the HLL sketch in
+    ``functions/sketch.py`` — mergeable partials, no pair shuffle at
+    all; it is error-bound-tested rather than oracle-checked.)"""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # global dedup of pairs, then count per type (both tiny after the
+    # combiner): reuse the grouped aggregate over distinct pairs
+    dedup = pairs.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+    return dedup.map_batches(
+        lambda t: t.drop_columns(["_n"]), batch_format="pyarrow"
+    ).groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
 def q_top_terms(sf_dir: str):
     """Corpus term top-k (the canonical map-reduce): per-batch token
     explosion + LOCAL count combiner, tiny global groupby sum, sort +
@@ -1055,6 +1079,7 @@ QUERIES = {
     "hopping_window_counts": q_hopping_window_counts,
     "events_in_prior_hour": q_events_in_prior_hour,
     "top_terms": q_top_terms,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "sessionize": q_sessionize,
     "asof_last_signup": q_asof_last_signup,
     "customers_without_orders": q_customers_without_orders,
@@ -1172,6 +1197,10 @@ ORACLE_SQL = {
          AND b.ts >= a.ts - INTERVAL 1 HOUR
          AND b.ts <  a.ts
         GROUP BY a.event_id
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "top_terms": """
         SELECT term, count(*) AS n FROM (
