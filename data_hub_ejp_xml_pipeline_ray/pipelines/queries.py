@@ -799,6 +799,65 @@ def q_median_value_by_type(sf_dir: str):
     )
 
 
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact grouped multi-quantiles (p25/p50/p75/p90) with
+    ``quantile_cont``'s linear interpolation — the generalized form of
+    ``median_value_by_type`` (few groups, so per-group numpy is the
+    right shape; many-group quantiles would ride ``_bucketed_groups``)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g["value"].to_numpy())
+        n = len(vals)
+
+        def q(p: float) -> float:
+            h = (n - 1) * p
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v = vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+            return float(np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100)
+
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "p25": [q(0.25)], "p50": [q(0.5)],
+             "p75": [q(0.75)], "p90": [q(0.9)]}
+        )
+
+    res = ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+    return res.map_batches(
+        lambda t: t.cast(pa.schema([
+            ("event_type", pa.string()), ("p25", pa.float64()),
+            ("p50", pa.float64()), ("p75", pa.float64()),
+            ("p90", pa.float64()),
+        ])),
+        batch_format="pyarrow",
+    )
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot (long -> wide): per-user event counts as one column per
+    event type. Per-batch conditional-count combiner (vectorized
+    boolean sums), then grouped sums — the classic warehouse pivot via
+    filtered aggregation; the oracle uses ``count(*) FILTER``."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.group_by("user_id").agg(
+            *[
+                (pl.col("event_type") == ty).sum().cast(pl.Int64)
+                .alias(f"n_{ty}")
+                for ty in types
+            ]
+        )
+        return out.to_arrow()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("user_id").aggregate(
+        *[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types]
+    )
+
+
 _SAMPLE_MULT = 2654435761  # Knuth multiplicative hash (SQL-expressible)
 _SAMPLE_MOD = 1 << 32
 
@@ -1096,6 +1155,8 @@ QUERIES = {
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
     "median_value_by_type": q_median_value_by_type,
+    "value_quantiles_by_type": q_value_quantiles_by_type,
+    "event_type_pivot": q_event_type_pivot,
     "embedding_scores": q_embedding_scores,
     "doc_token_stats": q_doc_token_stats,
     "lang_id": q_lang_id,
@@ -1317,6 +1378,23 @@ ORACLE_SQL = {
         SELECT event_type,
                round(quantile_cont(value, 0.5) * 100) / 100 AS median_value
         FROM events GROUP BY event_type
+    """,
+    "value_quantiles_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.25) * 100) / 100 AS p25,
+               round(quantile_cont(value, 0.50) * 100) / 100 AS p50,
+               round(quantile_cont(value, 0.75) * 100) / 100 AS p75,
+               round(quantile_cont(value, 0.90) * 100) / 100 AS p90
+        FROM events GROUP BY event_type
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error
+        FROM events GROUP BY user_id
     """,
     "embedding_scores": None,  # filled below with the literal weight vector
     "doc_token_stats": f"""
