@@ -54,6 +54,34 @@ def annotate_and_filter(
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def curate_exact(
+    ds: ray.data.Dataset,
+    *,
+    quality_threshold: float = DEFAULT_QUALITY_THRESHOLD,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    near_dup_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Fully DETERMINISTIC curation: the same filter -> exact dedup ->
+    near dedup chain as :func:`curate`, but with the prefix-blocked
+    exact-Jaccard near-dup stage instead of MinHash-LSH — every stage
+    is SQL-expressible, so the WHOLE pipeline is oracle-checkable
+    (query ``curate_corpus_exact``). Returns surviving ids."""
+    from ..stages.dedup import jaccard_dedup
+
+    filtered = annotate_and_filter(
+        ds, quality_threshold=quality_threshold, langs=langs
+    ).select_columns([id_col, text_col])
+    exact_drop = exact_dedup_drop_ids(filtered, text_col, id_col)
+    deduped = filter_survivors(filtered, exact_drop, id_col)
+    res = jaccard_dedup(
+        deduped, threshold=near_dup_threshold, id_col=id_col,
+        text_col=text_col,
+    )
+    return res["survivors_ds"]
+
+
 def curate(
     ds: ray.data.Dataset,
     *,

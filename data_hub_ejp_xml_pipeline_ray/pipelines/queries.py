@@ -1102,6 +1102,17 @@ def _run_derived_cdc(sf_dir: str, tag: str, *, entity: bool) -> pa.Table:
     )
 
 
+def q_curate_corpus_exact(sf_dir: str):
+    """END-TO-END curation, fully oracle-checked: quality/lang gate ->
+    exact dedup -> prefix-blocked exact-Jaccard near-dup — the whole
+    composed training-data pipeline verified against one SQL statement
+    (filter expr + group-min dedup + recursive-CTE closure)."""
+    from .curate import curate_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate_exact(ds, quality_threshold=0.3, near_dup_threshold=0.8)
+
+
 def q_cdc_lake_state(sf_dir: str):
     """Flagship CDC pipeline, DRIVER-ORACLE-CHECKED: WAL derived from
     ``events``, real ingest into a fresh lake, merged state == SQL
@@ -1170,6 +1181,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "curate_filter": q_curate_filter,
     "curate_corpus": q_curate_corpus,
+    "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_entity_lake": q_cdc_entity_lake,
 }
@@ -1590,6 +1602,55 @@ ORACLE_SQL = {
                  {_LANG_CASE} AS lang_pred
           FROM documents)
         WHERE quality >= 0.3 AND lang_pred IN ('en', 'de', 'fr', 'es')
+    """,
+    # Whole curation pipeline in one statement: quality/lang filter +
+    # exact dedup (group min) + prefix-blocked trigram-Jaccard near-dup
+    # with recursive-CTE transitive closure. Lock-step with
+    # pipelines/curate.curate_exact.
+    "curate_corpus_exact": f"""
+        WITH RECURSIVE ann AS (
+          SELECT doc_id, text,
+                 round( (least({_TOKEN_SQL}, 200) / 200.0 * 0.5
+                       + {_STOP_SQL} * 1.0 / greatest({_TOKEN_SQL}, 1) * 0.3
+                       + (1 - {_PUNCT_SQL} * 1.0 / greatest(length(text), 1)) * 0.2)
+                       * 10000) / 10000 AS q,
+                 {_LANG_CASE} AS lp
+          FROM documents
+        ), filtered AS (
+          SELECT doc_id, text FROM ann
+          WHERE q >= 0.3 AND lp IN ('en', 'de', 'fr', 'es')
+        ), ex AS (
+          SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text
+        ), d AS (
+          SELECT f.doc_id,
+                 regexp_extract_all(f.text, '[A-Za-z0-9]+') AS toks,
+                 substr(f.text, 1, 24) AS blk
+          FROM filtered f JOIN ex USING (doc_id)
+        ), s AS (
+          SELECT doc_id, blk,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                      ELSE [array_to_string(toks, ' ')] END AS tri
+          FROM d
+        ), pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib
+          FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.tri, b.tri))::DOUBLE
+                / len(list_distinct(a.tri || b.tri)) >= 0.8
+        ), sym AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+          WHERE e.b != r.a
+        )
+        SELECT doc_id FROM d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM reach WHERE reach.a = d.doc_id AND reach.b < d.doc_id)
     """,
     # rows-only (non-SQL-expressible — probabilistic LSH / IVF):
     # minhash_dedup_docs, simhash_dedup_docs, embedding_dedup,
