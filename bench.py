@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "ann_topk",
     "asof_last_signup",
     "cumulative_value_per_user",
+    "events_in_prior_hour",
+    "top_terms",
+    "distinct_users_per_type",
     "curate_filter",
 ]
 

@@ -354,14 +354,20 @@ def q_distinct_users_per_type(sf_dir: str):
     pairs = ds.map_batches(
         distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
-    # global dedup of pairs, then count per type (both tiny after the
-    # combiner): reuse the grouped aggregate over distinct pairs
-    dedup = pairs.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="_n")
+
+    # ONE shuffle: the per-batch combiner already shrank the stream to
+    # near-distinct pairs; each (low-cardinality) type group counts its
+    # unique users vectorized
+    def count_unique(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": g.column("event_type").slice(0, 1),
+             "n_users": pa.array(
+                 [len(pc.unique(g.column("user_id")))], pa.int64())}
+        )
+
+    return pairs.groupby("event_type").map_groups(
+        count_unique, batch_format="pyarrow"
     )
-    return dedup.map_batches(
-        lambda t: t.drop_columns(["_n"]), batch_format="pyarrow"
-    ).groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
 def q_top_terms(sf_dir: str):
