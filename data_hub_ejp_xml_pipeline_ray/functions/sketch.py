@@ -93,30 +93,35 @@ def hll_count_distinct(
     import ray.data  # noqa: F401  (Dataset type)
 
     def partial(batch: pa.Table) -> pa.Table:
-        groups: dict = {}
         if group_col is None:
             reg = update_registers(empty_registers(p), batch.column(column))
-            groups[""] = reg
-        else:
-            keys = batch.column(group_col).to_pylist()
-            vals = batch.column(column).to_pylist()
-            for k, v in zip(keys, vals):
-                reg = groups.setdefault(k, empty_registers(p))
-                if v is not None:
-                    update_registers(reg, [v])
-            # NOTE: per-row fold here is fine — this branch exists for
-            # low-cardinality group keys; vectorize per group if needed
+            return pa.table(
+                {"g": pa.array([""], pa.string()),
+                 "reg": pa.array([reg.tobytes()], pa.binary())}
+            )
+        # Vectorized group partitioning: dictionary-encode the key, then
+        # fold each group's values in ONE update_registers call (the
+        # per-row path rebuilt the leading-zero loop per value — O(rows)
+        # Python). Group keys keep their ORIGINAL type in the output.
+        keys = batch.column(group_col).combine_chunks()
+        vals = batch.column(column).combine_chunks()
+        import pyarrow.compute as _pc
+
+        enc = _pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_keys, out_regs = [], []
+        for code in range(len(enc.dictionary)):
+            mask = pa.array(codes == code)
+            reg = update_registers(empty_registers(p), vals.filter(mask))
+            out_keys.append(enc.dictionary[code].as_py())
+            out_regs.append(reg.tobytes())
         return pa.table(
-            {
-                "g": pa.array([str(k) for k in groups], pa.string()),
-                "reg": pa.array(
-                    [g.tobytes() for g in groups.values()], pa.binary()
-                ),
-            }
+            {"g": pa.array(out_keys, type=keys.type),
+             "reg": pa.array(out_regs, pa.binary())}
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged: dict[str, np.ndarray] = {}
+    merged: dict = {}
     for b in parts.iter_batches(batch_format="pyarrow"):
         for g, raw in zip(b.column("g").to_pylist(), b.column("reg").to_pylist()):
             reg = np.frombuffer(raw, dtype=np.uint8).copy()

@@ -90,7 +90,20 @@ def _keep_extreme(batch: pa.Table, key_cols: list[str], order_cols: list[str],
     return conform_table(out, batch.schema)
 
 
-_BUCKET_MULT = 2654435761  # Knuth multiplicative hash
+_BUCKET_MULT64 = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multiplier
+
+
+def _hash_bucket(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Multiplicative-hash bucket id for an int64 key column. Runs in
+    numpy uint64 (wraparound IS the hash; pyarrow's checked multiply
+    raises on keys >= ~3.5e9, and its uint64 scalar path rejects values
+    above int64 max) and takes the HIGH 32 bits, so the bucket depends
+    on every key bit — not just ``key mod num_buckets``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (k * np.uint64(_BUCKET_MULT64)) >> np.uint64(32)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
 def _bucketed_groups(
@@ -107,17 +120,7 @@ def _bucketed_groups(
     masks)."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pc.bit_wise_and(
-            pc.multiply_checked(t.column(key).cast(pa.int64()), _BUCKET_MULT),
-            (1 << 32) - 1,
-        )
-        b = pc.cast(
-            pc.bit_wise_and(h, num_buckets - 1)
-            if num_buckets & (num_buckets - 1) == 0
-            else pc.subtract(h, pc.multiply(pc.divide(h, num_buckets), num_buckets)),
-            pa.int32(),
-        )
-        return t.append_column("_bucket", b)
+        return t.append_column("_bucket", _hash_bucket(t.column(key), num_buckets))
 
     def run_bucket(group: pa.Table) -> pa.Table:
         return bucket_fn(group.drop_columns(["_bucket"]))
@@ -931,10 +934,20 @@ _ANN_QUERY_IDS = [0, 1, 2]
 
 
 def _query_vectors(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas().set_index("vec_id").loc[_ANN_QUERY_IDS]
-    return np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    """Fetch the 3 query vectors with a PUSHED-DOWN row filter + column
+    projection — only matching row groups leave storage (the previous
+    unpruned read pulled the whole embeddings table onto the driver)."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", _ANN_QUERY_IDS)],
+    )
+    by_id = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    return np.vstack(
+        [np.asarray(by_id[i], dtype=np.float64) for i in _ANN_QUERY_IDS]
+    )
 
 
 def q_ann_topk(sf_dir: str):
