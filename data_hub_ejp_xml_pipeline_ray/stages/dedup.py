@@ -16,11 +16,16 @@ Five operators, each Ray-Data-first:
 Scale notes (the partitioning assumptions, per SURVEY §2.8): signatures
 and band keys are computed batch-parallel in actor pools (per-actor
 seeded state built once); the only shuffles move (bucket_key, doc_id)
-pairs — never documents. Cluster resolution is DISTRIBUTED
-(:func:`minlabel_components`: iterated min-label propagation over the
-pair graph via join + groupby-min, converging in O(diameter) rounds);
-the driver sees only verified pairs and the converged labels — both
-bounded by the duplicate rate, never O(corpus). Survivors stream
+pairs — never documents. The CANDIDATE pair stream is a Dataset end to
+end: distributed distinct (:func:`distinct_pairs`), Dataset-native
+verify (:func:`verify_pairs_dataset` — two bucketed co-group
+exchanges), and distributed clustering (:func:`minlabel_components`:
+min-label propagation + pointer doubling, O(log diameter) rounds) —
+only when the MEASURED pair count is tiny
+(< :data:`PAIR_DRIVER_THRESHOLD`) does the pair list collect
+driver-side for the cheap local path. The driver sees only verified
+pairs and the converged labels — both bounded by the true duplicate
+rate, never the candidate count or the corpus. Survivors stream
 through :func:`filter_survivors` (broadcast drop-set anti-filter); the
 corpus id universe is never materialized driver-side. Surviving-id
 semantics are deterministic: the minimum id in each cluster survives.
@@ -32,6 +37,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -187,24 +193,93 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+_PAIR_MULT_A = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multipliers
+_PAIR_MULT_B = 0xC2B2AE3D27D4EB4F
+
+
+def _col_np_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+def _pair_bucket(a: pa.ChunkedArray | pa.Array, b: pa.ChunkedArray | pa.Array,
+                 num_buckets: int) -> pa.Array:
+    """Bucket id for an (id_a, id_b) pair column — numpy uint64
+    wraparound hash over BOTH ids, high bits (pyarrow's checked
+    multiply raises on large keys; see queries._hash_bucket)."""
+    h = (
+        _col_np_u64(a) * np.uint64(_PAIR_MULT_A)
+        + _col_np_u64(b) * np.uint64(_PAIR_MULT_B)
+    ) >> np.uint64(32)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def capped_pair_count(raw_pairs: ray.data.Dataset) -> int:
+    """Total candidate pairs dropped by degenerate-bucket capping —
+    summed from the CAP_MARKER rows riding the pair stream (0 in
+    healthy runs; NEVER silently swallowed)."""
+    markers = raw_pairs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("id_a"), CAP_MARKER)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return int(markers.sum("id_b") or 0)
+
+
+def distinct_pairs(
+    raw_pairs: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """DISTRIBUTED distinct over a candidate-pair stream (marker rows
+    dropped): per-batch local dedup combiner, then a bucketed
+    vectorized unique — the pair stream stays a Dataset end-to-end;
+    the driver never holds the pair list."""
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("id_a"), CAP_MARKER))
+        t = (
+            pl.from_arrow(t).unique(subset=["id_a", "id_b"])
+            .to_arrow().cast(_PAIR_SCHEMA)
+        )
+        return t.append_column(
+            "_bk", _pair_bucket(t.column("id_a"), t.column("id_b"), num_buckets)
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(g.drop_columns(["_bk"]))
+            .unique(subset=["id_a", "id_b"])
+            .to_arrow().cast(_PAIR_SCHEMA)
+        )
+
+    return (
+        raw_pairs.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bk").map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def candidate_pairs_from_buckets(
     buckets: ray.data.Dataset,
 ) -> tuple[list[tuple[int, int]], int]:
-    """Distinct candidate pairs + the total number of pairs dropped by
-    degenerate-bucket capping (0 in healthy runs; NEVER silently
-    swallowed — callers propagate it in their result)."""
-    pairs_ds = buckets.groupby(["band", "key"]).map_groups(
+    """Driver-side convenience wrapper (SMALL inputs only — the scale
+    path keeps the pair stream a Dataset via :func:`distinct_pairs`):
+    distinct candidate pairs + the capped-pair count."""
+    raw = buckets.groupby(["band", "key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
-    )
-    seen: set[tuple[int, int]] = set()
-    capped_dropped = 0
+    ).materialize()
+    capped = capped_pair_count(raw)
+    return _collect_pairs(distinct_pairs(raw)), capped
+
+
+def _collect_pairs(pairs_ds: ray.data.Dataset) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
     for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            if a_ == CAP_MARKER:
-                capped_dropped += b_
-            else:
-                seen.add((a_, b_))
-    return sorted(seen), capped_dropped
+        out.extend(
+            zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist())
+        )
+    return sorted(out)
 
 
 def minhash_dedup(
@@ -225,9 +300,13 @@ def minhash_dedup(
     "capped_dropped_pairs": n}``.
 
     The input dataset is consumed twice (signatures, then verify); pass
-    a cheap re-readable source. Verification re-computes exact Jaccard
-    on only the candidate docs (fetched via a broadcast id-set filter).
-    """
+    a cheap re-readable source. The CANDIDATE pair stream is a Dataset
+    end-to-end (distributed distinct -> verify -> clustering); only
+    when the measured pair count is tiny
+    (< :data:`PAIR_DRIVER_THRESHOLD`) does it collect driver-side for
+    the cheap local verify. The driver never holds an O(candidate-pair)
+    structure on the scale path — only verified pairs and cluster
+    labels, both bounded by the true duplicate rate."""
     sigs = ds.select_columns([text_col, id_col]).map_batches(
         MinHashSignatures,
         fn_constructor_kwargs=dict(
@@ -242,28 +321,249 @@ def minhash_dedup(
         concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
-    cands, capped = candidate_pairs_from_buckets(sigs)
-    if not cands:
-        return _dedup_result(ds, [], id_col, capped)
+    raw = sigs.groupby(["band", "key"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    ).materialize()
+    return _near_dup_tail(
+        ds, raw, threshold=threshold, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, trigram_strings=False,
+    )
 
-    needed = {i for p in cands for i in p}
-    if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
-        # web-scale dup rates: texts never reach the driver
-        verified = verify_pairs_distributed(
-            ds, cands, threshold=threshold, shingle_n=shingle_n,
-            text_col=text_col, id_col=id_col,
+
+#: Measured-candidate-pair threshold below which the pair list may
+#: collect on the driver (a few MB; the local union-find/verify path is
+#: then cheapest). At or above it, candidates stay a Dataset end to end
+#: — the O(pairs) driver structure the r2 audit flagged never exists.
+PAIR_DRIVER_THRESHOLD = 50_000
+
+
+def _near_dup_tail(
+    ds: ray.data.Dataset,
+    raw_pairs: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    trigram_strings: bool,
+) -> dict:
+    """Shared near-dup tail for the Jaccard-verified operators
+    (MinHash / prefix-blocked exact): distributed pair distinct, then
+    either the driver fast path (tiny measured pair count) or the
+    fully Dataset-native verify + clustering."""
+    capped = capped_pair_count(raw_pairs)
+    cand_ds = distinct_pairs(raw_pairs).materialize()
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
+        return _dedup_result(ds, [], id_col, capped)
+    if n_pairs < PAIR_DRIVER_THRESHOLD:
+        cands = _collect_pairs(cand_ds)
+        needed = {i for p in cands for i in p}
+        if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
+            # texts never reach the driver (pair list already local)
+            verified = verify_pairs_distributed(
+                ds, cands, threshold=threshold, shingle_n=shingle_n,
+                text_col=text_col, id_col=id_col,
+                trigram_strings=trigram_strings,
+            )
+        else:
+            texts = _fetch_texts(ds, needed, text_col, id_col)
+            if trigram_strings:
+                sh: dict = {i: _token_trigram_set(texts.get(i)) for i in needed}
+                verified = [
+                    (a_, b_) for a_, b_ in cands
+                    if len(sh[a_] & sh[b_]) / max(len(sh[a_] | sh[b_]), 1)
+                    >= threshold
+                ]
+            else:
+                sh = {
+                    i: shingle_hashes(texts.get(i, "") or "", shingle_n)
+                    for i in needed
+                }
+                verified = [
+                    (a_, b_) for a_, b_ in cands
+                    if jaccard(sh[a_], sh[b_]) >= threshold
+                ]
+        return _dedup_result(ds, verified, id_col, capped)
+    verified_ds = verify_pairs_dataset(
+        ds, cand_ds, threshold=threshold, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, trigram_strings=trigram_strings,
+    )
+    return _dedup_result_from_ds(ds, verified_ds, id_col, capped)
+
+
+def _shingle_sorted_list(
+    text: str | None, shingle_n: int, trigram_strings: bool
+) -> list[int]:
+    """Per-doc shingle set as a sorted int64 list (the transport form
+    both distributed verify paths shuffle). Trigram strings are hashed
+    STABLY (blake2b — builtin hash() varies per worker process)."""
+    if trigram_strings:
+        return sorted(
+            int.from_bytes(
+                hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            ) >> 2
+            for s in _token_trigram_set(text)
         )
-    else:
-        texts = _fetch_texts(ds, needed, text_col, id_col)
-        shingles = {
-            i: shingle_hashes(texts.get(i, "") or "", shingle_n) for i in needed
-        }
-        verified = [
-            (a_, b_)
-            for a_, b_ in cands
-            if jaccard(shingles[a_], shingles[b_]) >= threshold
+    return sorted(
+        set((shingle_hashes(text or "", shingle_n) >> np.uint64(2)).tolist())
+    )
+
+
+def verify_pairs_dataset(
+    ds: ray.data.Dataset,
+    cand_ds: ray.data.Dataset,
+    *,
+    threshold: float,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    trigram_strings: bool = False,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification with the candidate-pair stream AS A
+    DATASET — nothing pair-sized ever exists on the driver (the r2
+    audit's last O(corpus-fraction) driver structure). Two bucketed
+    co-group exchanges, each a vectorized polars kernel per bucket:
+
+    1. semi-join by doc id: pair-membership rows (2 per pair) union
+       per-doc shingle rows, bucketed by ``hash(doc id)``; an in-bucket
+       inner join attaches each member's shingle list. Only docs with
+       memberships survive — output is pair-bounded.
+    2. judge by pair: bucketed by ``hash(id_a, id_b)``; an in-bucket
+       group-by collects both sides and computes Jaccard via polars
+       list set kernels. Emits verified ``(id_a, id_b)`` rows.
+
+    The corpus-wide shingle pass is O(corpus) compute/shuffle of
+    shingle lists — the price of a true semi-join without a broadcast
+    id set (which would be O(candidate docs) in every actor's heap)."""
+    sh_type = pa.list_(pa.int64())
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks()
+        b = t.column("id_b").combine_chunks()
+        node = pa.concat_arrays([a, b])
+        out = pa.table(
+            {"node": node,
+             "p_a": pa.concat_arrays([a, a]),
+             "p_b": pa.concat_arrays([b, b]),
+             "shingles": pa.nulls(len(node), sh_type)}
+        )
+        return out.append_column("_bk", _pair_bucket(node, node, num_buckets))
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        lists = [
+            _shingle_sorted_list(x, shingle_n, trigram_strings)
+            for x in t.column(text_col).to_pylist()
         ]
-    return _dedup_result(ds, verified, id_col, capped)
+        out = pa.table(
+            {"node": ids,
+             "p_a": pa.nulls(len(ids), pa.int64()),
+             "p_b": pa.nulls(len(ids), pa.int64()),
+             "shingles": pa.array(lists, sh_type)}
+        )
+        return out.append_column("_bk", _pair_bucket(ids, ids, num_buckets))
+
+    members = cand_ds.map_batches(
+        member_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True, num_cpus=1
+    )
+
+    def attach(bucket: pa.Table) -> pa.Table:
+        df = pl.from_arrow(bucket.drop_columns(["_bk"]))
+        mems = df.filter(pl.col("p_a").is_not_null()).select(
+            ["node", "p_a", "p_b"]
+        )
+        dlists = df.filter(pl.col("shingles").is_not_null()).select(
+            ["node", "shingles"]
+        ).unique(subset=["node"])
+        out = mems.join(dlists, on="node", how="inner").select(
+            ["p_a", "p_b", "shingles"]
+        ).to_arrow().cast(pa.schema([
+            ("p_a", pa.int64()), ("p_b", pa.int64()), ("shingles", sh_type),
+        ]))
+        return out.append_column(
+            "_bk2", _pair_bucket(out.column("p_a"), out.column("p_b"),
+                                 num_buckets)
+        )
+
+    sided = members.union(docs).groupby("_bk").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    def judge(bucket: pa.Table) -> pa.Table:
+        df = pl.from_arrow(bucket.drop_columns(["_bk2"]))
+        g = (
+            df.group_by(["p_a", "p_b"])
+            .agg(
+                n=pl.len(),
+                sh_a=pl.col("shingles").first(),
+                sh_b=pl.col("shingles").last(),
+            )
+            .filter(pl.col("n") == 2)
+            .with_columns(
+                inter=pl.col("sh_a").list.set_intersection("sh_b").list.len()
+                .cast(pl.Float64),
+                uni=pl.col("sh_a").list.set_union("sh_b").list.len()
+                .cast(pl.Float64),
+            )
+            .with_columns(
+                j=pl.when(pl.col("uni") == 0)
+                .then(pl.lit(1.0))
+                .otherwise(pl.col("inter") / pl.col("uni"))
+            )
+            .filter(pl.col("j") >= threshold)
+            .select(
+                pl.col("p_a").alias("id_a"), pl.col("p_b").alias("id_b")
+            )
+        )
+        return g.to_arrow().cast(_PAIR_SCHEMA)
+
+    return sided.groupby("_bk2").map_groups(judge, batch_format="pyarrow")
+
+
+def _dedup_result_from_ds(
+    ds: ray.data.Dataset,
+    verified_ds: ray.data.Dataset,
+    id_col: str,
+    capped_dropped: int = 0,
+) -> dict:
+    """Result assembly for the Dataset-native path: verified pairs feed
+    :func:`minlabel_components` DIRECTLY as a Dataset; only the
+    converged labels (and the verified pairs themselves — both bounded
+    by the true duplicate rate, never the candidate count) come back to
+    the driver for the drop-set/clusters views."""
+    verified_ds = verified_ds.materialize()
+    labels = minlabel_components(verified_ds)
+    clusters: dict[int, list[int]] = {}
+    drop: set[int] = set()
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for node, label in zip(
+            b.column("node").to_pylist(), b.column("label").to_pylist()
+        ):
+            clusters.setdefault(label, []).append(node)
+            if node != label:
+                drop.add(node)
+    res = {
+        "drop": drop,
+        "clusters": {k: sorted(v) for k, v in clusters.items()},
+        "pairs": _collect_pairs(verified_ds),
+        "capped_dropped_pairs": capped_dropped,
+    }
+    if capped_dropped:
+        print(
+            f"[dedup] WARNING: degenerate LSH buckets dropped "
+            f"{capped_dropped} candidate pairs (recall loss)",
+            flush=True,
+        )
+    res["survivors_ds"] = filter_survivors(
+        ds.select_columns([id_col]), drop, id_col
+    )
+    return res
 
 
 #: Candidate-doc threshold for driver-side text fetch during pair
@@ -521,7 +821,52 @@ def minlabel_components(
              "label": pa.array([lab] * (n + 1), pa.int64())}
         )
 
+    def shortcut(lab_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Pointer doubling (label-of-label): every node adopts
+        ``label(label(node))`` via one tagged-union co-group keyed by
+        the label. Combined with one propagation step per round, the
+        component minimum reaches every node in O(log diameter) rounds
+        — a pure-propagation loop needs O(diameter) and would return
+        WRONG labels for duplicate chains longer than ``max_iters``."""
+        requests = lab_ds.map_batches(
+            lambda t: pa.table(
+                {"key": t.column("label"), "node": t.column("node"),
+                 "old": t.column("label"),
+                 "lab": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        own = lab_ds.map_batches(
+            lambda t: pa.table(
+                {"key": t.column("node"),
+                 "node": pa.nulls(t.num_rows, pa.int64()),
+                 "old": pa.nulls(t.num_rows, pa.int64()),
+                 "lab": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def resolve(group: pa.Table) -> pa.Table:
+            reqs = group.filter(pc.is_valid(group.column("node")))
+            if reqs.num_rows == 0:
+                return label_schema.empty_table()
+            lab = pc.min(group.column("lab")).as_py()
+            if lab is None:  # label points at a node with no own row
+                return pa.table(
+                    {"node": reqs.column("node"), "label": reqs.column("old")}
+                )
+            lab_arr = pa.array([lab] * reqs.num_rows, pa.int64())
+            return pa.table(
+                {"node": reqs.column("node"),
+                 "label": pc.min_element_wise(reqs.column("old"), lab_arr)}
+            )
+
+        return requests.union(own).groupby("key").map_groups(
+            resolve, batch_format="pyarrow"
+        )
+
     prev_sum = labels.aggregate(_Sum("label", alias_name="s"))["s"]
+    converged = False
     for _ in range(max_iters):
         tagged_labels = labels.map_batches(
             lambda t: pa.table(
@@ -544,13 +889,20 @@ def minlabel_components(
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
+        merged = shortcut(merged).materialize()
         new_sum = merged.aggregate(_Sum("label", alias_name="s"))["s"]
         labels = merged
         if new_sum == prev_sum:  # labels only decrease: fixpoint reached
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # loud failure beats silently-wrong clusters (no-silent-caps rule);
+        # with pointer doubling this needs diameter > 2^max_iters
+        raise RuntimeError(
+            f"minlabel_components did not converge in {max_iters} rounds"
+        )
     return labels
 
 
@@ -716,18 +1068,24 @@ def simhash_dedup(
              "id_b": pa.array(out_b, pa.int64())}
         )
 
-    pairs_ds = sigs.groupby(["band", "key"]).map_groups(
+    raw = sigs.groupby(["band", "key"]).map_groups(
         verify_bucket, batch_format="pyarrow"
-    )
-    pairs = set()
-    capped = 0
-    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            if a_ == CAP_MARKER:
-                capped += b_
-            else:
-                pairs.add((a_, b_))
-    return _dedup_result(ds, sorted(pairs), id_col, capped)
+    ).materialize()
+    return _preverified_tail(ds, raw, id_col)
+
+
+def _preverified_tail(
+    ds: ray.data.Dataset, raw_pairs: ray.data.Dataset, id_col: str
+) -> dict:
+    """Shared tail for operators whose in-bucket verify already proved
+    the pairs (SimHash Hamming / embedding cosine): distributed
+    distinct, then clustering — Dataset-native above
+    :data:`PAIR_DRIVER_THRESHOLD`, driver union-find below it."""
+    capped = capped_pair_count(raw_pairs)
+    cand_ds = distinct_pairs(raw_pairs).materialize()
+    if cand_ds.count() < PAIR_DRIVER_THRESHOLD:
+        return _dedup_result(ds, _collect_pairs(cand_ds), id_col, capped)
+    return _dedup_result_from_ds(ds, cand_ds, id_col, capped)
 
 
 # ---------------------------------------------------------------------------
@@ -782,31 +1140,13 @@ def jaccard_dedup(
         g = pa.table({"doc_id": group.column(id_col)})
         return _bucket_pairs(g)
 
-    pairs_ds = blocks.groupby("key_s").map_groups(block_pairs, batch_format="pyarrow")
-    cands: set[tuple[int, int]] = set()
-    capped = 0
-    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        for a_, b_ in zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()):
-            if a_ == CAP_MARKER:
-                capped += b_
-            else:
-                cands.add((a_, b_))
-    if not cands:
-        return _dedup_result(ds, [], id_col, capped)
-    needed = {i for p in cands for i in p}
-    if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
-        verified = verify_pairs_distributed(
-            ds, sorted(cands), threshold=threshold, shingle_n=3,
-            text_col=text_col, id_col=id_col, trigram_strings=True,
-        )
-    else:
-        texts = _fetch_texts(ds, needed, text_col, id_col)
-        tri = {i: _token_trigram_set(texts.get(i)) for i in needed}
-        verified = [
-            (a_, b_) for a_, b_ in sorted(cands)
-            if len(tri[a_] & tri[b_]) / len(tri[a_] | tri[b_]) >= threshold
-        ]
-    return _dedup_result(ds, verified, id_col, capped)
+    raw = blocks.groupby("key_s").map_groups(
+        block_pairs, batch_format="pyarrow"
+    ).materialize()
+    return _near_dup_tail(
+        ds, raw, threshold=threshold, shingle_n=3,
+        text_col=text_col, id_col=id_col, trigram_strings=True,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -883,22 +1223,49 @@ def embedding_dedup(
     def verify_bucket(group: pa.Table) -> pa.Table:
         from .ann import _as_matrix
 
-        ids = group.column(id_col).to_pylist()
+        ids = np.asarray(group.column(id_col).to_pylist(), dtype=np.int64)
         vecs = _as_matrix(group.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        sim = unit @ unit.T
-        ia, ib = np.where(np.triu(sim >= threshold, k=1))
+        n = len(ids)
+        total = n * (n - 1) // 2
+        # Chunked n^2: a degenerate bucket never allocates the full
+        # similarity matrix (chunk memory <= ~cap floats + one row of
+        # n), and truncation is LOUD — same CAP_MARKER contract as the
+        # MinHash/SimHash buckets.
+        cap = EMBED_COMPARISONS_PER_BUCKET_CAP
+        chunk = max(1, min(256, cap // max(n, 1) + 1))
+        out_a, out_b = [], []
+        checked = 0
+        for start in range(0, n, chunk):
+            if checked >= cap:
+                break
+            end = min(start + chunk, n)
+            sim = unit[start:end] @ unit.T  # (chunk, n)
+            li, gj = np.where(sim >= threshold)
+            keep = gj > (li + start)  # upper triangle only
+            for i, j in zip(li[keep] + start, gj[keep]):
+                out_a.append(min(ids[i], ids[j]))
+                out_b.append(max(ids[i], ids[j]))
+            checked += sum(n - 1 - i for i in range(start, end))
+        if total > checked:
+            out_a.append(CAP_MARKER)
+            out_b.append(total - checked)
         return pa.table(
-            {
-                "id_a": pa.array([min(ids[i], ids[j]) for i, j in zip(ia, ib)], type=pa.int64()),
-                "id_b": pa.array([max(ids[i], ids[j]) for i, j in zip(ia, ib)], type=pa.int64()),
-            }
+            {"id_a": pa.array(out_a, type=pa.int64()),
+             "id_b": pa.array(out_b, type=pa.int64())}
         )
 
-    pairs_ds = buckets.groupby("key").map_groups(verify_bucket, batch_format="pyarrow")
-    pairs = set()
-    for b in pairs_ds.iter_batches(batch_format="pyarrow"):
-        pairs.update(zip(b.column("id_a").to_pylist(), b.column("id_b").to_pylist()))
-    return _dedup_result(ds, sorted(pairs), id_col)
+    raw = buckets.groupby("key").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    ).materialize()
+    return _preverified_tail(ds, raw, id_col)
+
+
+#: In-bucket comparison cap for the embedding cosine verify. Larger
+#: than PAIRS_PER_BUCKET_CAP because the kernel is a vectorized matmul
+#: (comparisons are cheap); the cap bounds MEMORY (chunk rows scale as
+#: cap // bucket_size) and is reported via CAP_MARKER rows, never
+#: silently.
+EMBED_COMPARISONS_PER_BUCKET_CAP = 100_000

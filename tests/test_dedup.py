@@ -269,3 +269,125 @@ def test_simhash_degenerate_bucket_cap_is_loud():
     # the doc with id 0 still survives; every pair found is hamming-0
     survivors = {r["doc_id"] for r in res["survivors_ds"].take_all()}
     assert 0 in survivors
+
+
+def test_dataset_native_pair_path_matches_driver(monkeypatch):
+    """Forcing the Dataset-native pair stream (candidates NEVER collect
+    on the driver) must reproduce the driver fast path exactly, for
+    both the Jaccard-verified and the pre-verified operator families."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    docs = _mk_docs(n=80)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    driver_mh = minhash_dedup(ds, threshold=0.7)
+    driver_sh = simhash_dedup(ds, max_hamming=6)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_THRESHOLD", 0)
+    native_mh = minhash_dedup(ds, threshold=0.7)
+    native_sh = simhash_dedup(ds, max_hamming=6)
+    assert set(native_mh["pairs"]) == set(driver_mh["pairs"])
+    assert native_mh["drop"] == driver_mh["drop"]
+    assert native_mh["clusters"] == driver_mh["clusters"]
+    assert sorted(r["doc_id"] for r in native_mh["survivors_ds"].take_all()) \
+        == sorted(r["doc_id"] for r in driver_mh["survivors_ds"].take_all())
+    assert set(native_sh["pairs"]) == set(driver_sh["pairs"])
+    assert native_sh["drop"] == driver_sh["drop"]
+
+
+def test_dataset_native_jaccard_and_embedding_match_driver(monkeypatch):
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [
+        {"doc_id": 0, "text": base + "tail one"},
+        {"doc_id": 1, "text": base + "tail two"},
+        {"doc_id": 2, "text": base + "tail three"},
+        {"doc_id": 3, "text": "completely different words " * 10},
+    ]
+    jds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    driver_j = dd.jaccard_dedup(jds, threshold=0.8)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(16)
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        if i % 4 == 0:
+            rows.append({"vec_id": 2 * i + 1, "embedding": (v + 1e-4).tolist()})
+    eds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    driver_e = embedding_dedup(eds, dim=16, threshold=0.999, num_planes=8)
+
+    monkeypatch.setattr(dd, "PAIR_DRIVER_THRESHOLD", 0)
+    native_j = dd.jaccard_dedup(jds, threshold=0.8)
+    native_e = embedding_dedup(eds, dim=16, threshold=0.999, num_planes=8)
+    assert native_j["drop"] == driver_j["drop"] == {1, 2}
+    assert set(native_j["pairs"]) == set(driver_j["pairs"])
+    assert native_e["drop"] == driver_e["drop"]
+    assert set(native_e["pairs"]) == set(driver_e["pairs"])
+
+
+def test_dataset_native_dup_heavy_property(monkeypatch):
+    """Dup-heavy corpus (40 clusters x 4 identical docs + noise): the
+    Dataset-native path must agree with the driver path on every
+    result field — and the survivors must be exactly the cluster
+    minima plus the singletons."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    rng = random.Random(11)
+    docs = []
+    did = 0
+    expected_drop = set()
+    for c in range(40):
+        text = " ".join(rng.choices(WORDS, k=25)) + f" cluster{c}"
+        first = did
+        for m in range(4):
+            docs.append({"doc_id": did, "text": text})
+            if did != first:
+                expected_drop.add(did)
+            did += 1
+    for _ in range(40):  # singleton noise
+        docs.append({"doc_id": did,
+                     "text": " ".join(rng.choices(WORDS, k=30)) + f" uniq{did}"})
+        did += 1
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    driver = minhash_dedup(ds, threshold=0.9)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_THRESHOLD", 0)
+    native = minhash_dedup(ds, threshold=0.9)
+    assert native["drop"] == driver["drop"] == expected_drop
+    assert native["clusters"] == driver["clusters"]
+    assert sorted(r["doc_id"] for r in native["survivors_ds"].take_all()) \
+        == sorted(set(d["doc_id"] for d in docs) - expected_drop)
+
+
+def test_minlabel_long_chain_pointer_doubling():
+    """A duplicate chain longer than max_iters converges anyway:
+    pointer doubling makes rounds O(log diameter), where pure
+    propagation (the r2 shape) silently returned WRONG labels for
+    chains longer than ~30 docs."""
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import minlabel_components
+
+    n = 120  # chain 0-1-...-120: diameter >> default max_iters
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array(list(range(n)), pa.int64()),
+             "id_b": pa.array(list(range(1, n + 1)), pa.int64())}
+        )
+    )
+    labels = {
+        r["node"]: r["label"] for r in minlabel_components(ds).take_all()
+    }
+    assert labels == {i: 0 for i in range(n + 1)}
+
+
+def test_embedding_degenerate_bucket_cap_is_loud(monkeypatch):
+    """All-identical vectors collapse into one LSH bucket; with a small
+    comparison cap the verify must report the dropped comparisons via
+    capped_dropped_pairs (never silently) and keep memory bounded."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "EMBED_COMPARISONS_PER_BUCKET_CAP", 50)
+    rows = [{"vec_id": i, "embedding": [1.0] * 8} for i in range(40)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    res = embedding_dedup(ds, dim=8, threshold=0.99, num_planes=6)
+    assert res["capped_dropped_pairs"] > 0
+    survivors = {r["vec_id"] for r in res["survivors_ds"].take_all()}
+    assert 0 in survivors
