@@ -48,6 +48,7 @@ from ..state.checkpoint import (
     load_manifest,
     residue_modulus,
     utcnow_iso,
+    verify_lock,
     writer_lock,
 )
 
@@ -304,10 +305,13 @@ def _ingest_one_batch(
     # A stale writer — one that loaded state, then lost the race —
     # fails here; its staging is GC'd and no partial state is published.
     try:
-        with writer_lock(cfg.lake_dir):
+        with writer_lock(cfg.lake_dir) as lock_token:
             commit_manifest(
                 cfg.lake_dir, new_manifest, expected_version=manifest.version
             )
+            # fencing: a zombie writer whose lease was broken must fail
+            # HERE, before deleting files a successor may have committed
+            verify_lock(cfg.lake_dir, lock_token)
             # keep the PREVIOUS version's files through this commit so
             # readers holding the old manifest finish their scans
             # (one-version grace window)

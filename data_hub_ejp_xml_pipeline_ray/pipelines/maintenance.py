@@ -28,6 +28,7 @@ from ..state.checkpoint import (
     load_manifest,
     residue_modulus,
     utcnow_iso,
+    verify_lock,
     writer_lock,
 )
 
@@ -191,7 +192,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
     children = ray.get(
         rewrite_children.remote(os.path.join(lake_dir, rel), part, m)
     )
-    with writer_lock(lake_dir):
+    with writer_lock(lake_dir) as lock_token:
         current = load_manifest(lake_dir)
         new_partitions = dict(current.partitions)
         new_meta = dict(current.partition_meta)
@@ -223,6 +224,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
         )
+        verify_lock(lake_dir, lock_token)  # fencing before deletes
         gc_unreferenced(lake_dir, new_manifest, previous=manifest)
     return {
         "parent": part, "modulus": m,

@@ -183,16 +183,21 @@ def writer_lock(
             try:
                 with open(path, "r", encoding="utf-8") as f:
                     doc = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError):
-                doc = None  # racer mid-write or mid-delete: retry
-            if doc is not None and doc.get("expires_at", 0) >= time.time():
+            except FileNotFoundError:
+                continue  # holder released between create and read: retry
+            except json.JSONDecodeError:
+                # racer mid-write: NEVER remove (the old remove-here path
+                # could delete a LIVE holder's just-created lock);
+                # re-read after a beat — the write is tiny
+                time.sleep(0.05)
+                continue
+            if doc.get("expires_at", 0) >= time.time():
                 raise ConcurrentWriterError(
                     f"lake {lake_dir} is locked by {doc.get('owner')} "
                     f"(lease expires in "
                     f"{doc.get('expires_at', 0) - time.time():.0f}s)"
                 )
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(path)  # stale or unreadable: break and retry
+            _break_stale_lock(path, doc)
     try:
         yield token
     finally:
@@ -204,6 +209,77 @@ def writer_lock(
                 os.remove(path)
         except (FileNotFoundError, json.JSONDecodeError):
             pass
+
+
+def _break_stale_lock(path: str, stale_doc: dict) -> None:
+    """Break an expired lock ATOMICALLY: rename it to a unique name so
+    of N waiters exactly one performs the break (the others' renames
+    fail with FileNotFoundError and they loop back to the O_EXCL
+    acquire). The renamed file is then inspected: if a NEW holder
+    re-created the lock between our read and the rename (so we stole a
+    live lock), restore it. Two waiters can therefore never both
+    'break and recreate' into two simultaneous holders."""
+    broken = f"{path}.broken-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(path, broken)
+    except FileNotFoundError:
+        return  # another waiter broke it first; loop to acquire
+    try:
+        with open(broken, "r", encoding="utf-8") as f:
+            got = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        got = None
+    if (
+        got is not None
+        and got.get("owner") != stale_doc.get("owner")
+        and got.get("expires_at", 0) >= time.time()
+    ):
+        # we renamed a LIVE lock created after our staleness read —
+        # put it back (unless the path was re-taken meanwhile, in which
+        # case the fencing checks in verify_lock/gc are the backstop)
+        if not os.path.exists(path):
+            with contextlib.suppress(OSError):
+                os.rename(broken, path)
+                return
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(broken)
+
+
+def verify_lock(lake_dir: str, token: str) -> None:
+    """Fencing check: raise unless the on-disk lock is still OURS. A
+    writer whose lease expired (and was broken by a successor) fails
+    here BEFORE destructive actions — call it immediately before
+    :func:`gc_unreferenced` / :func:`commit_manifest` in long-running
+    writers so a zombie holder cannot delete a successor's files."""
+    path = os.path.join(lake_dir, LOCK_NAME)
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            doc = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError) as e:
+        raise ConcurrentWriterError(
+            f"lock at {lake_dir} is gone or unreadable — lease lost"
+        ) from e
+    if doc.get("owner") != token:
+        raise ConcurrentWriterError(
+            f"lock at {lake_dir} is now held by {doc.get('owner')} — "
+            f"this writer's lease was broken"
+        )
+
+
+def renew_lock(
+    lake_dir: str, token: str, *, lease_seconds: float = DEFAULT_LEASE_SECONDS
+) -> None:
+    """Extend our lease (atomic tmp+rename after verifying ownership).
+    Long-running writers renew at batch boundaries so a slow-but-alive
+    run never goes stale mid-flight."""
+    verify_lock(lake_dir, token)
+    path = os.path.join(lake_dir, LOCK_NAME)
+    tmp = f"{path}.renew-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"owner": token, "expires_at": time.time() + lease_seconds}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def commit_manifest(
