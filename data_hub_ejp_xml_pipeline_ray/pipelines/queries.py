@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import textstats as ts
 from ..stages.ann import brute_force_topk, ivf_topk
@@ -343,33 +343,60 @@ def q_events_in_prior_hour(sf_dir: str):
     return _bucketed_groups(ds, "user_id", prior_bucket)
 
 
-def q_distinct_users_per_type(sf_dir: str):
-    """Exact grouped count-distinct: per-batch (type, user) dedup
-    combiner so only distinct pairs shuffle, then a grouped distinct
-    count. (The approximate sibling is the HLL sketch in
-    ``functions/sketch.py`` — mergeable partials, no pair shuffle at
-    all; it is error-bound-tested rather than oracle-checked.)"""
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """Exact grouped count-distinct with TWO-LEVEL bucketing so no task
+    ever holds a full group's distinct set (the r2 shape put all of a
+    type's users in one task — OOM at 100x on a skewed key):
+
+    1. per-batch ``(group, value)`` dedup combiner — only near-distinct
+       pairs shuffle;
+    2. shuffle by ``(group, hash-bucket(value))`` — the value dimension
+       partitions each group into ``num_buckets`` disjoint slices, each
+       counted vectorized;
+    3. a tiny grouped SUM of the per-slice counts (disjoint slices sum
+       exactly).
+
+    The approximate sibling is the HLL sketch in ``functions/sketch.py``
+    (mergeable 4 KB partials, no pair shuffle at all)."""
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        return t.group_by(["event_type", "user_id"]).aggregate([])
+        t = t.group_by([group_col, value_col]).aggregate([])
+        return t.append_column(
+            "_ub", _hash_bucket(t.column(value_col), num_buckets)
+        )
 
     pairs = ds.map_batches(
         distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # ONE shuffle: the per-batch combiner already shrank the stream to
-    # near-distinct pairs; each (low-cardinality) type group counts its
-    # unique users vectorized
     def count_unique(g: pa.Table) -> pa.Table:
         return pa.table(
-            {"event_type": g.column("event_type").slice(0, 1),
-             "n_users": pa.array(
-                 [len(pc.unique(g.column("user_id")))], pa.int64())}
+            {group_col: g.column(group_col).slice(0, 1),
+             "_n_part": pa.array(
+                 [len(pc.unique(g.column(value_col)))], pa.int64())}
         )
 
-    return pairs.groupby("event_type").map_groups(
+    parts = pairs.groupby([group_col, "_ub"]).map_groups(
         count_unique, batch_format="pyarrow"
+    )
+    return parts.groupby(group_col).aggregate(
+        Sum("_n_part", alias_name=count_name)
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped count-distinct over events (bounded-per-task; see
+    :func:`grouped_count_distinct`)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(
+        ds, "event_type", "user_id", count_name="n_users"
     )
 
 
@@ -781,65 +808,211 @@ def q_cumulative_value_per_user(sf_dir: str):
     return _bucketed_groups(ds, "user_id", cum_bucket)
 
 
-def q_median_value_by_type(sf_dir: str):
-    """Exact median per group, computed with quantile_cont's linear-
-    interpolation formula so the oracle agrees bit-for-bit."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+def grouped_quantiles_distributed(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    *,
+    num_value_buckets: int = 512,
+) -> dict:
+    """EXACT grouped quantiles (``quantile_cont`` linear interpolation)
+    with NO task ever holding a full group — the distributed
+    order-statistic selection pattern:
 
-    def median(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g["value"].to_numpy())
-        n = len(vals)
-        h = (n - 1) * 0.5
-        lo, hi = int(np.floor(h)), int(np.ceil(h))
-        med = vals[lo] + (h - lo) * (vals[hi] - vals[lo])
-        # half-away-from-zero (DuckDB round parity; Python round is half-even)
-        med_r = float(np.sign(med) * np.floor(np.abs(med) * 100 + 0.5) / 100)
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]],
-             "median_value": [med_r]}
+    1. per-group ``count/min/max`` (one tiny grouped aggregate);
+    2. a value-range histogram: every batch bins its values into
+       ``num_value_buckets`` per-group buckets and emits ONE fixed-size
+       count vector per group (a combiner — no shuffle; the driver sums
+       a few KB per block, exactly the HLL-sketch shape);
+    3. the cumulative histogram locates, for each needed rank
+       ``floor/ceil((n-1)*p)``, its bucket and in-bucket offset; ONLY
+       rows of those target buckets (~n/num_value_buckets each) are
+       filtered out and each bucket task ``np.sort``s its slice to read
+       the requested order statistics.
+
+    Exactness: bucket assignment is monotone in the value, so global
+    rank r lives in the bucket where the cumulative count first reaches
+    r+1, at in-bucket rank ``r - cum_before`` — the same value a full
+    sort would yield, bit-for-bit. Returns
+    ``{group: {p: interpolated_value}}`` (un-rounded)."""
+    stats = ds.groupby(group_col).aggregate(
+        Count(),
+        Min(value_col, alias_name="_mn"),
+        Max(value_col, alias_name="_mx"),
+    ).take_all()
+    B = num_value_buckets
+    info: dict = {}
+    for r in stats:
+        n = int(r["count()"])
+        ranks: set[int] = set()
+        for p in ps:
+            h = (n - 1) * p
+            ranks.add(int(np.floor(h)))
+            ranks.add(int(np.ceil(h)))
+        info[r[group_col]] = {
+            "n": n, "mn": r["_mn"], "mx": r["_mx"], "ranks": sorted(ranks),
+        }
+    todo = {g: v for g, v in info.items() if v["mn"] < v["mx"]}
+
+    def bucket_of(vals: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        # shared by the count and select passes — assignment must be
+        # IDENTICAL in both (monotone; ties collapse into one bucket)
+        idx = np.floor((vals - mn) / (mx - mn) * B).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    hist: dict = {g: np.zeros(B, dtype=np.int64) for g in todo}
+    if todo:
+        bounds_ref = ray.put({g: (v["mn"], v["mx"]) for g, v in todo.items()})
+
+        def hist_batch(t: pa.Table) -> pa.Table:
+            bounds = ray.get(bounds_ref)
+            keys = t.column(group_col).combine_chunks()
+            vals = t.column(value_col).to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(keys)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            out_g, out_h = [], []
+            for code in range(len(enc.dictionary)):
+                g = enc.dictionary[code].as_py()
+                if g not in bounds:
+                    continue
+                mn, mx = bounds[g]
+                sub = vals[codes == code]
+                counts = np.bincount(bucket_of(sub, mn, mx), minlength=B)
+                out_g.append(g)
+                out_h.append(counts.astype(np.int64).tolist())
+            return pa.table(
+                {"g": pa.array(out_g, keys.type),
+                 "h": pa.array(out_h, pa.list_(pa.int64()))}
+            )
+
+        partials = ds.map_batches(
+            hist_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            for g, h in zip(b.column("g").to_pylist(), b.column("h").to_pylist()):
+                hist[g] += np.asarray(h, dtype=np.int64)
+
+    # rank -> (bucket, in-bucket offset) via the cumulative histogram
+    needed: dict = {}  # (g, bucket) -> {rank: offset}
+    for g, v in todo.items():
+        cum = np.cumsum(hist[g])
+        for rk in v["ranks"]:
+            bk = int(np.searchsorted(cum, rk + 1))
+            prev = int(cum[bk - 1]) if bk > 0 else 0
+            needed.setdefault((g, bk), {})[rk] = rk - prev
+
+    order_stat: dict = {}  # (g, rank) -> value
+    if needed:
+        need_ref = ray.put(
+            {"bounds": {g: (v["mn"], v["mx"]) for g, v in todo.items()},
+             "buckets": {g: sorted(b for gg, b in needed if gg == g)
+                         for g in todo}}
         )
 
-    res = ds.groupby("event_type").map_groups(median, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
-            ("event_type", pa.string()), ("median_value", pa.float64()),
-        ])),
-        batch_format="pyarrow",
+        def pick(t: pa.Table) -> pa.Table:
+            need = ray.get(need_ref)
+            keys = t.column(group_col).combine_chunks()
+            vals = t.column(value_col).to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(keys)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            out_g, out_b, out_v = [], [], []
+            for code in range(len(enc.dictionary)):
+                g = enc.dictionary[code].as_py()
+                if g not in need["bounds"]:
+                    continue
+                mn, mx = need["bounds"][g]
+                mask = codes == code
+                sub = vals[mask]
+                bks = bucket_of(sub, mn, mx)
+                keep = np.isin(bks, need["buckets"][g])
+                out_g.extend([g] * int(keep.sum()))
+                out_b.extend(bks[keep].tolist())
+                out_v.extend(sub[keep].tolist())
+            return pa.table(
+                {"g": pa.array(out_g, keys.type),
+                 "_vb": pa.array(out_b, pa.int64()),
+                 "v": pa.array(out_v, pa.float64())}
+            )
+
+        offsets_by_gb = {k: v for k, v in needed.items()}
+
+        def order_stats(grp: pa.Table) -> pa.Table:
+            g = grp.column("g")[0].as_py()
+            bk = grp.column("_vb")[0].as_py()
+            offs = offsets_by_gb[(g, bk)]
+            vals = np.sort(grp.column("v").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"g": pa.array([g] * len(offs), grp.schema.field("g").type),
+                 "rank": pa.array(list(offs.keys()), pa.int64()),
+                 "val": pa.array([float(vals[o]) for o in offs.values()],
+                                  pa.float64())}
+            )
+
+        picked = ds.map_batches(
+            pick, batch_format="pyarrow", zero_copy_batch=True
+        )
+        res = picked.groupby(["g", "_vb"]).map_groups(
+            order_stats, batch_format="pyarrow"
+        )
+        for b in res.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0 or "g" not in b.column_names:
+                continue  # Ray 2.49 groupby: zero-column empty blocks
+            for g, rk, val in zip(
+                b.column("g").to_pylist(), b.column("rank").to_pylist(),
+                b.column("val").to_pylist(),
+            ):
+                order_stat[(g, rk)] = val
+
+    out: dict = {}
+    for g, v in info.items():
+        n = v["n"]
+        out[g] = {}
+        for p in ps:
+            if v["mn"] >= v["mx"]:  # constant group: every order stat == mn
+                out[g][p] = float(v["mn"])
+                continue
+            h = (n - 1) * p
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            vlo, vhi = order_stat[(g, lo)], order_stat[(g, hi)]
+            out[g][p] = vlo + (h - lo) * (vhi - vlo)
+    return out
+
+
+def _round2_half_away(x: float) -> float:
+    # half-away-from-zero (DuckDB round parity; Python round is half-even)
+    return float(np.sign(x) * np.floor(np.abs(x) * 100 + 0.5) / 100)
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact median per group via the DISTRIBUTED order-statistic
+    selection (``grouped_quantiles_distributed``): no task holds a full
+    group — the r2 ``map_groups`` shape held n/5 rows per task, an OOM
+    at 100x. quantile_cont interpolation, bit-exact vs the oracle."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    qs = grouped_quantiles_distributed(ds, "event_type", "value", [0.5])
+    groups = sorted(qs)
+    return pa.table(
+        {"event_type": pa.array(groups, pa.string()),
+         "median_value": pa.array(
+             [_round2_half_away(qs[g][0.5]) for g in groups], pa.float64())}
     )
 
 
 def q_value_quantiles_by_type(sf_dir: str):
-    """Exact grouped multi-quantiles (p25/p50/p75/p90) with
-    ``quantile_cont``'s linear interpolation — the generalized form of
-    ``median_value_by_type`` (few groups, so per-group numpy is the
-    right shape; many-group quantiles would ride ``_bucketed_groups``)."""
+    """Exact grouped multi-quantiles (p25/p50/p75/p90): ONE distributed
+    selection pass serves all four quantiles (the histogram and target
+    buckets are shared), with quantile_cont interpolation."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def quants(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g["value"].to_numpy())
-        n = len(vals)
-
-        def q(p: float) -> float:
-            h = (n - 1) * p
-            lo, hi = int(np.floor(h)), int(np.ceil(h))
-            v = vals[lo] + (h - lo) * (vals[hi] - vals[lo])
-            return float(np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100)
-
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]],
-             "p25": [q(0.25)], "p50": [q(0.5)],
-             "p75": [q(0.75)], "p90": [q(0.9)]}
+    ps = [0.25, 0.5, 0.75, 0.9]
+    qs = grouped_quantiles_distributed(ds, "event_type", "value", ps)
+    groups = sorted(qs)
+    cols: dict = {"event_type": pa.array(groups, pa.string())}
+    for name, p in zip(["p25", "p50", "p75", "p90"], ps):
+        cols[name] = pa.array(
+            [_round2_half_away(qs[g][p]) for g in groups], pa.float64()
         )
-
-    res = ds.groupby("event_type").map_groups(quants, batch_format="pandas")
-    return res.map_batches(
-        lambda t: t.cast(pa.schema([
-            ("event_type", pa.string()), ("p25", pa.float64()),
-            ("p50", pa.float64()), ("p75", pa.float64()),
-            ("p90", pa.float64()),
-        ])),
-        batch_format="pyarrow",
-    )
+    return pa.table(cols)
 
 
 def q_event_type_pivot(sf_dir: str):
