@@ -155,6 +155,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if t_cdc is None or dt < t_cdc:
             t_cdc, report = dt, rep
 
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
+
     q_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -179,6 +181,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "events": report.events_applied,
             "events_per_sec": round(report.events_applied / t_cdc, 1),
             "commits": report.commits,
+            # first-class loss counters (silent-loss regressions must
+            # show up in CI diffs of the bench JSON)
+            "error_rows": report.error_rows,
+        },
+        "capped_dropped_pairs": {
+            k: v["capped_dropped_pairs"]
+            for k, v in sorted(OBSERVED.items())
+            if v.get("capped_dropped_pairs")
         },
     }
 

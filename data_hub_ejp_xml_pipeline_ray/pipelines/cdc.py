@@ -97,6 +97,9 @@ class IngestReport:
     events_applied: int = 0
     rows_total: int = 0
     partitions_rewritten: int = 0
+    #: dead-letter rows quarantined to <lake>/_errors this run (first-
+    #: class observability: silent-loss regressions must be visible)
+    error_rows: int = 0
     final_version: int | None = None
     watermark: str | None = None
 
@@ -329,6 +332,7 @@ def _ingest_one_batch(
         "events_applied": events_applied,
         "partitions_rewritten": len(stats),
         "deltas_merged": deltas_merged,
+        "error_rows": error_rows,
     }
 
 
@@ -359,6 +363,7 @@ def run_ingest(
         report.segments_processed += [s.name for s in chunk]
         report.events_applied += stats["events_applied"]
         report.partitions_rewritten += stats["partitions_rewritten"]
+        report.error_rows += stats.get("error_rows", 0)
         report.final_version = manifest.version
         report.watermark = manifest.watermark
     return report

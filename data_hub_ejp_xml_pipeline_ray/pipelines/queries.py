@@ -702,6 +702,19 @@ def q_lang_id(sf_dir: str):
     )
 
 
+#: Per-query observability side-channel: dedup queries record their
+#: ``capped_dropped_pairs`` here after each run so harnesses (bench,
+#: CLI) can surface silent-recall-loss regressions as first-class
+#: counters without changing the query return shape.
+OBSERVED: dict[str, dict] = {}
+
+
+def _observe(name: str, res: dict) -> None:
+    OBSERVED[name] = {
+        "capped_dropped_pairs": int(res.get("capped_dropped_pairs", 0))
+    }
+
+
 def q_dedup_exact_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return exact_dedup(ds)
@@ -725,6 +738,7 @@ def q_minhash_dedup_docs(sf_dir: str):
     res = minhash_dedup(
         ds, threshold=0.8, concurrency=_pool_for(sf_dir, "documents", 800)
     )
+    _observe("minhash_dedup_docs", res)
     return res["survivors_ds"]  # distributed survivors (doc_id column)
 
 
@@ -733,6 +747,7 @@ def q_simhash_dedup_docs(sf_dir: str):
     res = simhash_dedup(
         ds, max_hamming=3, concurrency=_pool_for(sf_dir, "documents", 800)
     )
+    _observe("simhash_dedup_docs", res)
     return res["survivors_ds"]
 
 
@@ -742,6 +757,7 @@ def q_embedding_dedup(sf_dir: str):
         ds, dim=64, threshold=0.95,
         concurrency=_pool_for(sf_dir, "embeddings", 2000),
     )
+    _observe("embedding_dedup", res)
     return res["survivors_ds"]
 
 
@@ -753,6 +769,7 @@ def q_jaccard_dedup_docs(sf_dir: str):
     engine resolves clusters with distributed min-label propagation)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     res = jaccard_dedup(ds, threshold=0.8, block_prefix_len=24)
+    _observe("jaccard_dedup_docs", res)
     return res["survivors_ds"]
 
 
@@ -1131,22 +1148,41 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def _corpus_fingerprint(path: str) -> str:
+    """Content token for an on-disk corpus file: path + size + mtime_ns
+    — changes whenever the file is rewritten, even at equal row count
+    (the r2 cache keyed on row count silently served a stale index to a
+    re-committed corpus). Lake-backed callers should pass the manifest
+    version instead."""
+    import hashlib as _hl
+
+    st = os.stat(path)
+    return _hl.sha1(
+        f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF ANN via the PERSISTED index (rows-only oracle: approximate):
     write-once centroid-partitioned layout, then a search that reads
     only the probed inverted lists (IO ~ nprobe/n_clusters of the
-    corpus — the real scale path; ``ivf_topk`` merely saved flops)."""
-    import shutil
+    corpus — the real scale path; ``ivf_topk`` merely saved flops).
+    The index cache is keyed by a corpus CONTENT fingerprint and builds
+    are atomic (tmp dir + rename), so changed data never reuses a stale
+    index and concurrent builders can't clobber each other."""
     import tempfile
 
-    from ..stages.ann import build_ivf_index, ivf_index_search
+    from ..stages.ann import (
+        build_ivf_index,
+        ivf_index_is_current,
+        ivf_index_search,
+    )
 
-    n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_q_{n}")
-    if not os.path.exists(os.path.join(index_dir, "_ivf_meta.json")):
-        shutil.rmtree(index_dir, ignore_errors=True)
+    token = _corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_q_{token}")
+    if not ivf_index_is_current(index_dir, token):
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        build_ivf_index(ds, index_dir, n_clusters=16)
+        build_ivf_index(ds, index_dir, n_clusters=16, content_token=token)
     return ivf_index_search(
         index_dir, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10, nprobe=6
     )

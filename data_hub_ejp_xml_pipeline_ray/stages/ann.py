@@ -270,14 +270,25 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    content_token: str | None = None,
 ) -> dict:
     """Write-once IVF index build: seeded k-means on a bounded sample
     (the only driver materialization), then a distributed assignment
     pass writes ``centroid=<c>/`` partitioned parquet (Ray
     ``write_parquet(partition_cols=...)`` — one inverted list per
-    directory) plus a JSON meta file holding the centroid matrix."""
+    directory) plus a JSON meta file holding the centroid matrix.
+
+    The build is ATOMIC: it writes into a unique ``.build-*`` temp dir
+    and renames it into place only when complete (meta file last), so a
+    concurrent reader never sees a half-built index and a crashed build
+    leaves no live dir. ``content_token`` (e.g. the lake manifest
+    version or a corpus fingerprint) is recorded in the meta;
+    :func:`ivf_index_is_current` checks it so a re-committed corpus
+    never silently serves a stale index."""
     import json
     import os
+    import shutil
+    import uuid
 
     sample_tbl = ds.select_columns([vec_col]).limit(sample_limit).take_all()
     sample = np.vstack(
@@ -297,20 +308,46 @@ def build_ivf_index(
                 "centroid", pa.array(d.argmin(axis=1).astype(np.int32))
             )
 
+    build_dir = f"{index_dir.rstrip(os.sep)}.build-{uuid.uuid4().hex[:8]}"
     ds.select_columns([vec_col, id_col]).map_batches(
         Assign, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=_cap_pool(4), num_cpus=1,
-    ).write_parquet(index_dir, partition_cols=["centroid"])
+    ).write_parquet(build_dir, partition_cols=["centroid"])
     meta = {
         "n_clusters": int(len(centroids)),
         "dim": int(centroids.shape[1]),
         "vec_col": vec_col,
         "id_col": id_col,
+        "content_token": content_token,
         "centroids": centroids.tolist(),
     }
-    with open(os.path.join(index_dir, IVF_META_NAME), "w", encoding="utf-8") as f:
+    with open(os.path.join(build_dir, IVF_META_NAME), "w", encoding="utf-8") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.rename(build_dir, index_dir)
+    except OSError:
+        # a concurrent builder won the rename (same content token by
+        # construction of the dir key) — keep theirs, discard ours
+        shutil.rmtree(build_dir, ignore_errors=True)
     return meta
+
+
+def ivf_index_is_current(index_dir: str, content_token: str | None) -> bool:
+    """True iff a COMPLETE index exists at ``index_dir`` built from the
+    given content token (the meta file is written last, so its presence
+    implies a finished build)."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, IVF_META_NAME)
+    try:
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+    return meta.get("content_token") == content_token
 
 
 def ivf_index_search(

@@ -100,3 +100,55 @@ def test_persisted_ivf_index_probes_under_half_the_corpus(tmp_path):
     # the probed lists are a strict minority of the index bytes
     frac = ivf_index_probed_fraction(index_dir, qvecs, nprobe=4)
     assert 0 < frac < 0.5, f"probed fraction {frac}"
+
+
+def test_ivf_index_staleness_rebuild(tmp_path):
+    """A re-written corpus with the SAME row count must never be served
+    by the old index: the cache key is a content fingerprint, so the
+    second search rebuilds and returns the new corpus's neighbors."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    sf = str(tmp_path)
+    rng = np.random.default_rng(21)
+    n, dim = 200, 8
+
+    def write_corpus(seed):
+        r = np.random.default_rng(seed)
+        vecs = r.standard_normal((n, dim))
+        pq.write_table(
+            pa.table(
+                {"vec_id": pa.array(range(n), pa.int64()),
+                 "embedding": pa.array(
+                     [v.tolist() for v in vecs], pa.list_(pa.float64()))}
+            ),
+            os.path.join(sf, "embeddings.parquet"),
+        )
+        return vecs
+
+    v1 = write_corpus(1)
+    tok1 = q._corpus_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    r1 = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in q.q_ann_topk_ivf(sf).take_all()}
+    v2 = write_corpus(2)
+    tok2 = q._corpus_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    assert tok1 != tok2  # same row count, different content -> new key
+    r2 = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in q.q_ann_topk_ivf(sf).take_all()}
+    # the rewritten corpus changes the query vectors and the neighbor
+    # sims — identical results would mean the stale index was served
+    assert r1 != r2
+    # and the index it searched is CURRENT for the new token
+    import tempfile
+
+    from data_hub_ejp_xml_pipeline_ray.stages.ann import ivf_index_is_current
+
+    assert ivf_index_is_current(
+        os.path.join(tempfile.gettempdir(), f"ivf_index_q_{tok2}"), tok2
+    )
+    assert not ivf_index_is_current(
+        os.path.join(tempfile.gettempdir(), f"ivf_index_q_{tok2}"), tok1
+    )
