@@ -44,9 +44,35 @@ from ..stages.textstats import annotate_text_stats
 # helpers
 # ---------------------------------------------------------------------------
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    *,
+    rows_per_block: int | None = None,
+) -> ray.data.Dataset:
+    """Pruned parquet read. With ``rows_per_block``, the block count is
+    sized from the parquet FOOTER (no data read) instead of Ray's
+    default ~2x-CPU split: per-task overhead is ~10 ms, so 64 blocks of
+    1.6k rows cost ~4x the wall of 8 right-sized blocks (measured —
+    the r2 window-family regressions were exactly this over-split).
+    Scale-safe in both directions: small inputs get few fat blocks;
+    growing inputs add blocks by row count, and a bytes floor keeps any
+    block under ~128 MB regardless of the row heuristic. Use it for
+    VECTORIZED per-batch pipelines; leave it unset for python-per-row
+    actor stages, which want many small blocks for pool utilization."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if rows_per_block is None:
+        return ray.data.read_parquet(path, columns=columns)
+    md_rows = pq.ParquetFile(path).metadata.num_rows
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    by_rows = min(max(1, -(-md_rows // rows_per_block)), cpus * 4)
+    by_bytes = -(-os.path.getsize(path) // (128 << 20))
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+        path, columns=columns, override_num_blocks=max(by_rows, by_bytes)
     )
 
 
@@ -138,7 +164,7 @@ def q_lww_latest_by_user(sf_dir: str):
     """LWW reduce (SURVEY §2.8): last event per user by (ts, event_id)
     — combiner per block, then a bucketed vectorized reduce (one polars
     call per ~N/64 users; mirrors the engine's two-phase merge)."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"], rows_per_block=20_000)
     ds = ds.map_batches(
         _keep_extreme,
         fn_kwargs={"key_cols": ["user_id"], "order_cols": ["ts", "event_id"]},
@@ -173,7 +199,7 @@ def q_watermark_filter(sf_dir: str):
 
 def q_max_ts_per_type(sf_dir: str):
     """Watermark aggregation per key pattern (A1)."""
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"], rows_per_block=20_000)
     return ds.groupby("event_type").aggregate(
         Max("ts", alias_name="max_ts"), Count(alias_name="n_events")
     )
@@ -183,7 +209,7 @@ def q_dedup_first_event(sf_dir: str):
     """Grouped-first (O4 analog): first event per (user, type) — same
     bucketed vectorized shape as the LWW reduce (bucket on user; both
     group keys live in the same bucket)."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], rows_per_block=20_000)
     ds = ds.map_batches(
         _keep_extreme,
         fn_kwargs={"key_cols": ["user_id", "event_type"],
@@ -209,7 +235,7 @@ def q_dedup_first_event(sf_dir: str):
 def q_fanout_entities(sf_dir: str):
     """Fan-out demux (M6/S9 analog): one input row -> one row per
     entity stream, discriminated by ``entity_type``."""
-    ds = _read(sf_dir, "events", ["event_id", "value", "props"])
+    ds = _read(sf_dir, "events", ["event_id", "value", "props"], rows_per_block=20_000)
 
     def demux(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -237,7 +263,7 @@ def q_fanout_entities(sf_dir: str):
 def q_tumbling_window_counts(sf_dir: str):
     """Tumbling event-time window aggregate (streaming-shaped op over
     the ordered log; SURVEY §2.9)."""
-    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"], rows_per_block=20_000)
 
     def add_window(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -262,7 +288,7 @@ def q_sessionize(sf_dir: str):
     (one polars call per ~N/64 users — never per-user Python): sort by
     (user, ts, event_id), flag gap starts with a grouped ``diff``,
     number sessions with a grouped cumulative sum, aggregate."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=20_000)
 
     def sessions_bucket(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
@@ -292,7 +318,7 @@ def q_hopping_window_counts(sf_dir: str):
     in two windows; the overlapping-window sibling of
     ``tumbling_window_counts``): explode each event to its member
     windows per batch (vectorized), then one grouped count."""
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = _read(sf_dir, "events", ["event_type", "ts"], rows_per_block=20_000)
 
     def explode_windows(t: pa.Table) -> pa.Table:
         def cc(x):
@@ -323,7 +349,7 @@ def q_events_in_prior_hour(sf_dir: str):
     ``[ts-1h, ts)``. Bucketed vectorized kernel: one polars
     time-rolling window (``closed='left'``) per ~N/64 users; the SQL
     oracle is the equivalent non-equi join."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=20_000)
 
     def prior_bucket(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
@@ -394,7 +420,7 @@ def grouped_count_distinct(
 def q_distinct_users_per_type(sf_dir: str):
     """Exact grouped count-distinct over events (bounded-per-task; see
     :func:`grouped_count_distinct`)."""
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = _read(sf_dir, "events", ["event_type", "user_id"], rows_per_block=20_000)
     return grouped_count_distinct(
         ds, "event_type", "user_id", count_name="n_users"
     )
@@ -533,7 +559,7 @@ def q_revenue_by_nation(sf_dir: str):
     lineitem = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=20_000)
     # join partitions sized to data volume (~500k combined rows per
     # partition): each partition costs a fixed aggregator-actor
     # overhead, so a small input must not pay for 16+ of them, while
@@ -573,7 +599,7 @@ def q_revenue_by_nation(sf_dir: str):
 def q_top_customers(sf_dir: str):
     """Grouped sum -> global top-k (sort + limit) with deterministic
     tiebreak, then broadcast name lookup."""
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"], rows_per_block=20_000)
     agg = ds.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="total_spent")
     )
@@ -614,7 +640,7 @@ def q_asof_last_signup(sf_dir: str):
     Vectorized bucket kernel: ONE keyed ``join_asof`` (``by=user_id``)
     per ~N/64 users — the partitioning assumption is per-key bucketing;
     no global sort, no per-user Python."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"], rows_per_block=20_000)
 
     def asof_bucket(t: pa.Table) -> pa.Table:
         import warnings
@@ -657,12 +683,12 @@ def q_customers_without_orders(sf_dir: str):
         t = t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(cutoff)))
         return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"], rows_per_block=20_000).map_batches(
         recent_keys, batch_format="pyarrow", zero_copy_batch=True
     )
     keys = orders.unique("o_custkey")  # distributed distinct; small result
     keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
-    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"], rows_per_block=20_000)
 
     def anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
@@ -674,7 +700,7 @@ def q_customers_without_orders(sf_dir: str):
 
 def q_distinct_segments(sf_dir: str):
     """Distinct values (``Dataset.unique`` — a shuffle op)."""
-    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    ds = _read(sf_dir, "customer", ["c_mktsegment"], rows_per_block=20_000)
     vals = ds.unique("c_mktsegment")
     return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
 
@@ -777,7 +803,7 @@ def q_top2_events_per_user(sf_dir: str):
     """Per-group top-k (window-function shape): each user's two highest-
     value events, deterministic tiebreak by event_id. Vectorized bucket
     kernel: one sort + grouped row-number per ~N/64 users."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"], rows_per_block=20_000)
 
     def top2_bucket(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).sort(
@@ -803,7 +829,7 @@ def q_cumulative_value_per_user(sf_dir: str):
     grouped ``cum_sum`` is a sequential fold per group (same operation
     order as the SQL windowed sum, so round(.,2) is hash-stable).
     Vectorized bucket kernel: one polars call per ~N/64 users."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"], rows_per_block=20_000)
 
     def cum_bucket(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
@@ -1006,7 +1032,7 @@ def q_median_value_by_type(sf_dir: str):
     selection (``grouped_quantiles_distributed``): no task holds a full
     group — the r2 ``map_groups`` shape held n/5 rows per task, an OOM
     at 100x. quantile_cont interpolation, bit-exact vs the oracle."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "value"], rows_per_block=20_000)
     qs = grouped_quantiles_distributed(ds, "event_type", "value", [0.5])
     groups = sorted(qs)
     return pa.table(
@@ -1020,7 +1046,7 @@ def q_value_quantiles_by_type(sf_dir: str):
     """Exact grouped multi-quantiles (p25/p50/p75/p90): ONE distributed
     selection pass serves all four quantiles (the histogram and target
     buckets are shared), with quantile_cont interpolation."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "value"], rows_per_block=20_000)
     ps = [0.25, 0.5, 0.75, 0.9]
     qs = grouped_quantiles_distributed(ds, "event_type", "value", ps)
     groups = sorted(qs)
@@ -1038,7 +1064,7 @@ def q_event_type_pivot(sf_dir: str):
     boolean sums), then grouped sums — the classic warehouse pivot via
     filtered aggregation; the oracle uses ``count(*) FILTER``."""
     types = ["click", "view", "purchase", "signup", "error"]
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    ds = _read(sf_dir, "events", ["user_id", "event_type"], rows_per_block=20_000)
 
     def partial(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
