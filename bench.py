@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "events_in_prior_hour",
     "top_terms",
     "distinct_users_per_type",
+    "hourly_distinct_users",
+    "pack_token_shards",
+    "quality_gate_by_lang",
+    "median_value_by_type",
     "curate_filter",
 ]
 

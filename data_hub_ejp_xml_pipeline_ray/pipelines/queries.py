@@ -371,7 +371,7 @@ def q_events_in_prior_hour(sf_dir: str):
 
 def grouped_count_distinct(
     ds: ray.data.Dataset,
-    group_col: str,
+    group_cols: str | list[str],
     value_col: str,
     *,
     num_buckets: int = 64,
@@ -391,9 +391,10 @@ def grouped_count_distinct(
 
     The approximate sibling is the HLL sketch in ``functions/sketch.py``
     (mergeable 4 KB partials, no pair shuffle at all)."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        t = t.group_by([group_col, value_col]).aggregate([])
+        t = t.group_by(gcols + [value_col]).aggregate([])
         return t.append_column(
             "_ub", _hash_bucket(t.column(value_col), num_buckets)
         )
@@ -403,16 +404,16 @@ def grouped_count_distinct(
     )
 
     def count_unique(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {group_col: g.column(group_col).slice(0, 1),
-             "_n_part": pa.array(
-                 [len(pc.unique(g.column(value_col)))], pa.int64())}
+        cols = {c: g.column(c).slice(0, 1) for c in gcols}
+        cols["_n_part"] = pa.array(
+            [len(pc.unique(g.column(value_col)))], pa.int64()
         )
+        return pa.table(cols)
 
-    parts = pairs.groupby([group_col, "_ub"]).map_groups(
+    parts = pairs.groupby(gcols + ["_ub"]).map_groups(
         count_unique, batch_format="pyarrow"
     )
-    return parts.groupby(group_col).aggregate(
+    return parts.groupby(gcols[0] if len(gcols) == 1 else gcols).aggregate(
         Sum("_n_part", alias_name=count_name)
     )
 
@@ -424,6 +425,122 @@ def q_distinct_users_per_type(sf_dir: str):
     return grouped_count_distinct(
         ds, "event_type", "user_id", count_name="n_users"
     )
+
+
+def q_hourly_distinct_users(sf_dir: str):
+    """Windowed distinct count (streaming analytics staple): distinct
+    users per (event_type, tumbling hour). Composes the tumbling-window
+    key with the two-level bounded count-distinct — the composite group
+    key multiplies cardinality, which is exactly when the per-batch
+    dedup combiner + value-bucket split earn their keep."""
+    ds = _read(
+        sf_dir, "events", ["event_type", "ts", "user_id"], rows_per_block=20_000
+    )
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "window_start": pc.floor_temporal(t.column("ts"), unit="hour"),
+             "user_id": t.column("user_id")}
+        )
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count_distinct(
+        ds, ["event_type", "window_start"], "user_id", count_name="n_users"
+    )
+
+
+#: Token budget per packed training shard (concat-and-chop packing).
+PACK_SHARD_TOKENS = 4096
+#: Docs per ordered range bucket for the distributed prefix sum.
+PACK_RANGE_DOCS = 500
+
+
+def q_pack_token_shards(sf_dir: str):
+    """Sequence packing for LLM training (concat-and-chop): assign each
+    document, in ``doc_id`` order, to the shard its cumulative token
+    offset falls in (``shard_id = cum_tokens_before // budget``) — the
+    deterministic doc->training-shard mapping a tokenize-and-pack
+    pipeline needs, and a distributed ORDERED PREFIX SUM:
+
+    1. per-doc token counts (vectorized) + an ordered RANGE bucket
+       (``doc_id // range``) — ranges are contiguous id slices, so
+       bucket order IS document order;
+    2. per-range token sums -> driver computes the tiny prefix-offset
+       table over sorted ranges (one number per range);
+    3. per-range cumulative sum + offset (each task holds one range,
+       never the corpus).
+
+    Integer arithmetic end to end — no float drift against the SQL
+    window-function oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        ann = annotate_text_stats(t)
+        rb = pc.divide(ann.column("doc_id"), PACK_RANGE_DOCS)
+        return pa.table(
+            {"doc_id": ann.column("doc_id"),
+             "n_tokens": ann.column("n_tokens"),
+             "_rb": pc.cast(rb, pa.int64())}
+        )
+
+    toks = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    sums = toks.groupby("_rb").aggregate(
+        Sum("n_tokens", alias_name="_s")
+    ).take_all()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(sums, key=lambda x: x["_rb"]):
+        offsets[r["_rb"]] = run
+        run += int(r["_s"])
+
+    def pack(group: pa.Table) -> pa.Table:
+        rb = group.column("_rb")[0].as_py()
+        idx = pc.sort_indices(group.column("doc_id"))
+        g = group.take(idx)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum_before = np.cumsum(nt) - nt + offsets[rb]
+        return pa.table(
+            {"doc_id": g.column("doc_id"),
+             "n_tokens": pc.cast(g.column("n_tokens"), pa.int64()),
+             "shard_id": pa.array(
+                 (cum_before // PACK_SHARD_TOKENS).astype(np.int64))}
+        )
+
+    return toks.groupby("_rb").map_groups(pack, batch_format="pyarrow")
+
+
+def q_quality_gate_by_lang(sf_dir: str):
+    """Per-language quality gate at the language's own MEDIAN: keep
+    documents strictly above the per-lang median quality score — the
+    stratified curation filter (a global threshold over-prunes
+    low-resource languages). Composes the distributed exact-quantile
+    machinery (``grouped_quantiles_distributed`` — no task holds a
+    language's full score set) with a broadcast threshold filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ann = annotate_text_stats(t)
+        return pa.table(
+            {"doc_id": ann.column("doc_id"),
+             "lang": t.column("lang"),
+             "quality": ann.column("quality")}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    med = grouped_quantiles_distributed(scored, "lang", "quality", [0.5])
+    thr = {g: v[0.5] for g, v in med.items()}
+    thr_ref = ray.put(thr)
+
+    def gate(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        langs = t.column("lang").to_pylist()
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        cut = np.fromiter((th[g] for g in langs), dtype=np.float64,
+                          count=len(langs))
+        return t.filter(pa.array(q > cut))
+
+    return scored.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_top_terms(sf_dir: str):
@@ -1404,6 +1521,9 @@ QUERIES = {
     "events_in_prior_hour": q_events_in_prior_hour,
     "top_terms": q_top_terms,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "hourly_distinct_users": q_hourly_distinct_users,
+    "pack_token_shards": q_pack_token_shards,
+    "quality_gate_by_lang": q_quality_gate_by_lang,
     "sessionize": q_sessionize,
     "asof_last_signup": q_asof_last_signup,
     "customers_without_orders": q_customers_without_orders,
@@ -1454,6 +1574,13 @@ def _lang_count(words: tuple[str, ...]) -> str:
         + r")\b'))"
     )
 
+
+_QUALITY_SQL = (
+    "round( (least({t}, 200) / 200.0 * 0.5"
+    " + {st} * 1.0 / greatest({t}, 1) * 0.3"
+    " + (1 - {p} * 1.0 / greatest(length(text), 1)) * 0.2)"
+    " * 10000) / 10000"
+).format(t=_TOKEN_SQL, st=_STOP_SQL, p=_PUNCT_SQL)
 
 _LANG_CASE = f"""
 CASE
@@ -1528,6 +1655,33 @@ ORACLE_SQL = {
     "distinct_users_per_type": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "hourly_distinct_users": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    # ordered prefix sum: DuckDB's windowed SUM over ints is HUGEINT;
+    # CAST to BIGINT for hash parity with the engine's int64
+    "pack_token_shards": f"""
+        WITH t AS (SELECT doc_id, {_TOKEN_SQL} AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               cum_before // {PACK_SHARD_TOKENS} AS shard_id
+        FROM c
+    """,
+    "quality_gate_by_lang": f"""
+        WITH q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+                   FROM documents),
+        m AS (SELECT lang, quantile_cont(quality, 0.5) AS med
+              FROM q GROUP BY lang)
+        SELECT q.doc_id, q.lang, q.quality
+        FROM q JOIN m ON q.lang = m.lang
+        WHERE q.quality > m.med
     """,
     "top_terms": """
         SELECT term, count(*) AS n FROM (
@@ -1669,10 +1823,7 @@ ORACLE_SQL = {
                length(text) AS n_chars_computed,
                {_PUNCT_SQL} AS n_punct,
                {_STOP_SQL} AS n_stop,
-               round( (least({_TOKEN_SQL}, 200) / 200.0 * 0.5
-                     + {_STOP_SQL} * 1.0 / greatest({_TOKEN_SQL}, 1) * 0.3
-                     + (1 - {_PUNCT_SQL} * 1.0 / greatest(length(text), 1)) * 0.2)
-                     * 10000) / 10000 AS quality
+               {_QUALITY_SQL} AS quality
         FROM documents
     """,
     "lang_id": f"""
