@@ -427,6 +427,24 @@ def q_distinct_users_per_type(sf_dir: str):
     )
 
 
+def q_hll_distinct_users_per_type(sf_dir: str):
+    """APPROXIMATE grouped count-distinct via the mergeable HLL sketch
+    (rows-only check: ~1.6% standard error at p=12) — the scale route
+    when even distinct (group, value) pairs are too many to shuffle:
+    only 4 KB of registers per group moves. The exact sibling is
+    ``distinct_users_per_type``."""
+    from ..functions.sketch import hll_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"], rows_per_block=20_000)
+    est = hll_count_distinct(ds, "user_id", group_col="event_type")
+    types = sorted(est)
+    return pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         "n_users_approx": pa.array(
+             [int(round(est[t])) for t in types], pa.int64())}
+    )
+
+
 def q_hourly_distinct_users(sf_dir: str):
     """Windowed distinct count (streaming analytics staple): distinct
     users per (event_type, tumbling hour). Composes the tumbling-window
@@ -1521,6 +1539,7 @@ QUERIES = {
     "events_in_prior_hour": q_events_in_prior_hour,
     "top_terms": q_top_terms,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "hll_distinct_users_per_type": q_hll_distinct_users_per_type,
     "hourly_distinct_users": q_hourly_distinct_users,
     "pack_token_shards": q_pack_token_shards,
     "quality_gate_by_lang": q_quality_gate_by_lang,
