@@ -403,16 +403,24 @@ def grouped_count_distinct(
         distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def count_unique(g: pa.Table) -> pa.Table:
-        cols = {c: g.column(c).slice(0, 1) for c in gcols}
-        cols["_n_part"] = pa.array(
-            [len(pc.unique(g.column(value_col)))], pa.int64()
+    def count_bucket(g: pa.Table) -> pa.Table:
+        # ONE vectorized kernel per VALUE bucket (holding every group's
+        # slice of that bucket) — never one Python call per (group,
+        # bucket) pair, which explodes on composite window keys
+        out = (
+            pl.from_arrow(g.drop_columns(["_ub"]))
+            .group_by(gcols)
+            .agg(pl.col(value_col).n_unique().cast(pl.Int64).alias("_n_part"))
+            .to_arrow()
         )
-        return pa.table(cols)
+        return out.cast(
+            pa.schema(
+                [g.schema.field(c) for c in gcols]
+                + [pa.field("_n_part", pa.int64())]
+            )
+        )
 
-    parts = pairs.groupby(gcols + ["_ub"]).map_groups(
-        count_unique, batch_format="pyarrow"
-    )
+    parts = pairs.groupby("_ub").map_groups(count_bucket, batch_format="pyarrow")
     return parts.groupby(gcols[0] if len(gcols) == 1 else gcols).aggregate(
         Sum("_n_part", alias_name=count_name)
     )
@@ -491,7 +499,7 @@ def q_pack_token_shards(sf_dir: str):
 
     Integer arithmetic end to end — no float drift against the SQL
     window-function oracle."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
 
     def tok(t: pa.Table) -> pa.Table:
         ann = annotate_text_stats(t)
@@ -502,7 +510,12 @@ def q_pack_token_shards(sf_dir: str):
              "_rb": pc.cast(rb, pa.int64())}
         )
 
-    toks = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    # two passes read this projection (range sums, then packing); the
+    # text is already dropped, so materializing three int columns costs
+    # ~24 B/doc in the (spillable) object store vs re-tokenizing twice
+    toks = ds.map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     sums = toks.groupby("_rb").aggregate(
         Sum("n_tokens", alias_name="_s")
     ).take_all()
@@ -535,7 +548,7 @@ def q_quality_gate_by_lang(sf_dir: str):
     low-resource languages). Composes the distributed exact-quantile
     machinery (``grouped_quantiles_distributed`` — no task holds a
     language's full score set) with a broadcast threshold filter."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"], rows_per_block=2_000)
 
     def score(t: pa.Table) -> pa.Table:
         ann = annotate_text_stats(t)
@@ -545,7 +558,11 @@ def q_quality_gate_by_lang(sf_dir: str):
              "quality": ann.column("quality")}
         )
 
-    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    # four passes read the scores (count/min/max, histogram, bucket
+    # pick, final gate): materialize the text-free projection once
+    scored = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     med = grouped_quantiles_distributed(scored, "lang", "quality", [0.5])
     thr = {g: v[0.5] for g, v in med.items()}
     thr_ref = ray.put(thr)

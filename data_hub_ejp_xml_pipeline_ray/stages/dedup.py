@@ -268,9 +268,8 @@ def candidate_pairs_from_buckets(
     distinct candidate pairs + the capped-pair count."""
     raw = buckets.groupby(["band", "key"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
-    ).materialize()
-    capped = capped_pair_count(raw)
-    return _collect_pairs(distinct_pairs(raw)), capped
+    )
+    return _collect_pairs_and_capped(raw)
 
 
 def _collect_pairs(pairs_ds: ray.data.Dataset) -> list[tuple[int, int]]:
@@ -348,16 +347,19 @@ def _near_dup_tail(
     trigram_strings: bool,
 ) -> dict:
     """Shared near-dup tail for the Jaccard-verified operators
-    (MinHash / prefix-blocked exact): distributed pair distinct, then
-    either the driver fast path (tiny measured pair count) or the
-    fully Dataset-native verify + clustering."""
-    capped = capped_pair_count(raw_pairs)
-    cand_ds = distinct_pairs(raw_pairs).materialize()
-    n_pairs = cand_ds.count()
-    if n_pairs == 0:
-        return _dedup_result(ds, [], id_col, capped)
-    if n_pairs < PAIR_DRIVER_THRESHOLD:
-        cands = _collect_pairs(cand_ds)
+    (MinHash / prefix-blocked exact): either the driver fast path
+    (tiny MEASURED raw pair count — a free metadata read on the
+    materialized stream, no extra shuffle) or the fully Dataset-native
+    distinct + verify + clustering."""
+    n_raw = raw_pairs.count()  # materialized: metadata, no execution
+    if n_raw == 0:
+        return _dedup_result(ds, [], id_col, 0)
+    if n_raw < PAIR_DRIVER_THRESHOLD:
+        # single pass: dedup + marker tally in one driver loop (the
+        # pair stream is small BY MEASUREMENT, not by hope)
+        cands, capped = _collect_pairs_and_capped(raw_pairs)
+        if not cands:
+            return _dedup_result(ds, [], id_col, capped)
         needed = {i for p in cands for i in p}
         if len(needed) >= DISTRIBUTED_VERIFY_THRESHOLD:
             # texts never reach the driver (pair list already local)
@@ -385,11 +387,32 @@ def _near_dup_tail(
                     if jaccard(sh[a_], sh[b_]) >= threshold
                 ]
         return _dedup_result(ds, verified, id_col, capped)
+    # scale path: the pair stream NEVER collects on the driver
+    capped = capped_pair_count(raw_pairs)
+    cand_ds = distinct_pairs(raw_pairs).materialize()
     verified_ds = verify_pairs_dataset(
         ds, cand_ds, threshold=threshold, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, trigram_strings=trigram_strings,
     )
     return _dedup_result_from_ds(ds, verified_ds, id_col, capped)
+
+
+def _collect_pairs_and_capped(
+    raw_pairs: ray.data.Dataset,
+) -> tuple[list[tuple[int, int]], int]:
+    """One driver pass over a SMALL raw pair stream: distinct pairs +
+    capped-marker tally together (the driver fast path's whole cost)."""
+    seen: set[tuple[int, int]] = set()
+    capped = 0
+    for b in raw_pairs.iter_batches(batch_format="pyarrow"):
+        for a_, b_ in zip(
+            b.column("id_a").to_pylist(), b.column("id_b").to_pylist()
+        ):
+            if a_ == CAP_MARKER:
+                capped += b_
+            else:
+                seen.add((a_, b_))
+    return sorted(seen), capped
 
 
 def _shingle_sorted_list(
@@ -1078,13 +1101,17 @@ def _preverified_tail(
     ds: ray.data.Dataset, raw_pairs: ray.data.Dataset, id_col: str
 ) -> dict:
     """Shared tail for operators whose in-bucket verify already proved
-    the pairs (SimHash Hamming / embedding cosine): distributed
-    distinct, then clustering — Dataset-native above
-    :data:`PAIR_DRIVER_THRESHOLD`, driver union-find below it."""
+    the pairs (SimHash Hamming / embedding cosine): driver union-find
+    below :data:`PAIR_DRIVER_THRESHOLD` (one pass, measured-small),
+    distributed distinct + clustering above it."""
+    n_raw = raw_pairs.count()  # materialized: metadata, no execution
+    if n_raw == 0:
+        return _dedup_result(ds, [], id_col, 0)
+    if n_raw < PAIR_DRIVER_THRESHOLD:
+        pairs, capped = _collect_pairs_and_capped(raw_pairs)
+        return _dedup_result(ds, pairs, id_col, capped)
     capped = capped_pair_count(raw_pairs)
     cand_ds = distinct_pairs(raw_pairs).materialize()
-    if cand_ds.count() < PAIR_DRIVER_THRESHOLD:
-        return _dedup_result(ds, _collect_pairs(cand_ds), id_col, capped)
     return _dedup_result_from_ds(ds, cand_ds, id_col, capped)
 
 
