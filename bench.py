@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "pack_token_shards",
     "quality_gate_by_lang",
     "median_value_by_type",
+    "decontaminate_ngrams",
+    "stratified_sample_by_lang",
     "curate_filter",
 ]
 

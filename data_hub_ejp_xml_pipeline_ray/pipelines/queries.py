@@ -1259,6 +1259,105 @@ def q_sample_documents(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: Benchmark slice for the decontamination operator: docs below this id
+#: stand in for a held-out eval set (benchmark corpora are SMALL by
+#: definition, so broadcasting their n-gram hash set is the scale
+#: shape — never a shuffle join against the training corpus).
+_DECON_BENCH_MAX_ID = 250
+_DECON_NGRAM = 8
+
+
+def _gram_hash_list(text: str | None) -> list[int]:
+    """blake2b-int64 hashes of the doc's word 8-grams (token runs
+    ``[A-Za-z0-9]+``, space-joined — in lock-step with the SQL
+    oracle's ``array_to_string(tk[i:i+7], ' ')``)."""
+    import hashlib as _hl
+    import re as _re
+
+    toks = _re.findall(r"[A-Za-z0-9]+", text or "")
+    n = _DECON_NGRAM
+    return [
+        int.from_bytes(
+            _hl.blake2b(
+                " ".join(toks[i : i + n]).encode("utf-8"), digest_size=8
+            ).digest(),
+            "little",
+        ) >> 1
+        for i in range(len(toks) - n + 1)
+    ]
+
+
+def q_decontaminate_ngrams(sf_dir: str):
+    """Benchmark DECONTAMINATION (the train/eval-overlap filter every
+    LLM data pipeline needs): drop any training document sharing an
+    8-gram with the benchmark slice. The benchmark's n-gram hash set is
+    computed distributed, collected once (benchmark-bounded — eval sets
+    are small by definition) and broadcast via ``ray.put``; the corpus
+    then streams through a vectorized anti-filter. Only benchmark
+    grams ever leave their tasks — the training corpus is never
+    shuffled. Gram hashing is 64-bit blake2b (collision odds ~2^-61
+    per pair; the oracle compares gram STRINGS)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), _DECON_BENCH_MAX_ID))
+        hashes: set[int] = set()
+        for x in t.column("text").to_pylist():
+            hashes.update(_gram_hash_list(x))
+        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+
+    bench_set: set[int] = set()
+    for b in ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        bench_set.update(b.column("h").to_pylist())
+    bench_ref = ray.put(bench_set)
+
+    def anti(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        t = t.filter(
+            pc.greater_equal(t.column("doc_id"), _DECON_BENCH_MAX_ID)
+        )
+        keep = [
+            not any(h in bench for h in _gram_hash_list(x))
+            for x in t.column("text").to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["doc_id", "lang"])
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: Per-language sampling rates (threshold on the same multiplicative
+#: hash sample_documents uses): up-sample low-resource languages,
+#: down-sample the head — the data-mixture rebalancing primitive.
+_STRAT_RATES = {"en": 0.05, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+
+
+def q_stratified_sample_by_lang(sf_dir: str):
+    """Deterministic STRATIFIED sample: each language keeps its own
+    hash-threshold fraction (reproducible, repartition-stable, and
+    SQL-expressible — unlike seeded RNG sampling)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    cuts = {
+        lang: int(r * _SAMPLE_MOD) for lang, r in _STRAT_RATES.items()
+    }
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                t.column("doc_id").cast(pa.int64()), _SAMPLE_MULT
+            ),
+            _SAMPLE_MOD - 1,
+        ).to_numpy(zero_copy_only=False)
+        cut = np.fromiter(
+            (cuts.get(g, 0) for g in t.column("lang").to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _SCORE_SEED = 321
 
 
@@ -1573,6 +1672,8 @@ QUERIES = {
     "top_customers": q_top_customers,
     "order_priority_count": q_order_priority_count,
     "sample_documents": q_sample_documents,
+    "stratified_sample_by_lang": q_stratified_sample_by_lang,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
     "median_value_by_type": q_median_value_by_type,
@@ -1814,6 +1915,35 @@ ORACLE_SQL = {
     "sample_documents": """
         SELECT doc_id, lang, source FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 < 429496729
+    """,
+    "stratified_sample_by_lang": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE lang
+            WHEN 'en' THEN {int(0.05 * (1 << 32))}
+            ELSE {int(0.25 * (1 << 32))}
+          END
+    """,
+    # train/eval n-gram overlap filter; gram construction in lock-step
+    # with queries._gram_hash_list (8 tokens, space-joined)
+    "decontaminate_ngrams": f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(tk[i:i+{_DECON_NGRAM - 1}], ' ') AS gram
+          FROM toks,
+               unnest(generate_series(1, greatest(len(tk) - {_DECON_NGRAM - 1}, 0)))
+                 AS g(i)
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id < {_DECON_BENCH_MAX_ID}
+        )
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id >= {_DECON_BENCH_MAX_ID} AND NOT EXISTS (
+          SELECT 1 FROM grams g JOIN bench b ON g.gram = b.gram
+          WHERE g.doc_id = d.doc_id)
     """,
     "top2_events_per_user": """
         SELECT user_id, event_id, value, rank FROM (
