@@ -105,3 +105,43 @@ def test_grouped_count_distinct_exact_and_balanced():
     buckets = _hash_bucket(hot_users, 16).to_numpy(zero_copy_only=False)
     per_bucket = np.bincount(buckets, minlength=16)
     assert per_bucket.max() < len(hot_users) // 4
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(
+                st.integers(-1000, 1000).map(float),
+                st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            ),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    p=st.sampled_from([0.1, 0.25, 0.5, 0.9]),
+)
+def test_grouped_quantiles_property(data, p):
+    """Any grouped float data (dups, negatives, singleton groups, tiny
+    value ranges) — the 3-pass distributed selection must equal the
+    full-sort interpolation bit-for-bit."""
+    tbl = pa.table(
+        {"g": pa.array([g for g, _ in data]),
+         "v": pa.array([v for _, v in data], pa.float64())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = grouped_quantiles_distributed(ds, "g", "v", [p], num_value_buckets=16)
+    by_g: dict = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        arr = np.sort(np.asarray(vals, dtype=np.float64))
+        h = (len(arr) - 1) * p
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        expected = arr[lo] + (h - lo) * (arr[hi] - arr[lo])
+        assert got[g][p] == expected, (g, p, got[g][p], expected)
