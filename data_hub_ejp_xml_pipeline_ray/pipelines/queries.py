@@ -478,8 +478,16 @@ def q_hourly_distinct_users(sf_dir: str):
 
 #: Token budget per packed training shard (concat-and-chop packing).
 PACK_SHARD_TOKENS = 4096
-#: Docs per ordered range bucket for the distributed prefix sum.
+#: Floor for docs per ordered range bucket of the distributed prefix
+#: sum. The EFFECTIVE range scales with corpus size (see
+#: ``_pack_range_docs``) so the driver's offset table stays bounded
+#: (~<=50k entries) at any corpus — shard assignment is independent of
+#: the bucketing, so the knob is free to move.
 PACK_RANGE_DOCS = 500
+
+
+def _pack_range_docs(total_rows: int) -> int:
+    return max(PACK_RANGE_DOCS, total_rows // 50_000 + 1)
 
 
 def q_pack_token_shards(sf_dir: str):
@@ -500,10 +508,15 @@ def q_pack_token_shards(sf_dir: str):
     Integer arithmetic end to end — no float drift against the SQL
     window-function oracle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+    range_docs = _pack_range_docs(
+        pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    )
 
     def tok(t: pa.Table) -> pa.Table:
         ann = annotate_text_stats(t)
-        rb = pc.divide(ann.column("doc_id"), PACK_RANGE_DOCS)
+        rb = pc.divide(ann.column("doc_id"), range_docs)
         return pa.table(
             {"doc_id": ann.column("doc_id"),
              "n_tokens": ann.column("n_tokens"),
