@@ -83,6 +83,143 @@ def estimate(reg: np.ndarray) -> float:
     return float(est)
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 12  # eps ~ e/width ~ 0.07% of total mass per estimate
+
+
+def cms_empty(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_rows(keys: list[str], depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices — one seeded blake2b hash per row.
+    Deterministic (no process-dependent ``hash()``)."""
+    out = np.empty((depth, len(keys)), dtype=np.int64)
+    for d in range(depth):
+        salt = bytes([d])
+        out[d] = [
+            int.from_bytes(
+                hashlib.blake2b(
+                    salt + k.encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+            )
+            % width
+            for k in keys
+        ]
+    return out
+
+
+def cms_update(
+    sketch: np.ndarray, keys: list[str], counts: np.ndarray
+) -> np.ndarray:
+    """Fold (key, count) pairs into the sketch — vectorized scatter-add
+    per depth row."""
+    if len(keys) == 0:
+        return sketch
+    idx = _cms_rows(keys, sketch.shape[0], sketch.shape[1])
+    c = np.asarray(counts, dtype=np.int64)
+    for d in range(sketch.shape[0]):
+        np.add.at(sketch[d], idx[d], c)
+    return sketch
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sketch union = element-wise SUM (associative + commutative, so
+    any partial-merge order agrees). NOT idempotent — safe under Ray
+    Data's lineage re-execution (a retried block REPLACES the lost
+    one, it is never double-consumed), but do not re-feed the same
+    partial twice by hand."""
+    return a + b
+
+
+def cms_estimate(sketch: np.ndarray, keys: list[str]) -> np.ndarray:
+    """Point estimates (min over depth rows) — overestimates by at most
+    ~e/width of the total inserted mass, w.h.p."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _cms_rows(keys, sketch.shape[0], sketch.shape[1])
+    ests = np.stack(
+        [sketch[d][idx[d]] for d in range(sketch.shape[0])], axis=0
+    )
+    return ests.min(axis=0)
+
+
+def cms_topk_terms(
+    ds,
+    text_col: str = "text",
+    *,
+    k: int = 50,
+    candidates_per_block: int = 200,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Approximate corpus top-k terms via Count-Min + per-block
+    candidate tracking — the HEAVY-HITTERS scale route: nothing
+    term-cardinality-sized ever shuffles or reaches the driver, only
+    (depth x width) sketch partials plus each block's local top
+    ``candidates_per_block`` terms (a true heavy hitter is in the
+    local top of at least one block for any realistic skew). Returns
+    an Arrow table (term, n_approx) sorted desc. The exact sibling is
+    ``queries.q_top_terms``."""
+    import polars as pl
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([text_col]))
+        counts = (
+            df.select(
+                pl.col(text_col).str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term")
+            )
+            .explode("term")
+            .drop_nulls()
+            .group_by("term").agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        terms = counts.get_column("term").to_list()
+        ns = counts.get_column("n").to_numpy()
+        sk = cms_update(cms_empty(depth, width), terms, ns)
+        top = counts.sort(["n", "term"], descending=[True, False]).head(
+            candidates_per_block
+        )
+        return pa.table(
+            {
+                "cand": pa.array([top.get_column("term").to_list()],
+                                  pa.list_(pa.string())),
+                "sketch": pa.array([sk.tobytes()], pa.binary()),
+            }
+        )
+
+    merged = cms_empty(depth, width)
+    cands: set[str] = set()
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for cl, raw in zip(
+            b.column("cand").to_pylist(), b.column("sketch").to_pylist()
+        ):
+            cands.update(cl)
+            merged = cms_merge(
+                merged,
+                np.frombuffer(raw, dtype=np.int64).reshape(depth, width),
+            )
+    import pyarrow as pa
+
+    terms = sorted(cands)
+    ests = cms_estimate(merged, terms)
+    order = sorted(
+        range(len(terms)), key=lambda i: (-int(ests[i]), terms[i])
+    )[:k]
+    return pa.table(
+        {"term": pa.array([terms[i] for i in order], pa.string()),
+         "n_approx": pa.array([int(ests[i]) for i in order], pa.int64())}
+    )
+
+
 def hll_count_distinct(
     ds, column: str, *, p: int = 12, group_col: str | None = None
 ):

@@ -453,6 +453,18 @@ def q_hll_distinct_users_per_type(sf_dir: str):
     )
 
 
+def q_top_terms_sketch(sf_dir: str):
+    """Approximate corpus top-50 terms via Count-Min + per-block
+    candidate tracking (rows-only: estimates overcount by <= ~e/width
+    of total mass). The heavy-hitters scale route — only fixed-size
+    sketch partials and per-block local tops move; the term universe
+    never shuffles. Exact sibling: ``top_terms``."""
+    from ..functions.sketch import cms_topk_terms
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return cms_topk_terms(ds, "text", k=50)
+
+
 def q_hourly_distinct_users(sf_dir: str):
     """Windowed distinct count (streaming analytics staple): distinct
     users per (event_type, tumbling hour). Composes the tumbling-window
@@ -1669,6 +1681,7 @@ QUERIES = {
     "top_terms": q_top_terms,
     "distinct_users_per_type": q_distinct_users_per_type,
     "hll_distinct_users_per_type": q_hll_distinct_users_per_type,
+    "top_terms_sketch": q_top_terms_sketch,
     "hourly_distinct_users": q_hourly_distinct_users,
     "pack_token_shards": q_pack_token_shards,
     "quality_gate_by_lang": q_quality_gate_by_lang,

@@ -48,3 +48,53 @@ def test_hll_count_distinct_dataset_matches_exact():
         exact = len({f"u{i % 700}" for i in range(5000)
                      if ["x", "y"][i % 2] == g})
         assert abs(e - exact) / exact < 0.08
+
+
+def test_cms_error_bound_and_merge_laws():
+    import numpy as np
+
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        cms_empty,
+        cms_estimate,
+        cms_merge,
+        cms_update,
+    )
+
+    rng = np.random.default_rng(9)
+    keys = [f"k{i}" for i in range(2000)]
+    counts = rng.integers(1, 50, len(keys))
+    total = int(counts.sum())
+    # single-shot vs two merged halves: identical (associativity)
+    whole = cms_update(cms_empty(), keys, counts)
+    a = cms_update(cms_empty(), keys[:1000], counts[:1000])
+    b = cms_update(cms_empty(), keys[1000:], counts[1000:])
+    assert np.array_equal(cms_merge(a, b), whole)
+    assert np.array_equal(cms_merge(a, b), cms_merge(b, a))
+    # never underestimates; overestimates bounded by ~2e/width * total
+    est = cms_estimate(whole, keys)
+    assert (est >= counts).all()
+    assert (est - counts).max() <= max(1, int(2 * 2.72 / whole.shape[1] * total) + 1)
+
+
+def test_cms_topk_matches_exact_on_skewed_corpus():
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import cms_topk_terms
+
+    # zipf-ish corpus: term0 most frequent, long noise tail
+    docs = []
+    for i in range(200):
+        toks = []
+        for r in range(20):
+            toks.append(f"term{r}" * 1)
+        toks = [t for r, t in enumerate(toks) for _ in range(20 - r)]
+        toks.append(f"noise{i}")
+        docs.append({"text": " ".join(toks)})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs)).repartition(4)
+    got = cms_topk_terms(ds, "text", k=10)
+    terms = got.column("term").to_pylist()
+    ests = got.column("n_approx").to_pylist()
+    # exact: term r appears (20-r)*200 times
+    assert terms[:5] == [f"term{r}" for r in range(5)]
+    for r, (t, e) in enumerate(zip(terms, ests)):
+        if t.startswith("term"):
+            true = (20 - int(t[4:])) * 200
+            assert true <= e <= true + 600  # eps*N slack
