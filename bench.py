@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "median_value_by_type",
     "decontaminate_ngrams",
     "stratified_sample_by_lang",
+    "prepare_training_corpus",
     "curate_filter",
 ]
 

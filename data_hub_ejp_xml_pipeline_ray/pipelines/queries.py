@@ -1312,12 +1312,21 @@ def q_sample_documents(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
-#: Benchmark slice for the decontamination operator: docs below this id
-#: stand in for a held-out eval set (benchmark corpora are SMALL by
-#: definition, so broadcasting their n-gram hash set is the scale
-#: shape — never a shuffle join against the training corpus).
-_DECON_BENCH_MAX_ID = 250
+#: The decontamination benchmark slice: the lower half of the doc-id
+#: space stands in for a held-out eval set (scale-free, so the
+#: operator is meaningful at every sf tier; benchmark corpora are
+#: SMALL by definition, so broadcasting their n-gram hash set is the
+#: scale shape — never a shuffle join against the training corpus).
 _DECON_NGRAM = 8
+#: SQL form of the benchmark boundary (engine mirrors via the footer
+#: row count — documents doc_ids are dense 0..n-1 in the test data).
+_DECON_BENCH_SQL = "(SELECT count(*) // 2 FROM documents)"
+
+
+def _decon_bench_max(sf_dir: str) -> int:
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows // 2
 
 
 def _gram_hash_list(text: str | None) -> list[int]:
@@ -1351,9 +1360,10 @@ def q_decontaminate_ngrams(sf_dir: str):
     shuffled. Gram hashing is 64-bit blake2b (collision odds ~2^-61
     per pair; the oracle compares gram STRINGS)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    bench_max = _decon_bench_max(sf_dir)
 
     def bench_grams(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t.column("doc_id"), _DECON_BENCH_MAX_ID))
+        t = t.filter(pc.less(t.column("doc_id"), bench_max))
         hashes: set[int] = set()
         for x in t.column("text").to_pylist():
             hashes.update(_gram_hash_list(x))
@@ -1369,7 +1379,7 @@ def q_decontaminate_ngrams(sf_dir: str):
     def anti(t: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
         t = t.filter(
-            pc.greater_equal(t.column("doc_id"), _DECON_BENCH_MAX_ID)
+            pc.greater_equal(t.column("doc_id"), bench_max)
         )
         keep = [
             not any(h in bench for h in _gram_hash_list(x))
@@ -1409,6 +1419,151 @@ def q_stratified_sample_by_lang(sf_dir: str):
         return t.filter(pa.array(h < cut))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: Per-language keep rates for the prepared training corpus.
+_PREP_RATES = {"en": 0.3}
+_PREP_RATE_DEFAULT = 0.6
+_PREP_QUALITY_MIN = 0.3
+
+
+def q_prepare_training_corpus(sf_dir: str):
+    """The WHOLE LLM training-data preparation pipeline composed end to
+    end — quality gate, benchmark decontamination, exact dedup,
+    stratified language sampling, token-budget shard packing — and
+    oracle-checked as ONE SQL statement (the curate_corpus_exact idea
+    applied to the full training-prep flow):
+
+    1. score + GATE: quality >= 0.3, benchmark slice excluded;
+    2. DECONTAMINATE: drop docs sharing an 8-gram with the benchmark
+       slice (broadcast gram-hash set — the corpus never shuffles);
+    3. EXACT DEDUP among survivors (min doc_id per text, two-phase
+       hash — only (hash, id) pairs move);
+    4. STRATIFIED SAMPLE: per-language hash-threshold rates;
+    5. PACK: distributed ordered prefix sum assigns each survivor, in
+       doc_id order, its training shard.
+
+    Output: (doc_id, lang, n_tokens, shard_id). Every stage streams;
+    driver state is bounded by benchmark grams + the dup-rate drop set
+    + the range-offset table."""
+    from ..stages.dedup import exact_dedup_drop_ids, filter_survivors
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"], rows_per_block=2_000)
+    bench_max = _decon_bench_max(sf_dir)
+
+    # -- 1. score + gate (benchmark slice excluded from the corpus)
+    def score(t: pa.Table) -> pa.Table:
+        ann = annotate_text_stats(t)
+        out = pa.table(
+            {"doc_id": ann.column("doc_id"), "lang": t.column("lang"),
+             "text": t.column("text"),
+             "n_tokens": pc.cast(ann.column("n_tokens"), pa.int64()),
+             "quality": ann.column("quality")}
+        )
+        keep = pc.and_(
+            pc.greater_equal(out.column("quality"), _PREP_QUALITY_MIN),
+            pc.greater_equal(out.column("doc_id"), bench_max),
+        )
+        return out.filter(keep)
+
+    gated = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # -- 2. decontaminate (bench grams from the FULL documents table)
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), bench_max))
+        hashes: set[int] = set()
+        for x in t.column("text").to_pylist():
+            hashes.update(_gram_hash_list(x))
+        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+
+    bench_set: set[int] = set()
+    for b in ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        bench_set.update(b.column("h").to_pylist())
+    bench_ref = ray.put(bench_set)
+
+    def anti(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        keep = [
+            not any(h in bench for h in _gram_hash_list(x))
+            for x in t.column("text").to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    decon = gated.map_batches(
+        anti, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice (dedup drop-set pass + survivors)
+
+    # -- 3. exact dedup among survivors (min doc_id per text wins)
+    drop = exact_dedup_drop_ids(decon)
+    deduped = filter_survivors(decon, drop)
+
+    # -- 4. stratified per-language sample (same hash as sample_documents)
+    def cut_for(lang: str) -> int:
+        return int(_PREP_RATES.get(lang, _PREP_RATE_DEFAULT) * _SAMPLE_MOD)
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = pc.bit_wise_and(
+            pc.multiply_checked(
+                t.column("doc_id").cast(pa.int64()), _SAMPLE_MULT
+            ),
+            _SAMPLE_MOD - 1,
+        ).to_numpy(zero_copy_only=False)
+        cut = np.fromiter(
+            (cut_for(g) for g in t.column("lang").to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        return t.filter(pa.array(h < cut)).select(
+            ["doc_id", "lang", "n_tokens"]
+        )
+
+    sampled = deduped.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two passes: range sums, then packing (ints only)
+
+    # -- 5. pack into token-budget shards (ordered prefix sum; sparse
+    # ids are fine — ranges are contiguous ID slices, not row counts)
+    range_docs = _pack_range_docs(
+        pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    )
+
+    def add_range(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_rb", pc.cast(pc.divide(t.column("doc_id"), range_docs), pa.int64())
+        )
+
+    toks = sampled.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = toks.groupby("_rb").aggregate(Sum("n_tokens", alias_name="_s")).take_all()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(sums, key=lambda x: x["_rb"]):
+        offsets[r["_rb"]] = run
+        run += int(r["_s"])
+
+    def pack(group: pa.Table) -> pa.Table:
+        rb = group.column("_rb")[0].as_py()
+        g = group.take(pc.sort_indices(group.column("doc_id")))
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum_before = np.cumsum(nt) - nt + offsets[rb]
+        return pa.table(
+            {"doc_id": g.column("doc_id"), "lang": g.column("lang"),
+             "n_tokens": g.column("n_tokens"),
+             "shard_id": pa.array(
+                 (cum_before // PACK_SHARD_TOKENS).astype(np.int64))}
+        )
+
+    out = toks.groupby("_rb").map_groups(pack, batch_format="pyarrow")
+    if not sums:  # empty prepared corpus: Ray's empty groupby output
+        return pa.schema(  # has NO schema — keep the contract explicit
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("n_tokens", pa.int64()), ("shard_id", pa.int64())]
+        ).empty_table()
+    return out
 
 
 _SCORE_SEED = 321
@@ -1727,6 +1882,7 @@ QUERIES = {
     "order_priority_count": q_order_priority_count,
     "sample_documents": q_sample_documents,
     "stratified_sample_by_lang": q_stratified_sample_by_lang,
+    "prepare_training_corpus": q_prepare_training_corpus,
     "decontaminate_ngrams": q_decontaminate_ngrams,
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
@@ -1866,6 +2022,62 @@ ORACLE_SQL = {
                cum_before // {PACK_SHARD_TOKENS} AS shard_id
         FROM c
     """,
+    # the full training-prep flow as ONE statement (gate ->
+    # decontaminate -> exact dedup -> stratified sample -> pack)
+    "prepare_training_corpus": f"""
+        WITH q AS (
+          SELECT doc_id, lang, text, {_TOKEN_SQL} AS n_tokens,
+                 {_QUALITY_SQL} AS quality
+          FROM documents
+        ),
+        gated AS (
+          SELECT * FROM q
+          WHERE quality >= {_PREP_QUALITY_MIN}
+            AND doc_id >= {_DECON_BENCH_SQL}
+        ),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(tk[i:i+{_DECON_NGRAM - 1}], ' ') AS gram
+          FROM toks,
+               unnest(generate_series(1, greatest(len(tk) - {_DECON_NGRAM - 1}, 0)))
+                 AS g(i)
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id < {_DECON_BENCH_SQL}
+        ),
+        decon AS (
+          SELECT g.* FROM gated g
+          WHERE NOT EXISTS (
+            SELECT 1 FROM grams gr JOIN bench b ON gr.gram = b.gram
+            WHERE gr.doc_id = g.doc_id)
+        ),
+        deduped AS (
+          SELECT * FROM decon d
+          WHERE d.doc_id = (SELECT min(x.doc_id) FROM decon x
+                            WHERE x.text = d.text)
+        ),
+        sampled AS (
+          SELECT doc_id, lang, n_tokens FROM deduped
+          WHERE (doc_id * 2654435761) % 4294967296 <
+            CASE lang
+              WHEN 'en' THEN {int(_PREP_RATES["en"] * (1 << 32))}
+              ELSE {int(_PREP_RATE_DEFAULT * (1 << 32))}
+            END
+        ),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+          FROM sampled
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               cum_before // {PACK_SHARD_TOKENS} AS shard_id
+        FROM packed
+    """,
     "quality_gate_by_lang": f"""
         WITH q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
                    FROM documents),
@@ -1993,10 +2205,10 @@ ORACLE_SQL = {
                  AS g(i)
         ),
         bench AS (
-          SELECT DISTINCT gram FROM grams WHERE doc_id < {_DECON_BENCH_MAX_ID}
+          SELECT DISTINCT gram FROM grams WHERE doc_id < {_DECON_BENCH_SQL}
         )
         SELECT d.doc_id, d.lang FROM documents d
-        WHERE d.doc_id >= {_DECON_BENCH_MAX_ID} AND NOT EXISTS (
+        WHERE d.doc_id >= {_DECON_BENCH_SQL} AND NOT EXISTS (
           SELECT 1 FROM grams g JOIN bench b ON g.gram = b.gram
           WHERE g.doc_id = d.doc_id)
     """,
