@@ -131,13 +131,27 @@ def _merge_fields(existing: list[pa.Field], new: list[pa.Field]) -> list[pa.Fiel
     return out
 
 
+#: Engine-reserved columns that must stay TRAILING through schema
+#: evolution (names mirror stages/merge.py — kept literal here to avoid
+#: a circular import). Without this, a column added by a later segment
+#: lands AFTER the provenance/tombstone fields in an incrementally
+#: evolved lake but BEFORE them in a single-shot replay — same data,
+#: different column order, and replay-equals-incremental byte equality
+#: breaks.
+_TRAILING_COLUMNS = ("_src_segment", "_deleted")
+
+
 def merge_schemas(existing: pa.Schema | None, new: pa.Schema) -> pa.Schema:
     """Union two schemas: existing field order preserved, new-only fields
-    appended, types merged per :func:`merge_types`."""
+    appended, types merged per :func:`merge_types`. Engine-reserved
+    trailing columns are re-pinned to the end so evolved and replayed
+    lakes agree on column order."""
     if existing is None:
         return new
     merged = _merge_fields(list(existing), list(new))
-    return pa.schema(merged)
+    head = [f for f in merged if f.name not in _TRAILING_COLUMNS]
+    tail = [f for f in merged if f.name in _TRAILING_COLUMNS]
+    return pa.schema(head + tail)
 
 
 def unify_many(schemas: list[pa.Schema]) -> pa.Schema:

@@ -301,3 +301,25 @@ def test_partition_level_resume_skips_completed_merges(small_wal):
             f"{rel} was rewritten on resume"
         )
     assert _snapshot_dict(cfg.lake_dir) == _expected_lake(cfg.wal_dir)
+
+
+def test_schema_evolution_across_batches_matches_single_shot(tmp_path, ray_session):
+    """Column ORDER regression (found by a live kill/resume probe): a
+    lake whose schema evolved mid-stream across micro-batch commits
+    must be byte-identical — including column order — to a single-shot
+    replay of the same WAL."""
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, seed=31, n_urls=60, n_events=1500, n_segments=6,
+                 v2_from_segment=3)
+    inc = CdcConfig(wal_dir=wal, lake_dir=str(tmp_path / "inc"),
+                    num_partitions=4, extract_concurrency=2,
+                    max_segments_per_batch=2)
+    one = CdcConfig(wal_dir=wal, lake_dir=str(tmp_path / "one"),
+                    num_partitions=4, extract_concurrency=2,
+                    max_segments_per_batch=64)
+    run_ingest(inc)
+    run_ingest(one)
+    a = lake_snapshot(str(tmp_path / "inc")).sort_by([("url", "ascending")])
+    b = lake_snapshot(str(tmp_path / "one")).sort_by([("url", "ascending")])
+    assert a.schema.equals(b.schema)  # incl. column order
+    assert a.equals(b)

@@ -68,3 +68,24 @@ def test_conform_table_null_fill_and_cast():
 def test_schema_serde_roundtrip():
     s = pa.schema([("u", pa.string()), ("t", pa.timestamp("us", tz="UTC"))])
     assert schema_from_json(schema_to_json(s)).equals(s)
+
+
+def test_merge_schemas_pins_reserved_trailing_columns():
+    import pyarrow as pa
+
+    from data_hub_ejp_xml_pipeline_ray.schemas import merge_schemas
+
+    existing = pa.schema([
+        ("url", pa.string()), ("seq", pa.int64()),
+        ("_src_segment", pa.string()), ("_deleted", pa.bool_()),
+    ])
+    new = pa.schema([
+        ("url", pa.string()), ("seq", pa.int64()),
+        ("content_type", pa.string()),  # evolution-added column
+    ])
+    merged = merge_schemas(existing, new)
+    # the added column lands BEFORE the engine-reserved trailing pair,
+    # matching where a single-shot replay would put it
+    assert merged.names == [
+        "url", "seq", "content_type", "_src_segment", "_deleted"
+    ]
