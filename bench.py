@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pack_token_shards",
     "quality_gate_by_lang",
     "median_value_by_type",
+    "value_percentile_by_type",
     "decontaminate_ngrams",
     "stratified_sample_by_lang",
     "prepare_training_corpus",

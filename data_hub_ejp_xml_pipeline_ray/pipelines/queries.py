@@ -1232,6 +1232,130 @@ def _round2_half_away(x: float) -> float:
     return float(np.sign(x) * np.floor(np.abs(x) * 100 + 0.5) / 100)
 
 
+def q_value_percentile_by_type(sf_dir: str):
+    """GLOBAL percent_rank within each group, distributed — the window
+    op per-key bucketing cannot bound (a key's rank needs its WHOLE
+    group ordered, and groups here are few and huge). Same
+    histogram-offset machinery as the exact quantiles, inverted:
+
+    1. per-group count/min/max;
+    2. per-(group, value-bucket) histogram via the per-batch combiner
+       (driver sums a fixed-size vector per group per block);
+    3. cumulative bucket offsets give every bucket its global rank
+       base; rows shuffle ONLY by (group, bucket) (~n/512 rows per
+       task), where a vectorized searchsorted assigns each row
+       ``offset + #strictly-smaller-in-bucket`` — exactly SQL's
+       ``percent_rank()`` numerator, with no task holding a group.
+
+    Output: (event_id, pct_rank) rounded 6dp half-away (oracle
+    parity)."""
+    B = 512
+    ds = _read(
+        sf_dir, "events", ["event_id", "event_type", "value"],
+        rows_per_block=20_000,
+    )
+    stats = ds.groupby("event_type").aggregate(
+        Count(),
+        Min("value", alias_name="_mn"),
+        Max("value", alias_name="_mx"),
+    ).take_all()
+    info = {
+        r["event_type"]: (int(r["count()"]), r["_mn"], r["_mx"])
+        for r in stats
+    }
+    spread = {g: v for g, v in info.items() if v[1] < v[2]}
+
+    def bucket_of(vals: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        idx = np.floor((vals - mn) / (mx - mn) * B).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    hist = {g: np.zeros(B, dtype=np.int64) for g in spread}
+    if spread:
+        bounds_ref = ray.put({g: (v[1], v[2]) for g, v in spread.items()})
+
+        def hist_batch(t: pa.Table) -> pa.Table:
+            bounds = ray.get(bounds_ref)
+            keys = t.column("event_type").combine_chunks()
+            vals = t.column("value").to_numpy(zero_copy_only=False)
+            enc = pc.dictionary_encode(keys)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            out_g, out_h = [], []
+            for code in range(len(enc.dictionary)):
+                g = enc.dictionary[code].as_py()
+                if g not in bounds:
+                    continue
+                mn, mx = bounds[g]
+                counts = np.bincount(
+                    bucket_of(vals[codes == code], mn, mx), minlength=B
+                )
+                out_g.append(g)
+                out_h.append(counts.astype(np.int64).tolist())
+            return pa.table(
+                {"g": pa.array(out_g, keys.type),
+                 "h": pa.array(out_h, pa.list_(pa.int64()))}
+            )
+
+        for b in ds.map_batches(
+            hist_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for g, h in zip(b.column("g").to_pylist(), b.column("h").to_pylist()):
+                hist[g] += np.asarray(h, dtype=np.int64)
+
+    # global rank base per (group, bucket) = rows in earlier buckets
+    offsets = {
+        g: np.concatenate(([0], np.cumsum(hist[g])[:-1])) for g in spread
+    }
+    ctx_ref = ray.put(
+        {"bounds": {g: (v[1], v[2]) for g, v in spread.items()},
+         "offsets": offsets,
+         "n": {g: v[0] for g, v in info.items()}}
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        keys = t.column("event_type").combine_chunks()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        # constant groups (rank 0 everywhere) spread by id-hash so no
+        # task ever holds a whole group, degenerate or not
+        vb = (ids.astype(np.uint64) % np.uint64(B)).astype(np.int64)
+        for code in range(len(enc.dictionary)):
+            g = enc.dictionary[code].as_py()
+            if g in ctx["bounds"]:
+                mn, mx = ctx["bounds"][g]
+                mask = codes == code
+                vb[mask] = bucket_of(vals[mask], mn, mx)
+        return pa.table(
+            {"event_id": t.column("event_id"), "g": keys,
+             "v": t.column("value"), "_vb": pa.array(vb)}
+        )
+
+    def rank_bucket(grp: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        g = grp.column("g")[0].as_py()
+        n = ctx["n"][g]
+        if g not in ctx["offsets"]:  # constant group: every row tied
+            pct = np.zeros(grp.num_rows)
+        else:
+            base = int(ctx["offsets"][g][grp.column("_vb")[0].as_py()])
+            v = grp.column("v").to_numpy(zero_copy_only=False)
+            sv = np.sort(v)
+            # strictly-smaller count = SQL rank()-1 (ties share rank)
+            rank = base + np.searchsorted(sv, v, side="left")
+            pct = rank / (n - 1) if n > 1 else np.zeros(grp.num_rows)
+        pct = np.sign(pct) * np.floor(np.abs(pct) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"event_id": grp.column("event_id"),
+             "pct_rank": pa.array(pct, pa.float64())}
+        )
+
+    return ds.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["g", "_vb"]).map_groups(rank_bucket, batch_format="pyarrow")
+
+
 def q_median_value_by_type(sf_dir: str):
     """Exact median per group via the DISTRIBUTED order-statistic
     selection (``grouped_quantiles_distributed``): no task holds a full
@@ -1887,6 +2011,7 @@ QUERIES = {
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
     "median_value_by_type": q_median_value_by_type,
+    "value_percentile_by_type": q_value_percentile_by_type,
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "event_type_pivot": q_event_type_pivot,
     "embedding_scores": q_embedding_scores,
@@ -1999,6 +2124,13 @@ ORACLE_SQL = {
          AND b.ts >= a.ts - INTERVAL 1 HOUR
          AND b.ts <  a.ts
         GROUP BY a.event_id
+    """,
+    "value_percentile_by_type": """
+        SELECT event_id,
+               round(percent_rank() OVER (PARTITION BY event_type
+                                          ORDER BY value) * 1000000)
+                 / 1000000 AS pct_rank
+        FROM events
     """,
     "distinct_users_per_type": """
         SELECT event_type, count(DISTINCT user_id) AS n_users

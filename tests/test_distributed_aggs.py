@@ -145,3 +145,41 @@ def test_grouped_quantiles_property(data, p):
         lo, hi = int(np.floor(h)), int(np.ceil(h))
         expected = arr[lo] + (h - lo) * (arr[hi] - arr[lo])
         assert got[g][p] == expected, (g, p, got[g][p], expected)
+
+
+def test_percent_rank_tie_heavy(tmp_path):
+    """Massive ties (incl. a whole constant group) must reproduce SQL
+    percent_rank exactly: tied values share the rank of their first
+    occurrence; constant groups rank 0 everywhere."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    vals = np.where(rng.random(n) < 0.5, 7.5, rng.uniform(0, 10, n))
+    types = np.where(np.arange(n) % 3 == 0, "const", "mixed")
+    vals[types == "const"] = 1.25  # constant group
+    tbl = pa.table(
+        {"event_id": pa.array(range(n), pa.int64()),
+         "event_type": pa.array(types.tolist()),
+         "value": pa.array(vals, pa.float64())}
+    )
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "events.parquet"))
+    got = (
+        q.QUERIES["value_percentile_by_type"](sf)
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'events.parquet')}')"
+    )
+    exp = con.execute(
+        q.ORACLE_SQL["value_percentile_by_type"]
+    ).fetchdf().sort_values("event_id", ignore_index=True)
+    assert (got["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
