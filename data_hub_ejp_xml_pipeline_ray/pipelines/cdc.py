@@ -43,6 +43,7 @@ from ..state.checkpoint import (
     ConcurrentWriterError,
     LakeManifest,
     batch_token,
+    check_no_live_writer,
     commit_manifest,
     gc_unreferenced,
     load_manifest,
@@ -132,6 +133,35 @@ def _default_extract_concurrency() -> int:
     return max(2, cpus - 4)
 
 
+#: Staging dirs older than this are crash leftovers, safe to sweep; a
+#: live writer's staging is always younger (per-batch wall << 1 h).
+STALE_STAGING_SECONDS = 3600.0
+
+
+def _gc_stale_staging(staging_root: str) -> None:
+    import shutil as _shutil
+    import time as _time
+
+    try:
+        entries = os.listdir(staging_root)
+    except FileNotFoundError:
+        return
+    cutoff = _time.time() - STALE_STAGING_SECONDS
+    for name in entries:
+        path = os.path.join(staging_root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                _shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+    # drop the root itself only when empty (never yank it from under a
+    # concurrent writer)
+    try:
+        os.rmdir(staging_root)
+    except OSError:
+        pass
+
+
 def _ingest_one_batch(
     cfg: CdcConfig, manifest: LakeManifest, segments: list[wal_source.SegmentMeta],
     *, spill_cls=None, lake_schema_fn=None, reduce_fn=None,
@@ -166,7 +196,16 @@ def _ingest_one_batch(
     # extracted text never re-enters the object store. The take_all()
     # is the phase barrier — only tiny manifest rows reach the driver.
     staging_root = cfg.staging_root or os.path.join(cfg.lake_dir, "_staging")
-    staging = os.path.join(staging_root, token)
+    # staging is per-WRITER (uuid suffix), not just per-token: two
+    # concurrent writers racing the same batch would otherwise share
+    # spill paths, and the commit winner's cleanup would delete the
+    # loser's in-flight files mid-write (found by a live two-process
+    # probe: raw FileNotFoundError instead of a clean rejection).
+    # Idempotence is unaffected — the COMMITTED partition files stay
+    # content-addressed by the batch token; staging is scratch.
+    import uuid as _uuid
+
+    staging = os.path.join(staging_root, f"{token}-{_uuid.uuid4().hex[:8]}")
     spilled = ds.map_batches(
         spill_cls,
         fn_constructor_kwargs={
@@ -320,12 +359,15 @@ def _ingest_one_batch(
             # (one-version grace window)
             gc_unreferenced(cfg.lake_dir, new_manifest, previous=manifest)
     except ConcurrentWriterError:
-        _shutil.rmtree(staging_root, ignore_errors=True)
-        raise
+        _shutil.rmtree(staging, ignore_errors=True)  # OUR dir only — a
+        _gc_stale_staging(staging_root)  # concurrent writer's staging
+        raise  # may be live
     # staging spill files are dead after the commit (crash-safe analog
-    # of delete-after-load, etl.py:202-213): remove this batch's dir and
-    # any stale dirs from crashed earlier batches.
-    _shutil.rmtree(staging_root, ignore_errors=True)
+    # of delete-after-load, etl.py:202-213): remove this writer's batch
+    # dir, plus dirs from long-dead crashed batches (age-gated so a
+    # concurrent writer's in-flight staging is never swept).
+    _shutil.rmtree(staging, ignore_errors=True)
+    _gc_stale_staging(staging_root)
     if trace:
         print(f"[cdc-trace] commit+gc {_time.perf_counter() - t0:.2f}s", flush=True)
     return new_manifest, {
@@ -343,6 +385,7 @@ def run_ingest(
     new, in segment order, committing once per micro-batch. Idempotent:
     calling with no new segments is a no-op; re-calling after a crash
     converges to the same lake state (tests assert this)."""
+    check_no_live_writer(cfg.lake_dir)  # fail fast like the reference
     manifest = load_manifest(cfg.lake_dir) or LakeManifest(
         num_partitions=cfg.num_partitions
     )

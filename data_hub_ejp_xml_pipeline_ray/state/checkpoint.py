@@ -266,6 +266,26 @@ def verify_lock(lake_dir: str, token: str) -> None:
         )
 
 
+def check_no_live_writer(lake_dir: str) -> None:
+    """Fail-fast peek (the reference's run-lock checks at RUN start,
+    ``dags/s3_xml_import_pipeline.py:103-123``): raise when another
+    writer currently holds a live lease, BEFORE doing any map work.
+    Advisory only — commits stay CAS-protected regardless; this just
+    keeps a concurrent run from burning a whole pipeline pass it is
+    guaranteed to lose."""
+    path = os.path.join(lake_dir, LOCK_NAME)
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            doc = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    if doc.get("expires_at", 0) >= time.time():
+        raise ConcurrentWriterError(
+            f"lake {lake_dir} has a live writer ({doc.get('owner')}); "
+            f"concurrent runs are rejected"
+        )
+
+
 def renew_lock(
     lake_dir: str, token: str, *, lease_seconds: float = DEFAULT_LEASE_SECONDS
 ) -> None:

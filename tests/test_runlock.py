@@ -207,3 +207,48 @@ def test_verify_lock_fencing_detects_broken_lease(tmp_path):
         # restore so the context-manager exit doesn't remove successor's
         with open(lock_path) as f:
             assert json.load(f)["owner"] == "successor"
+
+
+def test_check_no_live_writer_fail_fast(tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        check_no_live_writer,
+    )
+
+    lake = str(tmp_path / "lake")
+    check_no_live_writer(lake)  # no lake yet: fine
+    with writer_lock(lake):
+        with pytest.raises(ConcurrentWriterError, match="live writer"):
+            check_no_live_writer(lake)
+    check_no_live_writer(lake)  # released: fine
+    # expired lease does not block a new run
+    os.makedirs(lake, exist_ok=True)
+    with open(os.path.join(lake, LOCK_NAME), "w") as f:
+        json.dump({"owner": "dead", "expires_at": time.time() - 5}, f)
+    check_no_live_writer(lake)
+
+
+def test_stale_staging_gc_is_age_gated(tmp_path):
+    """Cleanup must sweep only long-dead staging dirs — a concurrent
+    writer's fresh in-flight staging survives (the two-process probe
+    caught the old rmtree(root) deleting a live writer's spill files
+    mid-write)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        STALE_STAGING_SECONDS,
+        _gc_stale_staging,
+    )
+
+    root = tmp_path / "_staging"
+    old = root / "tok-dead0000"
+    fresh = root / "tok-live0000"
+    old.mkdir(parents=True)
+    fresh.mkdir(parents=True)
+    (old / "x.parquet").write_bytes(b"y")
+    past = time.time() - STALE_STAGING_SECONDS - 60
+    os.utime(old, (past, past))
+    _gc_stale_staging(str(root))
+    assert not old.exists()
+    assert fresh.exists()
+    # root survives while non-empty; vanishes once empty
+    fresh.rmdir()
+    _gc_stale_staging(str(root))
+    assert not root.exists()
