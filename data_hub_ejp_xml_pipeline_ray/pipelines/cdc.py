@@ -87,6 +87,12 @@ class CdcConfig:
     #: html / null contract keys) into ``<lake>/_errors``. Disable for
     #: trusted input to skip the per-batch UTF-8 validation cast.
     quarantine: bool = True
+    #: Version-history retention: commit-time GC keeps the newest K
+    #: snapshot manifests and every data file they reference (time
+    #: travel / change feed / snapshot-isolated readers). ``None``
+    #: retains ALL history until :func:`..pipelines.maintenance.vacuum`.
+    #: K=2 == the classic one-previous-version grace window.
+    retain_versions: int | None = 2
 
 
 @dataclass
@@ -338,6 +344,7 @@ def _ingest_one_batch(
             }
         ],
         counters=counters,
+        retain_versions=cfg.retain_versions,
     )
     import shutil as _shutil
 
@@ -356,7 +363,9 @@ def _ingest_one_batch(
             verify_lock(cfg.lake_dir, lock_token)
             # keep the PREVIOUS version's files through this commit so
             # readers holding the old manifest finish their scans
-            # (one-version grace window)
+            # (one-version grace window); the manifest's retain_versions
+            # widens that into real version history (time travel /
+            # change feed) — manifest-level so compact/split honor it
             gc_unreferenced(cfg.lake_dir, new_manifest, previous=manifest)
     except ConcurrentWriterError:
         _shutil.rmtree(staging, ignore_errors=True)  # OUR dir only — a
@@ -458,12 +467,13 @@ def run_nested_ingest(cfg: CdcConfig, *, struct_version: int = 1) -> IngestRepor
     )
 
 
-def read_lake(lake_dir: str) -> ray.data.Dataset:
+def read_lake(lake_dir: str, *, version: int | None = None) -> ray.data.Dataset:
     """Read the committed lake as a Dataset under the unified schema
-    (old partitions null-filled / widened on the fly)."""
+    (old partitions null-filled / widened on the fly). ``version`` time-
+    travels to a retained snapshot (see ``CdcConfig.retain_versions``)."""
     from ..schemas import conform_table
 
-    manifest = load_manifest(lake_dir)
+    manifest = load_manifest(lake_dir, version=version)
     if manifest is None or not manifest.partitions:
         schema = manifest.schema if manifest else None
         if schema is None:
@@ -486,6 +496,164 @@ def read_lake(lake_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(paths).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+CHANGE_OP_COL = "change_op"
+
+
+def changes_between(
+    lake_dir: str, v_from: int, v_to: int | None = None
+) -> ray.data.Dataset:
+    """Change data feed: the observable row changes between two retained
+    lake versions, as a Dataset of the v_to winner rows tagged
+    ``change_op`` in {'insert','update','delete'} (the downstream-
+    consumer surface every CDC lake needs — Delta CDF / Iceberg
+    changelog-scan parity; the reference's consumers re-read whole BQ
+    tables instead, ``bq_data_service.py``).
+
+    Semantics per url (tombstones are persisted rows, so a partition
+    file carries its full key set):
+
+    * absent/tombstone -> live row      = ``insert``
+    * live -> live, (warc_ts, seq) moved = ``update`` (the new winner)
+    * live -> tombstone                  = ``delete`` (tombstone's
+      warc_ts/seq name the winning delete; payload columns are the
+      tombstone's stored values, i.e. ``text`` NULL)
+    * live -> ABSENT                     = ``delete`` with NULL
+      warc_ts/seq/payload: the only way a key vanishes outright is
+      :func:`..pipelines.maintenance.compact_lake` dropping its
+      tombstone between the two versions, so the winning delete's
+      identity is no longer recorded — NULLs say so honestly instead
+      of inventing a timestamp.
+    * tombstone/absent -> tombstone/absent, or unchanged winner: no row.
+
+    NO shuffle: versions share the crc32(url) routing and splits are
+    append-only, so every v_to partition resolves to exactly one
+    v_from ancestor (``resolve_partition`` under the OLD split map).
+    One Ray task per ancestor group diffs the old file against the
+    union of its descendant files — which also catches descendants
+    with no v_to file (all rows gone) and old partitions with no
+    descendants at all. ``v_from=0`` diffs against the empty lake
+    (everything live is an insert)."""
+    from ..schemas import conform_table
+    from ..state.checkpoint import resolve_partition
+
+    m_to = load_manifest(lake_dir, version=v_to)
+    if m_to is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    m_from = None if v_from == 0 else load_manifest(lake_dir, version=v_from)
+    schema = m_to.schema
+    out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
+    out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
+    out_schema = pa.schema(out_fields)
+
+    from_splits = m_from.split_set() if m_from is not None else frozenset()
+    from_parts = m_from.partitions if m_from is not None else {}
+    num_p = m_to.num_partitions
+    groups: dict = {}
+    for part, rel in sorted(m_to.partitions.items()):
+        old_part = (
+            resolve_partition(part, num_p, from_splits) if m_from is not None
+            else None
+        )
+        old_rel = from_parts.get(old_part) if old_part is not None else None
+        key = old_part if old_rel is not None else ("new", part)
+        g = groups.setdefault(key, {
+            "old_path": (
+                os.path.join(lake_dir, old_rel) if old_rel is not None else None
+            ),
+            "new_paths": [],
+        })
+        g["new_paths"].append(os.path.join(lake_dir, rel))
+    for old_part, old_rel in sorted(from_parts.items()):
+        # old file with zero descendant files: every live row is gone
+        if old_part not in groups:
+            groups[old_part] = {
+                "old_path": os.path.join(lake_dir, old_rel), "new_paths": [],
+            }
+    descs = list(groups.values())
+    if not descs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+        outs = []
+        for d in batch.to_pylist():
+            news = [
+                conform_table(pq.read_table(p), schema) for p in d["new_paths"]
+            ]
+            new = pa.concat_tables(news) if news else schema.empty_table()
+            if d["old_path"] is None:
+                old = schema.empty_table()
+            else:
+                old = conform_table(pq.read_table(d["old_path"]), schema)
+            idx = pc.index_in(new.column("url"), value_set=old.column("url"))
+            present = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            idx_np = idx.to_numpy(zero_copy_only=False)
+            safe = np.where(present, idx_np, 0).astype(np.int64)
+            old_del = pc.fill_null(old.column(DELETED_COL), False).to_numpy(
+                zero_copy_only=False
+            ) if old.num_rows else np.zeros(0, bool)
+            old_live = present & (
+                ~old_del[safe] if old.num_rows else np.zeros(len(new), bool)
+            )
+            new_live = ~pc.fill_null(new.column(DELETED_COL), False).to_numpy(
+                zero_copy_only=False
+            )
+            if old.num_rows:
+                same = present & (
+                    old.column("warc_ts").take(pa.array(safe)).to_numpy(
+                        zero_copy_only=False
+                    ) == new.column("warc_ts").to_numpy(zero_copy_only=False)
+                ) & (
+                    old.column("seq").take(pa.array(safe)).to_numpy(
+                        zero_copy_only=False
+                    ) == new.column("seq").to_numpy(zero_copy_only=False)
+                )
+            else:
+                same = np.zeros(len(new), bool)
+            ins = new_live & ~old_live
+            upd = new_live & old_live & ~same
+            dele = ~new_live & old_live
+            mask = ins | upd | dele
+            op = np.select([ins, upd], ["insert", "update"], default="delete")
+            changed = new.filter(pa.array(mask))
+            cols = [changed.column("url"), pa.array(op[mask], pa.string())]
+            cols += [
+                changed.column(f.name) for f in schema
+                if f.name not in ("url", DELETED_COL)
+            ]
+            outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+            if old.num_rows:
+                # live old rows whose url has NO v_to row at all: the
+                # compacted-tombstone delete (identity unknown -> NULLs)
+                oidx = pc.index_in(old.column("url"), value_set=new.column("url"))
+                gone = pc.is_null(oidx).to_numpy(zero_copy_only=False) & ~old_del
+                if gone.any():
+                    gone_urls = old.column("url").filter(pa.array(gone))
+                    n = len(gone_urls)
+                    gcols = [
+                        gone_urls.combine_chunks(),
+                        pa.array(["delete"] * n, pa.string()),
+                    ]
+                    gcols += [
+                        pa.nulls(n, f.type) for f in schema
+                        if f.name not in ("url", DELETED_COL)
+                    ]
+                    outs.append(pa.Table.from_arrays(gcols, schema=out_schema))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        descs, override_num_blocks=len(descs)
+    ).map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_errors(lake_dir: str) -> pa.Table:
@@ -549,10 +717,10 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
     return out.sort_by("url")
 
 
-def lake_snapshot(lake_dir: str) -> pa.Table:
+def lake_snapshot(lake_dir: str, *, version: int | None = None) -> pa.Table:
     """Whole lake as one Arrow table, sorted by url — small lakes /
-    tests only."""
-    manifest = load_manifest(lake_dir)
+    tests only. ``version`` time-travels to a retained snapshot."""
+    manifest = load_manifest(lake_dir, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     if not manifest.partitions:

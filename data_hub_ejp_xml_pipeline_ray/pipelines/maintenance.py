@@ -124,6 +124,7 @@ def compact_lake(lake_dir: str) -> dict:
             "tombstones_dropped": dropped_total,
         }],
         counters=manifest.counters,
+        retain_versions=manifest.retain_versions,
     )
     commit_manifest(lake_dir, new_manifest)
     gc_unreferenced(lake_dir, new_manifest, previous=manifest)
@@ -220,6 +221,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
                 "children": [int(c["part"]) for c in children],
             }],
             counters=current.counters,
+            retain_versions=current.retain_versions,
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version

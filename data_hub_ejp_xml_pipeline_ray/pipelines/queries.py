@@ -1960,6 +1960,47 @@ def q_cdc_lake_state(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_change_feed(sf_dir: str):
+    """Change-data-feed, DRIVER-ORACLE-CHECKED: ingest the derived WAL
+    in TWO micro-batches (segments 1-4 -> lake v1, 5-8 -> v2), then
+    stream :func:`..pipelines.cdc.changes_between`\\(v1, v2) — the
+    observable per-url diff (insert/update/delete with the new winner
+    row). The oracle reproduces it as two window-LWW states (first-half
+    events vs all events) LEFT-joined on the key: snapshot semantics,
+    per-version retention and the no-shuffle partition-pairwise diff
+    all get hash-checked in one query."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, changes_between, run_ingest
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "feed")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+    ds = changes_between(cfg.lake_dir, 1, 2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.select(
+            ["url", "change_op", "warc_ts", "seq", "text", "lang"]
+        )
+        i = batch.column_names.index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts", batch.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_entity_lake(sf_dir: str):
     """Multi-entity demux CDC, DRIVER-ORACLE-CHECKED: the derived html
     carries a fixed title/h1/link skeleton, so each winning event's
@@ -2031,6 +2072,7 @@ QUERIES = {
     "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_entity_lake": q_cdc_entity_lake,
+    "cdc_change_feed": q_cdc_change_feed,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -2455,6 +2497,49 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Change feed between lake v1 (first 4 of 8 derived segments =
+    # first ceil(n/8)*4 events in event_id order) and v2 (all events):
+    # two window-LWW states LEFT-joined on the key, classified
+    # insert/update/delete; delete rows carry the winning tombstone's
+    # warc_ts/seq and NULL text (exactly what the lake stores).
+    "cdc_change_feed": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        ), old_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked WHERE rk <= 4 * ceil(n / 8.0)) WHERE rn = 1
+        ), new_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1
+        )
+        SELECT 'https://u' || CAST(w.user_id AS VARCHAR) || '.example/page' AS url,
+               CASE WHEN NOT w.is_del AND (o.user_id IS NULL OR o.is_del)
+                      THEN 'insert'
+                    WHEN NOT w.is_del THEN 'update'
+                    ELSE 'delete' END AS change_op,
+               w.ts AS warc_ts, w.event_id AS seq,
+               CASE WHEN NOT w.is_del
+                      THEN 'page u' || CAST(w.user_id AS VARCHAR)
+                           || ' rev ' || CAST(w.event_id AS VARCHAR)
+               END AS text,
+               w.event_type AS lang
+        FROM new_state w LEFT JOIN old_state o ON w.user_id = o.user_id
+        WHERE (NOT w.is_del AND (o.user_id IS NULL OR o.is_del))
+           OR (NOT w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del
+               AND (w.ts <> o.ts OR w.event_id <> o.event_id))
+           OR (w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del)
     """,
     # Entity-lake CDC: each winning event fans out to page/heading/link
     # entity rows whose values are literals of the event row.

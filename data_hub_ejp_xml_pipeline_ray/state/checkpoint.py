@@ -38,6 +38,7 @@ from ..schemas import schema_from_json, schema_to_json
 MANIFEST_NAME = "_manifest.json"
 LOCK_NAME = "_commit.lock"
 DATA_DIR = "data"
+SNAPSHOTS_DIR = "_snapshots"
 MAX_LINEAGE_ENTRIES = 1000
 DEFAULT_LEASE_SECONDS = 120.0
 
@@ -74,6 +75,12 @@ class LakeManifest:
     splits: list[list[int]] = field(default_factory=list)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     counters: dict[str, int] = field(default_factory=dict)
+    #: LAKE-LEVEL retention policy: how many trailing snapshot versions
+    #: (and their data files) commit-time GC keeps for time travel /
+    #: change feed. Stored in the manifest — not per-writer — so
+    #: maintenance ops (compact/split) honor the same policy as ingest.
+    #: ``None`` = keep all history until an explicit vacuum.
+    retain_versions: int | None = 2
 
     def split_set(self) -> frozenset[tuple[int, int]]:
         return frozenset((int(r), int(m)) for r, m in self.splits)
@@ -90,6 +97,7 @@ class LakeManifest:
             "splits": [[int(r), int(m)] for r, m in self.splits],
             "lineage": self.lineage,
             "counters": self.counters,
+            "retain_versions": self.retain_versions,
         }
 
     @classmethod
@@ -106,6 +114,7 @@ class LakeManifest:
             splits=[[int(r), int(m)] for r, m in doc.get("splits", [])],
             lineage=list(doc.get("lineage", [])),
             counters=dict(doc.get("counters", {})),
+            retain_versions=doc.get("retain_versions", 2),
         )
 
 
@@ -142,10 +151,43 @@ def manifest_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, MANIFEST_NAME)
 
 
-def load_manifest(lake_dir: str) -> LakeManifest | None:
+def snapshot_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, SNAPSHOTS_DIR, f"v{int(version):06d}.json")
+
+
+def list_versions(lake_dir: str) -> list[int]:
+    """Committed manifest versions with a retained snapshot, ascending.
+    Every commit writes an immutable per-version snapshot alongside the
+    current-pointer swap (Delta/Iceberg-style version history);
+    :func:`vacuum`-style retention prunes old ones."""
+    snap_dir = os.path.join(lake_dir, SNAPSHOTS_DIR)
+    if not os.path.isdir(snap_dir):
+        return []
+    out = []
+    for name in os.listdir(snap_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def load_manifest(lake_dir: str, version: int | None = None) -> LakeManifest | None:
     """Read the committed manifest; None when the lake doesn't exist yet
     (the reference's NoSuchKey -> default-initial-state path,
-    ``etl_state.py:26-52``)."""
+    ``etl_state.py:26-52``). With ``version``, read that retained
+    snapshot instead (time travel) — raises FileNotFoundError when the
+    snapshot was vacuumed or never existed."""
+    if version is not None:
+        path = snapshot_path(lake_dir, version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no retained snapshot v{version} at {lake_dir} "
+                f"(retained: {list_versions(lake_dir)})"
+            )
+        with open(path, "r", encoding="utf-8") as f:
+            return LakeManifest.from_json(json.load(f))
     path = manifest_path(lake_dir)
     if not os.path.exists(path):
         return None
@@ -325,10 +367,24 @@ def commit_manifest(
             )
     os.makedirs(lake_dir, exist_ok=True)
     manifest.lineage = manifest.lineage[-MAX_LINEAGE_ENTRIES:]
+    doc = manifest.to_json()
+    # Immutable per-version snapshot FIRST (time travel / change feed /
+    # snapshot-isolated readers), then the atomic current-pointer swap.
+    # A crash between the two leaves an orphan snapshot of an
+    # uncommitted version; the retried commit (same deterministic
+    # token -> same content) simply overwrites it.
+    snap = snapshot_path(lake_dir, manifest.version)
+    os.makedirs(os.path.dirname(snap), exist_ok=True)
+    tmp = snap + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, snap)
     path = manifest_path(lake_dir)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest.to_json(), f)
+        json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
@@ -350,26 +406,63 @@ def partition_file_relpath(part: int, token: str) -> str:
     return os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
 
 
+_FROM_MANIFEST = object()  # sentinel: use manifest.retain_versions
+
+
 def gc_unreferenced(
     lake_dir: str,
     manifest: LakeManifest,
     previous: LakeManifest | None = None,
+    *,
+    retain_versions: "int | None | object" = _FROM_MANIFEST,
 ) -> list[str]:
-    """Delete data files not referenced by the committed manifest —
+    """Delete data files not referenced by any RETAINED snapshot —
     orphans from crashed batches and superseded partition versions.
     Run this while holding :func:`writer_lock` (the ingest loop does):
     the lock serializes writers, so no concurrent writer's fresh files
     can be swept as orphans; pass ``previous`` to ALSO keep the
     prior manifest's files one more commit, so concurrent readers that
     loaded the old manifest finish their scans (snapshot-isolation
-    grace window)."""
-    data_dir = os.path.join(lake_dir, DATA_DIR)
-    if not os.path.isdir(data_dir):
-        return []
+    grace window).
+
+    ``retain_versions`` bounds version history: the newest K snapshot
+    manifests (and every data file any of them references) survive;
+    older snapshots are pruned with their now-unreferenced files, so
+    :func:`list_versions` always names exactly the time-travelable
+    versions. ``None`` retains ALL history until an explicit vacuum
+    (the Delta/Iceberg retention model)."""
+    if retain_versions is _FROM_MANIFEST:
+        retain_versions = manifest.retain_versions
+    removed = []
     live = {os.path.normpath(rel) for rel in manifest.partitions.values()}
     if previous is not None:
         live |= {os.path.normpath(rel) for rel in previous.partitions.values()}
-    removed = []
+    versions = list_versions(lake_dir)
+    keep_versions = (
+        set(versions) if retain_versions is None
+        else set(versions[-max(int(retain_versions), 1):])
+    )
+    # a snapshot newer than the committed manifest is a crashed commit's
+    # orphan ONLY if its version > current; keep it out of caution is
+    # wrong (its files may be swept) — it is overwritten by the retried
+    # commit anyway, so treat it like any retained snapshot.
+    for v in versions:
+        snap = snapshot_path(lake_dir, v)
+        if v in keep_versions:
+            try:
+                with open(snap, "r", encoding="utf-8") as f:
+                    m = LakeManifest.from_json(json.load(f))
+                live |= {os.path.normpath(rel) for rel in m.partitions.values()}
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                continue
+        else:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(snap)
+                removed.append(os.path.normpath(
+                    os.path.join(SNAPSHOTS_DIR, f"v{v:06d}.json")))
+    data_dir = os.path.join(lake_dir, DATA_DIR)
+    if not os.path.isdir(data_dir):
+        return removed
     for name in os.listdir(data_dir):
         rel = os.path.normpath(os.path.join(DATA_DIR, name))
         if rel not in live:

@@ -1,0 +1,218 @@
+"""Version history, time travel and the change-data-feed
+(``changes_between``): diff semantics vs an independent pure-Python
+winner fold, retention pruning, split/compaction interaction.
+
+The reference has no change feed — its consumers re-read whole BQ
+tables (``bq_data_service.py``); this is the Delta-CDF/Iceberg-
+changelog-scan surface a CDC lake owes its downstreams.
+"""
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from data_hub_ejp_xml_pipeline_ray.functions.text import extract_text_reference
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+    CdcConfig,
+    changes_between,
+    lake_snapshot,
+    run_ingest,
+)
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+    compact_lake,
+    split_partition,
+)
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+from data_hub_ejp_xml_pipeline_ray.sources.wal import list_segments
+from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+    list_versions,
+    load_manifest,
+)
+
+COLS = ["url", "change_op", "warc_ts", "seq", "text", "lang"]
+
+
+def _winners(wal_dir, upto=None):
+    """Winning event per url over the first ``upto`` segments,
+    INCLUDING delete winners (unlike ``naive_replay``, which drops
+    them — the feed needs the tombstone's identity)."""
+    segs = list_segments(wal_dir)
+    if upto is not None:
+        segs = segs[:upto]
+    best = {}
+    for s in segs:
+        for row in pq.read_table(s.path).to_pylist():
+            key = (row["warc_ts"], row["seq"])
+            cur = best.get(row["url"])
+            if cur is None or key > (cur["warc_ts"], cur["seq"]):
+                best[row["url"]] = row
+    return best
+
+
+def _expected_diff(old, new):
+    out = {}
+    for url, w in new.items():
+        o = old.get(url)
+        old_live = o is not None and o["op"] != "delete"
+        new_live = w["op"] != "delete"
+        if new_live and not old_live:
+            op = "insert"
+        elif new_live and (w["warc_ts"], w["seq"]) != (o["warc_ts"], o["seq"]):
+            op = "update"
+        elif not new_live and old_live:
+            op = "delete"
+        else:
+            continue
+        out[url] = {
+            "change_op": op,
+            "warc_ts": w["warc_ts"],
+            "seq": w["seq"],
+            "text": (
+                extract_text_reference(w["html"])
+                if w["html"] is not None else None
+            ),
+            "lang": w["lang"],
+        }
+    return out
+
+
+def _feed_dict(lake_dir, v_from, v_to=None):
+    table = changes_between(lake_dir, v_from, v_to).take_all()
+    out = {}
+    for r in table:
+        assert r["url"] not in out, f"duplicate feed row for {r['url']}"
+        out[r["url"]] = {c: r[c] for c in COLS if c != "url"}
+    return out
+
+
+def _cfg(tmp, **kw):
+    defaults = dict(
+        wal_dir=os.path.join(tmp, "wal"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        extract_concurrency=2,
+    )
+    defaults.update(kw)
+    return CdcConfig(**defaults)
+
+
+@pytest.fixture()
+def wal8(tmp_path):
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"),
+        seed=23,
+        n_urls=40,
+        n_events=480,
+        n_segments=8,
+        delete_fraction=0.15,
+        tie_fraction=0.1,
+    )
+    return tmp
+
+
+def test_feed_matches_naive_diff(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=4)  # exactly two commits
+    report = run_ingest(cfg)
+    assert report.commits == 2
+    expected = _expected_diff(
+        _winners(cfg.wal_dir, 4), _winners(cfg.wal_dir)
+    )
+    got = _feed_dict(cfg.lake_dir, 1, 2)
+    ops = {v["change_op"] for v in expected.values()}
+    assert ops == {"insert", "update", "delete"}  # fixture covers all three
+    assert got == expected
+    # v_to=None means the current version
+    assert _feed_dict(cfg.lake_dir, 1) == expected
+
+
+def test_initial_feed_is_all_inserts(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=4)
+    run_ingest(cfg)
+    expected = _expected_diff({}, _winners(cfg.wal_dir, 4))
+    assert all(v["change_op"] == "insert" for v in expected.values())
+    assert _feed_dict(cfg.lake_dir, 0, 1) == expected
+
+
+def test_unchanged_versions_empty_feed(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=4)
+    run_ingest(cfg)
+    assert changes_between(cfg.lake_dir, 2, 2).count() == 0
+
+
+def test_time_travel_and_retention(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=2)
+    report = run_ingest(cfg)
+    assert report.commits == 4
+    assert list_versions(cfg.lake_dir) == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        load_manifest(cfg.lake_dir, version=1)
+    with pytest.raises(FileNotFoundError):
+        lake_snapshot(cfg.lake_dir, version=2)
+    # retained snapshot == state after that commit (6 of 8 segments)
+    snap3 = lake_snapshot(cfg.lake_dir, version=3)
+    live3 = {
+        u: (w["warc_ts"], w["seq"])
+        for u, w in _winners(cfg.wal_dir, 6).items() if w["op"] != "delete"
+    }
+    got3 = {r["url"]: (r["warc_ts"], r["seq"]) for r in snap3.to_pylist()}
+    assert got3 == live3
+    # newest snapshot == the live manifest's state
+    assert lake_snapshot(cfg.lake_dir, version=4).equals(
+        lake_snapshot(cfg.lake_dir)
+    )
+    # pruned v1 can't feed a diff either
+    with pytest.raises(FileNotFoundError):
+        changes_between(cfg.lake_dir, 1, 4)
+
+
+def test_retain_all_history(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)
+    assert list_versions(cfg.lake_dir) == [1, 2, 3, 4]
+    expected = _expected_diff(
+        _winners(cfg.wal_dir, 2), _winners(cfg.wal_dir, 6)
+    )
+    assert _feed_dict(cfg.lake_dir, 1, 3) == expected
+
+
+def test_feed_across_partition_split(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
+    # only the first half exists yet: ingest -> v1
+    segs = list_segments(os.path.join(wal8, "wal"))
+    hold = os.path.join(wal8, "hold")
+    os.makedirs(hold)
+    for s in segs[4:]:
+        os.rename(s.path, os.path.join(hold, os.path.basename(s.path)))
+    run_ingest(cfg)
+    manifest = load_manifest(cfg.lake_dir)
+    part = sorted(manifest.partitions)[0]
+    split_partition(cfg.lake_dir, part)  # -> v2 (state-preserving)
+    for s in segs[4:]:
+        os.rename(os.path.join(hold, os.path.basename(s.path)), s.path)
+    run_ingest(cfg)  # -> v3
+    assert list_versions(cfg.lake_dir) == [1, 2, 3]
+    assert changes_between(cfg.lake_dir, 1, 2).count() == 0
+    expected = _expected_diff(
+        _winners(cfg.wal_dir, 4), _winners(cfg.wal_dir)
+    )
+    # the diff must resolve v3 child partitions to their v1 ancestor
+    assert _feed_dict(cfg.lake_dir, 1, 3) == expected
+    assert _feed_dict(cfg.lake_dir, 2, 3) == expected
+
+
+def test_feed_after_compaction_reports_gone_deletes(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
+    run_ingest(cfg)  # v1 (first half), v2 (all)
+    stats = compact_lake(cfg.lake_dir)  # v3: tombstone rows dropped
+    assert stats["tombstones_dropped"] > 0
+    expected = _expected_diff(
+        _winners(cfg.wal_dir, 4), _winners(cfg.wal_dir)
+    )
+    # deletes lose their identity with the tombstone: NULLed out
+    for v in expected.values():
+        if v["change_op"] == "delete":
+            v.update(warc_ts=None, seq=None, text=None, lang=None)
+    assert _feed_dict(cfg.lake_dir, 1, 3) == expected
+    # tombstone -> absent emits nothing
+    assert changes_between(cfg.lake_dir, 2, 3).count() == 0
