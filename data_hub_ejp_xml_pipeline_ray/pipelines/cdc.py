@@ -502,7 +502,8 @@ CHANGE_OP_COL = "change_op"
 
 
 def changes_between(
-    lake_dir: str, v_from: int, v_to: int | None = None
+    lake_dir: str, v_from: int, v_to: int | None = None,
+    *, preimages: bool = False,
 ) -> ray.data.Dataset:
     """Change data feed: the observable row changes between two retained
     lake versions, as a Dataset of the v_to winner rows tagged
@@ -526,6 +527,18 @@ def changes_between(
       identity is no longer recorded — NULLs say so honestly instead
       of inventing a timestamp.
     * tombstone/absent -> tombstone/absent, or unchanged winner: no row.
+
+    With ``preimages=True`` the feed switches to Delta-CDF retraction
+    semantics — what an INCREMENTAL consumer (materialized-view
+    refresh, downstream aggregate) needs to subtract the old
+    contribution before adding the new one:
+
+    * ``insert``            = the new row (as above)
+    * ``update_preimage``   = the OLD winner row being replaced
+    * ``update_postimage``  = the new winner row
+    * ``delete``            = the OLD live row being removed (its
+      payload values, not the tombstone's NULLs — and compacted-away
+      tombstones get real pre-images too instead of NULL identity).
 
     NO shuffle: versions share the crc32(url) routing and splits are
     append-only, so every v_to partition resolves to exactly one
@@ -621,32 +634,59 @@ def changes_between(
             ins = new_live & ~old_live
             upd = new_live & old_live & ~same
             dele = ~new_live & old_live
-            mask = ins | upd | dele
-            op = np.select([ins, upd], ["insert", "update"], default="delete")
-            changed = new.filter(pa.array(mask))
-            cols = [changed.column("url"), pa.array(op[mask], pa.string())]
-            cols += [
-                changed.column(f.name) for f in schema
-                if f.name not in ("url", DELETED_COL)
-            ]
-            outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+
+            def emit(src: pa.Table, label: str) -> None:
+                cols = [
+                    src.column("url"),
+                    pa.array([label] * src.num_rows, pa.string()),
+                ]
+                cols += [
+                    src.column(f.name) for f in schema
+                    if f.name not in ("url", DELETED_COL)
+                ]
+                outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+
+            if not preimages:
+                mask = ins | upd | dele
+                op = np.select([ins, upd], ["insert", "update"], default="delete")
+                changed = new.filter(pa.array(mask))
+                cols = [changed.column("url"), pa.array(op[mask], pa.string())]
+                cols += [
+                    changed.column(f.name) for f in schema
+                    if f.name not in ("url", DELETED_COL)
+                ]
+                outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+            else:
+                if ins.any():
+                    emit(new.filter(pa.array(ins)), "insert")
+                if upd.any():
+                    emit(old.take(pa.array(safe[upd])), "update_preimage")
+                    emit(new.filter(pa.array(upd)), "update_postimage")
+                if dele.any():
+                    emit(old.take(pa.array(safe[dele])), "delete")
             if old.num_rows:
                 # live old rows whose url has NO v_to row at all: the
-                # compacted-tombstone delete (identity unknown -> NULLs)
+                # compacted-tombstone delete
                 oidx = pc.index_in(old.column("url"), value_set=new.column("url"))
                 gone = pc.is_null(oidx).to_numpy(zero_copy_only=False) & ~old_del
                 if gone.any():
-                    gone_urls = old.column("url").filter(pa.array(gone))
-                    n = len(gone_urls)
-                    gcols = [
-                        gone_urls.combine_chunks(),
-                        pa.array(["delete"] * n, pa.string()),
-                    ]
-                    gcols += [
-                        pa.nulls(n, f.type) for f in schema
-                        if f.name not in ("url", DELETED_COL)
-                    ]
-                    outs.append(pa.Table.from_arrays(gcols, schema=out_schema))
+                    if preimages:
+                        emit(old.filter(pa.array(gone)), "delete")
+                    else:
+                        # identity unknown without the tombstone -> NULLs
+                        gone_urls = old.column("url").filter(pa.array(gone))
+                        n = len(gone_urls)
+                        gcols = [
+                            gone_urls.combine_chunks(),
+                            pa.array(["delete"] * n, pa.string()),
+                        ]
+                        gcols += [
+                            pa.nulls(n, f.type) for f in schema
+                            if f.name not in ("url", DELETED_COL)
+                        ]
+                        outs.append(
+                            pa.Table.from_arrays(gcols, schema=out_schema)
+                        )
         if not outs:
             return out_schema.empty_table()
         return pa.concat_tables(outs)

@@ -25,12 +25,35 @@ from ..state.checkpoint import (
     LakeManifest,
     commit_manifest,
     gc_unreferenced,
+    list_versions,
     load_manifest,
     residue_modulus,
     utcnow_iso,
     verify_lock,
     writer_lock,
 )
+
+
+def vacuum(lake_dir: str, keep: int = 1) -> dict:
+    """One-shot history pruning (the Delta-VACUUM analog): keep only the
+    newest ``keep`` snapshot versions and delete every data file no
+    retained snapshot references. Does NOT commit a new version —
+    pruning history is not an observable state change — and does not
+    alter the lake's standing ``retain_versions`` policy (set that via
+    ``CdcConfig`` on the next ingest). Runs under the writer lock so a
+    concurrent committer cannot race the sweep; readers holding a
+    pruned snapshot lose it, exactly like Delta/Iceberg vacuum."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    with writer_lock(lake_dir) as lock_token:
+        current = load_manifest(lake_dir)  # re-read under the lock
+        verify_lock(lake_dir, lock_token)  # fencing before deletes
+        removed = gc_unreferenced(lake_dir, current, retain_versions=keep)
+    return {
+        "files_removed": len(removed),
+        "retained_versions": list_versions(lake_dir),
+    }
 
 
 def compact_lake(lake_dir: str) -> dict:

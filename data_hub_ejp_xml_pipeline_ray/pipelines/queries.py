@@ -2001,6 +2001,41 @@ def q_cdc_change_feed(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_incremental_lang_counts(sf_dir: str):
+    """Incrementally-maintained materialized view, DRIVER-ORACLE-
+    CHECKED: ingest the derived WAL in two commits, FULL-build the
+    per-lang live-row-count view pinned at lake v1, then refresh to v2
+    by applying only the signed pre-image change feed
+    (``changes_between(1, 2, preimages=True)``) — never rescanning the
+    lake. The oracle recomputes the same counts from scratch in SQL, so
+    the retraction arithmetic (insert/update_preimage/update_postimage/
+    delete) is hash-checked end-to-end."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, run_ingest
+    from ..pipelines.incremental import read_view, refresh_live_counts
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "mview")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+    view_dir = os.path.join(work, "view")
+    r1 = refresh_live_counts(cfg.lake_dir, view_dir, at_version=1)
+    r2 = refresh_live_counts(cfg.lake_dir, view_dir)
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    return read_view(view_dir)
+
+
 def q_cdc_entity_lake(sf_dir: str):
     """Multi-entity demux CDC, DRIVER-ORACLE-CHECKED: the derived html
     carries a fixed title/h1/link skeleton, so each winning event's
@@ -2073,6 +2108,7 @@ QUERIES = {
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
+    "incremental_lang_counts": q_incremental_lang_counts,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -2540,6 +2576,20 @@ ORACLE_SQL = {
            OR (NOT w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del
                AND (w.ts <> o.ts OR w.event_id <> o.event_id))
            OR (w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del)
+    """,
+    # Incremental materialized view: final live-row count per lang ==
+    # a from-scratch recount of the LWW-live state (the Ray side
+    # produced it by signed-feed refresh, which must land on the same
+    # numbers).
+    "incremental_lang_counts": """
+        SELECT lang, count(*) AS n FROM (
+          SELECT event_type AS lang FROM (
+            SELECT event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1 AND NOT is_del)
+        GROUP BY lang
     """,
     # Entity-lake CDC: each winning event fans out to page/heading/link
     # entity rows whose values are literals of the event row.

@@ -91,6 +91,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="split every partition larger than this")
     sp = sub.add_parser("errors", help="print quarantined dead-letter rows")
     add_common(sp, lake_only=True)
+    sp = sub.add_parser(
+        "versions", help="list retained snapshot versions (time travel)")
+    add_common(sp, lake_only=True)
+    sp = sub.add_parser(
+        "vacuum", help="prune version history to the newest K snapshots")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--keep", type=int, default=1)
+    sp = sub.add_parser(
+        "changes", help="change feed between two retained versions")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--from", dest="v_from", type=int, required=True)
+    sp.add_argument("--to", dest="v_to", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=10,
+                    help="sample (url, op) pairs to include")
 
     args = p.parse_args(argv)
 
@@ -105,6 +119,24 @@ def main(argv: list[str] | None = None) -> int:
                 for k in set(errs.column("error").to_pylist())
             },
         }))
+        return 0
+    if args.cmd == "versions":
+        from .state.checkpoint import list_versions, load_manifest
+
+        out = []
+        for v in list_versions(args.lake_dir):
+            m = load_manifest(args.lake_dir, version=v)
+            out.append({
+                "version": v, "watermark": m.watermark,
+                "partitions": len(m.partitions),
+                "rows": sum(x.get("rows", 0) for x in m.partition_meta.values()),
+            })
+        print(json.dumps({"lake": args.lake_dir, "versions": out}))
+        return 0
+    if args.cmd == "vacuum":
+        from .pipelines.maintenance import vacuum
+
+        print(json.dumps(vacuum(args.lake_dir, keep=args.keep)))
         return 0
     if args.cmd == "show":
         from .state.checkpoint import load_manifest
@@ -162,6 +194,22 @@ def main(argv: list[str] | None = None) -> int:
                     deadline = time.monotonic() + args.timeout
                 else:
                     time.sleep(args.interval)
+        elif args.cmd == "changes":
+            from .pipelines.cdc import changes_between
+
+            ds = changes_between(args.lake_dir, args.v_from, args.v_to)
+            ops = {
+                r["change_op"]: r["count()"]
+                for r in ds.groupby("change_op").count().take_all()
+            }
+            sample = [
+                {"url": r["url"], "op": r["change_op"]}
+                for r in ds.limit(args.limit).take(args.limit)
+            ] if args.limit else []
+            print(json.dumps({
+                "lake": args.lake_dir, "from": args.v_from, "to": args.v_to,
+                "changes": sum(ops.values()), "by_op": ops, "sample": sample,
+            }))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

@@ -21,6 +21,7 @@ from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
 from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
     compact_lake,
     split_partition,
+    vacuum,
 )
 from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
 from data_hub_ejp_xml_pipeline_ray.sources.wal import list_segments
@@ -201,6 +202,55 @@ def test_feed_across_partition_split(wal8):
     assert _feed_dict(cfg.lake_dir, 2, 3) == expected
 
 
+def test_preimage_feed_retractions(wal8):
+    """preimages=True switches to Delta-CDF retraction semantics:
+    updates emit pre+post rows, deletes carry the OLD live row."""
+    cfg = _cfg(wal8, max_segments_per_batch=4)
+    run_ingest(cfg)
+    old_w, new_w = _winners(cfg.wal_dir, 4), _winners(cfg.wal_dir)
+    rows = changes_between(cfg.lake_dir, 1, 2, preimages=True).take_all()
+    by_op = {}
+    for r in rows:
+        d = by_op.setdefault(r["change_op"], {})
+        assert r["url"] not in d
+        d[r["url"]] = (r["warc_ts"], r["seq"])
+    base = _expected_diff(old_w, new_w)
+    exp_ins = {
+        u: (v["warc_ts"], v["seq"]) for u, v in base.items()
+        if v["change_op"] == "insert"
+    }
+    exp_post = {
+        u: (v["warc_ts"], v["seq"]) for u, v in base.items()
+        if v["change_op"] == "update"
+    }
+    exp_pre = {u: (old_w[u]["warc_ts"], old_w[u]["seq"]) for u in exp_post}
+    exp_del = {
+        u: (old_w[u]["warc_ts"], old_w[u]["seq"]) for u, v in base.items()
+        if v["change_op"] == "delete"
+    }
+    assert by_op.get("insert", {}) == exp_ins
+    assert by_op.get("update_postimage", {}) == exp_post
+    assert by_op.get("update_preimage", {}) == exp_pre
+    assert by_op.get("delete", {}) == exp_del
+
+
+def test_vacuum_prunes_history(wal8):
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)  # 4 commits, all retained
+    assert list_versions(cfg.lake_dir) == [1, 2, 3, 4]
+    res = vacuum(cfg.lake_dir, keep=2)
+    assert res["retained_versions"] == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        lake_snapshot(cfg.lake_dir, version=2)
+    # retained time travel still works; the current lake is untouched
+    assert lake_snapshot(cfg.lake_dir, version=4).equals(
+        lake_snapshot(cfg.lake_dir)
+    )
+    # vacuum commits no version and leaves the standing policy alone
+    m = load_manifest(cfg.lake_dir)
+    assert m.version == 4 and m.retain_versions is None
+
+
 def test_feed_after_compaction_reports_gone_deletes(wal8):
     cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
     run_ingest(cfg)  # v1 (first half), v2 (all)
@@ -216,3 +266,16 @@ def test_feed_after_compaction_reports_gone_deletes(wal8):
     assert _feed_dict(cfg.lake_dir, 1, 3) == expected
     # tombstone -> absent emits nothing
     assert changes_between(cfg.lake_dir, 2, 3).count() == 0
+    # preimage mode recovers REAL identities for the same gone rows
+    # (the old live winner), where postimage mode could only say NULL
+    old_w = _winners(cfg.wal_dir, 4)
+    exp_del = {
+        u: (old_w[u]["warc_ts"], old_w[u]["seq"])
+        for u, v in expected.items() if v["change_op"] == "delete"
+    }
+    rows = changes_between(cfg.lake_dir, 1, 3, preimages=True).take_all()
+    got_del = {
+        r["url"]: (r["warc_ts"], r["seq"]) for r in rows
+        if r["change_op"] == "delete"
+    }
+    assert got_del == exp_del

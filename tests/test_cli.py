@@ -66,3 +66,24 @@ def test_cli_poll_entity_routes_to_entity_lake(tmp_path):
     s = _run(["show", "--lake-dir", lake])
     # entity lake schema is the giveaway: entity_type discriminator
     assert "entity_type" in s["schema"]
+
+
+def test_cli_versions_vacuum_changes(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=7, n_urls=25, n_events=240, n_segments=4,
+                 delete_fraction=0.15)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4",
+          "--max-segments-per-batch", "2"])
+    v = _run(["versions", "--lake-dir", lake])
+    assert [x["version"] for x in v["versions"]] == [1, 2]
+    ch = _run(["changes", "--lake-dir", lake, "--from", "1", "--to", "2",
+               "--num-cpus", "4"])
+    assert ch["changes"] == sum(ch["by_op"].values())
+    assert ch["changes"] > 0
+    assert all(s["op"] in ("insert", "update", "delete") for s in ch["sample"])
+    vac = _run(["vacuum", "--lake-dir", lake, "--keep", "1"])
+    assert vac["retained_versions"] == [2]
+    v2 = _run(["versions", "--lake-dir", lake])
+    assert [x["version"] for x in v2["versions"]] == [2]

@@ -1,0 +1,93 @@
+"""Incrementally-maintained materialized view (`pipelines/incremental`):
+signed-feed refresh must land on exactly the counts a from-scratch
+rebuild computes, across multi-version gaps, deletes and compaction."""
+import collections
+import os
+
+import pytest
+
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+    CdcConfig,
+    lake_snapshot,
+    run_ingest,
+)
+from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+    read_view,
+    refresh_live_counts,
+)
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+
+
+def _view_dict(view_dir):
+    return {r["lang"]: r["n"] for r in read_view(view_dir).to_pylist()}
+
+
+def _recount(lake_dir):
+    return dict(collections.Counter(
+        r["lang"] for r in lake_snapshot(lake_dir).to_pylist()
+    ))
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=31, n_urls=60, n_events=600,
+        n_segments=6, delete_fraction=0.12, tie_fraction=0.1,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(tmp, "wal"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        extract_concurrency=2,
+        max_segments_per_batch=2,  # -> v1, v2, v3
+        retain_versions=None,
+    )
+    run_ingest(cfg)
+    return cfg
+
+
+def test_incremental_refresh_matches_full_rebuild(lake, tmp_path):
+    view = str(tmp_path / "view")
+    r1 = refresh_live_counts(lake.lake_dir, view, at_version=1)
+    assert r1["mode"] == "full" and r1["lake_version"] == 1
+    # one refresh spanning a multi-version gap (v1 -> v3)
+    r2 = refresh_live_counts(lake.lake_dir, view)
+    assert r2["mode"] == "incremental" and r2["lake_version"] == 3
+    assert _view_dict(view) == _recount(lake.lake_dir)
+    fresh = str(tmp_path / "view_full")
+    refresh_live_counts(lake.lake_dir, fresh)
+    assert _view_dict(view) == _view_dict(fresh)
+
+
+def test_refresh_is_idempotent_and_monotonic(lake, tmp_path):
+    view = str(tmp_path / "view")
+    refresh_live_counts(lake.lake_dir, view)
+    r = refresh_live_counts(lake.lake_dir, view)
+    assert r == {"refreshed": False, "mode": "noop", "lake_version": 3}
+    with pytest.raises(ValueError):
+        refresh_live_counts(lake.lake_dir, view, at_version=1)
+
+
+def test_stepwise_equals_oneshot(lake, tmp_path):
+    """v1->v2->v3 one version at a time == v1->v3 in one refresh."""
+    step = str(tmp_path / "step")
+    refresh_live_counts(lake.lake_dir, step, at_version=1)
+    refresh_live_counts(lake.lake_dir, step, at_version=2)
+    refresh_live_counts(lake.lake_dir, step, at_version=3)
+    shot = str(tmp_path / "shot")
+    refresh_live_counts(lake.lake_dir, shot, at_version=1)
+    refresh_live_counts(lake.lake_dir, shot, at_version=3)
+    assert _view_dict(step) == _view_dict(shot) == _recount(lake.lake_dir)
+
+
+def test_refresh_across_compaction(lake, tmp_path):
+    """Compaction (tombstones physically dropped -> 'gone' rows in the
+    feed) must not perturb the counts: pre-images keep them exact."""
+    view = str(tmp_path / "view")
+    refresh_live_counts(lake.lake_dir, view, at_version=1)
+    compact_lake(lake.lake_dir)  # -> v4
+    r = refresh_live_counts(lake.lake_dir, view)
+    assert r["mode"] == "incremental" and r["lake_version"] == 4
+    assert _view_dict(view) == _recount(lake.lake_dir)
