@@ -159,9 +159,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         rep = run_ingest(cfg)
         dt = time.perf_counter() - t0
-        shutil.rmtree(f"{lake}_{i}", ignore_errors=True)
+        if i > 0:  # lake_0 is reused below for the change-feed timings
+            shutil.rmtree(f"{lake}_{i}", ignore_errors=True)
         if t_cdc is None or dt < t_cdc:
             t_cdc, report = dt, rep
+
+    # Change-feed + incremental-view timings on the committed bench
+    # lake: the 0->1 feed scans every partition once (insert-only), so
+    # rows/s here is the feed's lake-scan throughput; the view build is
+    # the full-refresh cost an incremental refresh amortizes away.
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        refresh_live_counts,
+    )
+
+    t0 = time.perf_counter()
+    feed_rows = changes_between(f"{lake}_0", 0, 1).count()
+    t_feed = time.perf_counter() - t0
+    view_dir = f"{lake}_0_view"
+    shutil.rmtree(view_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    refresh_live_counts(f"{lake}_0", view_dir)
+    t_view = time.perf_counter() - t0
+    shutil.rmtree(view_dir, ignore_errors=True)
+    shutil.rmtree(f"{lake}_0", ignore_errors=True)
 
     from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
 
@@ -198,6 +219,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             # first-class loss counters (silent-loss regressions must
             # show up in CI diffs of the bench JSON)
             "error_rows": report.error_rows,
+            "feed_scan_s": round(t_feed, 3),
+            "feed_rows": feed_rows,
+            "view_build_s": round(t_view, 3),
         },
         "capped_dropped_pairs": {
             k: v["capped_dropped_pairs"]

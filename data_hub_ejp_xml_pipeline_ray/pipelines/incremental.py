@@ -8,24 +8,32 @@ BigQuery tables per run (``bq_data_service.py``). At 100 TB that rescan
 is the difference between a view refresh costing O(changed rows) and
 O(corpus).
 
+A view is ``count(*)`` plus any number of ``sum(col)`` metrics per key
+value, over LIVE rows only. Sums are maintained with signed retraction
+arithmetic off the pre-image feed: ``insert``/``update_postimage`` rows
+contribute ``+value``, ``update_preimage``/``delete`` rows ``-value``.
+
 View state layout under ``view_dir``::
 
-    _view.json           {"lake_version": V, "file": "counts-v{V}.parquet"}
-    counts-v{V}.parquet  (key, n) — live-row count per key value
+    _view.json           {"lake_version": V, "file": "stats-v{V}.parquet",
+                          "key": k, "sum_cols": [...]}
+    stats-v{V}.parquet   (key, n, *sum_cols)
 
 Refresh is atomic (new parquet written first, then the state json is
 swapped via os.replace) and idempotent (same version -> no-op), so a
 crashed refresh never leaves a torn view.
 
-Scale shape: both the full build and the delta path pre-aggregate
-per batch inside ``map_batches`` (one polars call per block), so the
-final ``groupby`` only sees ``blocks x distinct-keys`` partial rows —
-the lake's row volume never enters a shuffle.
+Scale shape: both the full build and the delta path pre-aggregate per
+batch inside ``map_batches`` (one polars call per block), so the final
+``groupby`` only sees ``blocks x distinct-keys`` partial rows — the
+lake's row volume never enters a shuffle. The view <-> delta merge is
+a driver-side fold of two aggregate-sized tables.
 """
 from __future__ import annotations
 
 import json
 import os
+from typing import Callable, Sequence
 
 import polars as pl
 import pyarrow as pa
@@ -55,9 +63,20 @@ def _load_state(view_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _partial_counts(key: str, signed: bool):
-    """Per-batch combiner: collapse a block to (key, n) partials —
-    one vectorized polars call, so the downstream groupby shuffles
+def _metric_type(t: pa.DataType) -> pa.DataType:
+    return pa.float64() if pa.types.is_floating(t) else pa.int64()
+
+
+def _out_schema(key: str, key_type: pa.DataType,
+                sum_cols: Sequence[str], batch: pa.Schema) -> pa.Schema:
+    fields = [(key, key_type), ("n", pa.int64())]
+    fields += [(c, _metric_type(batch.field(c).type)) for c in sum_cols]
+    return pa.schema(fields)
+
+
+def _partial_stats(key: str, sum_cols: Sequence[str], signed: bool):
+    """Per-batch combiner: collapse a block to (key, n, *sums) partials
+    — one vectorized polars call, so the downstream groupby shuffles
     only ``blocks x distinct(key)`` rows."""
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -65,49 +84,78 @@ def _partial_counts(key: str, signed: bool):
         pa.set_io_thread_count(2)
         df = pl.from_arrow(batch)
         if signed:
-            df = df.with_columns(
+            sign = (
                 pl.col(CHANGE_OP_COL)
                 .replace_strict(_OP_SIGN, return_dtype=pl.Int64)
-                .alias("n")
             )
         else:
-            df = df.with_columns(pl.lit(1, dtype=pl.Int64).alias("n"))
-        out = df.group_by(key).agg(pl.col("n").sum()).to_arrow()
-        return out.cast(pa.schema([(key, batch.schema.field(key).type),
-                                   ("n", pa.int64())]))
+            sign = pl.lit(1, dtype=pl.Int64)
+        df = df.with_columns(sign.alias("_sign"))
+        aggs = [pl.col("_sign").sum().alias("n")]
+        aggs += [
+            (pl.col(c).fill_null(0) * pl.col("_sign")).sum().alias(c)
+            for c in sum_cols
+        ]
+        out = df.group_by(key).agg(aggs).to_arrow()
+        return out.cast(
+            _out_schema(key, batch.schema.field(key).type, sum_cols,
+                        batch.schema)
+        )
 
     return fn
 
 
-def _aggregate(ds: ray.data.Dataset, key: str, signed: bool) -> pa.Table:
+def _aggregate(
+    ds: ray.data.Dataset, key: str, sum_cols: Sequence[str], signed: bool
+) -> pa.Table:
+    # partials are tiny (blocks x distinct keys): materialize once so
+    # the schema read below doesn't re-execute the upstream scan
     partial = ds.map_batches(
-        _partial_counts(key, signed), batch_format="pyarrow",
+        _partial_stats(key, sum_cols, signed), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
+    ).materialize()
+    metrics = ["n", *sum_cols]
+    rows = partial.groupby(key).aggregate(
+        *[Sum(m, alias_name=m) for m in metrics]
+    ).take_all()
+    base = partial.schema().base_schema
+    arrow_schema = pa.schema([
+        (key, base.field(key).type),
+        *[(m, base.field(m).type) for m in metrics],
+    ])
+    return pa.table(
+        {c: [r[c] for r in rows] for c in (key, *metrics)},
+        schema=arrow_schema,
     )
-    rows = partial.groupby(key).aggregate(Sum("n", alias_name="n")).take_all()
-    return pa.table({
-        key: [r[key] for r in rows],
-        "n": pa.array([r["n"] for r in rows], pa.int64()),
-    })
 
 
-def refresh_live_counts(
+def refresh_live_stats(
     lake_dir: str, view_dir: str, key: str = "lang",
-    *, at_version: int | None = None,
+    sum_cols: Sequence[str] = (),
+    *,
+    derive: Callable[[pa.Table], pa.Table] | None = None,
+    at_version: int | None = None,
 ) -> dict:
-    """Bring the live-row-count-per-``key`` view up to the lake's
-    current (or ``at_version``'s) state.
+    """Bring the per-``key`` live-row stats view (count + per-column
+    sums) up to the lake's current (or ``at_version``'s) state.
 
-    First call: full build from the PINNED snapshot (``read_lake``
-    at that version — not the moving head, so a concurrent commit
-    can't tear the build). Later calls: apply the signed change feed
-    ``changes_between(last_seen, target, preimages=True)`` — cost
-    O(changed rows), not O(lake)."""
+    First call: full build from the PINNED snapshot (``read_lake`` at
+    that version — not the moving head, so a concurrent commit can't
+    tear the build). Later calls: apply the signed pre-image change
+    feed ``changes_between(last_seen, target, preimages=True)`` — cost
+    O(changed rows), not O(lake). ``derive`` is an optional per-batch
+    Arrow transform (e.g. add a ``text_chars`` column) applied to both
+    the full scan and the feed before aggregation."""
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     target = manifest.version if at_version is None else int(at_version)
     state = _load_state(view_dir)
+    if state is not None and state.get("sum_cols", []) != list(sum_cols):
+        raise ValueError(
+            f"view maintains sum_cols={state.get('sum_cols', [])}, "
+            f"refresh asked for {list(sum_cols)}"
+        )
     if state is not None and state["lake_version"] == target:
         return {"refreshed": False, "mode": "noop", "lake_version": target}
     if state is not None and state["lake_version"] > target:
@@ -115,6 +163,14 @@ def refresh_live_counts(
             f"view at lake version {state['lake_version']} is newer than "
             f"requested {target}"
         )
+
+    def prepare(ds: ray.data.Dataset) -> ray.data.Dataset:
+        if derive is not None:
+            ds = ds.map_batches(
+                derive, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=None,
+            )
+        return ds
 
     if state is None:
         ds = read_lake(lake_dir, version=target)
@@ -129,35 +185,36 @@ def refresh_live_counts(
                 drop_tombstones, batch_format="pyarrow",
                 zero_copy_batch=True, batch_size=None,
             )
-        counts = _aggregate(ds, key, signed=False)
+        stats = _aggregate(prepare(ds), key, sum_cols, signed=False)
         mode = "full"
     else:
         feed = changes_between(
             lake_dir, state["lake_version"], target, preimages=True
         )
-        delta = _aggregate(feed, key, signed=True)
+        delta = _aggregate(prepare(feed), key, sum_cols, signed=True)
         # view (+) delta: both are aggregate-sized (distinct key values,
         # not lake rows), so the merge is a driver-side polars fold
         old_tab = pl.read_parquet(os.path.join(view_dir, state["file"]))
-        new_tab = (
+        merged = (
             pl.concat([old_tab, pl.from_arrow(delta)])
-            .group_by(key).agg(pl.col("n").sum())
+            .group_by(key)
+            .agg([pl.col(c).sum() for c in ("n", *sum_cols)])
             .filter(pl.col("n") > 0)
         )
-        counts = new_tab.to_arrow().cast(
-            pa.schema([(key, old_tab.to_arrow().schema.field(key).type),
-                       ("n", pa.int64())])
-        )
+        stats = merged.to_arrow().cast(old_tab.to_arrow().schema)
         mode = "incremental"
 
     os.makedirs(view_dir, exist_ok=True)
-    fname = f"counts-v{target:06d}.parquet"
+    fname = f"stats-v{target:06d}.parquet"
     import pyarrow.parquet as pq
 
-    pq.write_table(counts.sort_by(key), os.path.join(view_dir, fname))
+    pq.write_table(stats.sort_by(key), os.path.join(view_dir, fname))
     tmp = os.path.join(view_dir, VIEW_STATE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"lake_version": target, "file": fname, "key": key}, f)
+        json.dump({
+            "lake_version": target, "file": fname, "key": key,
+            "sum_cols": list(sum_cols),
+        }, f)
     os.replace(tmp, os.path.join(view_dir, VIEW_STATE))
     if state is not None and state["file"] != fname:
         try:
@@ -166,8 +223,18 @@ def refresh_live_counts(
             pass
     return {
         "refreshed": True, "mode": mode, "lake_version": target,
-        "keys": counts.num_rows,
+        "keys": stats.num_rows,
     }
+
+
+def refresh_live_counts(
+    lake_dir: str, view_dir: str, key: str = "lang",
+    *, at_version: int | None = None,
+) -> dict:
+    """Count-only live view — ``refresh_live_stats`` without sums."""
+    return refresh_live_stats(
+        lake_dir, view_dir, key, (), at_version=at_version
+    )
 
 
 def read_view(view_dir: str) -> pa.Table:

@@ -2036,6 +2036,50 @@ def q_incremental_lang_counts(sf_dir: str):
     return read_view(view_dir)
 
 
+def q_incremental_lang_stats(sf_dir: str):
+    """Generalized incremental view, DRIVER-ORACLE-CHECKED: count AND
+    summed text length per lang, maintained by signed pre-image
+    retraction arithmetic (±len per change row) instead of a lake
+    rescan. Same two-commit shape as ``incremental_lang_counts``; the
+    ``derive`` hook adds the ``chars`` metric column per batch."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, run_ingest
+    from ..pipelines.incremental import read_view, refresh_live_stats
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "mstats")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+
+    def add_chars(t: pa.Table) -> pa.Table:
+        chars = pc.fill_null(
+            pc.utf8_length(t.column("text")), 0
+        ).cast(pa.int64())
+        return t.append_column("chars", chars)
+
+    view_dir = os.path.join(work, "view")
+    r1 = refresh_live_stats(
+        cfg.lake_dir, view_dir, "lang", ["chars"],
+        derive=add_chars, at_version=1,
+    )
+    r2 = refresh_live_stats(
+        cfg.lake_dir, view_dir, "lang", ["chars"], derive=add_chars,
+    )
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    return read_view(view_dir)
+
+
 def q_cdc_entity_lake(sf_dir: str):
     """Multi-entity demux CDC, DRIVER-ORACLE-CHECKED: the derived html
     carries a fixed title/h1/link skeleton, so each winning event's
@@ -2109,6 +2153,7 @@ QUERIES = {
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
+    "incremental_lang_stats": q_incremental_lang_stats,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -2585,6 +2630,24 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n FROM (
           SELECT event_type AS lang FROM (
             SELECT event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1 AND NOT is_del)
+        GROUP BY lang
+    """,
+    # Generalized incremental view: count + summed live text length per
+    # lang == a from-scratch recount over the LWW-live state (the Ray
+    # side maintained it by ±len retraction arithmetic off the feed).
+    "incremental_lang_stats": """
+        SELECT lang, count(*) AS n,
+               CAST(sum(length(text)) AS BIGINT) AS chars
+        FROM (
+          SELECT event_type AS lang,
+                 'page u' || CAST(user_id AS VARCHAR)
+                 || ' rev ' || CAST(event_id AS VARCHAR) AS text
+          FROM (
+            SELECT user_id, event_id, event_type,
                    (event_type = 'error') AS is_del,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts DESC, event_id DESC) AS rn

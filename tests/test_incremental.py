@@ -14,6 +14,7 @@ from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
 from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
     read_view,
     refresh_live_counts,
+    refresh_live_stats,
 )
 from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
 from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
@@ -80,6 +81,38 @@ def test_stepwise_equals_oneshot(lake, tmp_path):
     refresh_live_counts(lake.lake_dir, shot, at_version=1)
     refresh_live_counts(lake.lake_dir, shot, at_version=3)
     assert _view_dict(step) == _view_dict(shot) == _recount(lake.lake_dir)
+
+
+def test_stats_view_sums_match_recount(lake, tmp_path):
+    """count + sum(len(text)) per lang via ±len retraction arithmetic
+    must equal a from-scratch recount of the live lake."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_len(t):
+        chars = pc.fill_null(
+            pc.utf8_length(t.column("text")), 0
+        ).cast(pa.int64())
+        return t.append_column("chars", chars)
+
+    view = str(tmp_path / "sview")
+    kw = dict(derive=add_len)
+    refresh_live_stats(lake.lake_dir, view, "lang", ["chars"],
+                       at_version=1, **kw)
+    r = refresh_live_stats(lake.lake_dir, view, "lang", ["chars"], **kw)
+    assert r["mode"] == "incremental"
+    got = {
+        row["lang"]: (row["n"], row["chars"])
+        for row in read_view(view).to_pylist()
+    }
+    exp = {}
+    for row in lake_snapshot(lake.lake_dir).to_pylist():
+        n, c = exp.get(row["lang"], (0, 0))
+        exp[row["lang"]] = (n + 1, c + len(row["text"]))
+    assert got == exp
+    # a refresh asking for a different metric set is refused loudly
+    with pytest.raises(ValueError):
+        refresh_live_stats(lake.lake_dir, view, "lang", [])
 
 
 def test_refresh_across_compaction(lake, tmp_path):
