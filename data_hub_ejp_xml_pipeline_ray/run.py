@@ -105,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to", dest="v_to", type=int, default=None)
     sp.add_argument("--limit", type=int, default=10,
                     help="sample (url, op) pairs to include")
+    sp.add_argument("--preimages", action="store_true",
+                    help="Delta-CDF retraction rows (update_preimage/"
+                         "update_postimage; deletes carry the old row)")
+    sp = sub.add_parser(
+        "view", help="refresh + print an incrementally-maintained "
+                     "live-count materialized view")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--view-dir", required=True)
+    sp.add_argument("--key", default="lang")
+    sp.add_argument("--at-version", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -197,7 +207,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "changes":
             from .pipelines.cdc import changes_between
 
-            ds = changes_between(args.lake_dir, args.v_from, args.v_to)
+            ds = changes_between(
+                args.lake_dir, args.v_from, args.v_to,
+                preimages=args.preimages,
+            )
             ops = {
                 r["change_op"]: r["count()"]
                 for r in ds.groupby("change_op").count().take_all()
@@ -209,6 +222,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "lake": args.lake_dir, "from": args.v_from, "to": args.v_to,
                 "changes": sum(ops.values()), "by_op": ops, "sample": sample,
+            }))
+        elif args.cmd == "view":
+            from .pipelines.incremental import read_view, refresh_live_counts
+
+            r = refresh_live_counts(
+                args.lake_dir, args.view_dir, args.key,
+                at_version=args.at_version,
+            )
+            table = read_view(args.view_dir)
+            print(json.dumps({
+                **r,
+                "view": {
+                    str(k): int(n) for k, n in zip(
+                        table.column(args.key).to_pylist(),
+                        table.column("n").to_pylist(),
+                    )
+                },
             }))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake

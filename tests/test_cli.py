@@ -83,6 +83,18 @@ def test_cli_versions_vacuum_changes(tmp_path):
     assert ch["changes"] == sum(ch["by_op"].values())
     assert ch["changes"] > 0
     assert all(s["op"] in ("insert", "update", "delete") for s in ch["sample"])
+    chp = _run(["changes", "--lake-dir", lake, "--from", "1", "--to", "2",
+                "--preimages", "--num-cpus", "4"])
+    assert set(chp["by_op"]) <= {
+        "insert", "update_preimage", "update_postimage", "delete",
+    }
+    assert chp["by_op"].get("update_preimage") == chp["by_op"].get(
+        "update_postimage"
+    )
+    view = str(tmp_path / "view")
+    vw = _run(["view", "--lake-dir", lake, "--view-dir", view,
+               "--num-cpus", "4"])
+    assert vw["mode"] == "full" and sum(vw["view"].values()) > 0
     vac = _run(["vacuum", "--lake-dir", lake, "--keep", "1"])
     assert vac["retained_versions"] == [2]
     v2 = _run(["versions", "--lake-dir", lake])
