@@ -467,22 +467,30 @@ def run_nested_ingest(cfg: CdcConfig, *, struct_version: int = 1) -> IngestRepor
     )
 
 
-def read_lake(lake_dir: str, *, version: int | None = None) -> ray.data.Dataset:
+def read_lake(
+    lake_dir: str, *, version: int | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
     """Read the committed lake as a Dataset under the unified schema
     (old partitions null-filled / widened on the fly). ``version`` time-
-    travels to a retained snapshot (see ``CdcConfig.retain_versions``)."""
+    travels to a retained snapshot (see ``CdcConfig.retain_versions``).
+    ``columns`` prunes at the parquet read — only those columns leave
+    storage (at 100 TB the difference between a projection scan and a
+    full-lake read); tombstone filtering still happens regardless."""
     from ..schemas import conform_table
 
     manifest = load_manifest(lake_dir, version=version)
+    target = manifest.schema if manifest else None
+    if columns is not None and target is not None:
+        need = set(columns) | {DELETED_COL}
+        target = pa.schema([f for f in target if f.name in need])
     if manifest is None or not manifest.partitions:
-        schema = manifest.schema if manifest else None
-        if schema is None:
+        if target is None:
             raise FileNotFoundError(f"no committed lake at {lake_dir}")
-        return ray.data.from_arrow(schema.empty_table())
+        return ray.data.from_arrow(target.empty_table())
     paths = [
         os.path.join(lake_dir, rel) for _, rel in sorted(manifest.partitions.items())
     ]
-    target = manifest.schema
 
     def conform(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -493,7 +501,12 @@ def read_lake(lake_dir: str, *, version: int | None = None) -> ray.data.Dataset:
             batch = batch.filter(mask).drop_columns([DELETED_COL])
         return batch
 
-    return ray.data.read_parquet(paths).map_batches(
+    read_kwargs: dict = {}
+    if columns is not None:
+        # explicit schema: partitions predating an evolution-added
+        # column null-fill it in the scanner instead of erroring
+        read_kwargs = dict(columns=target.names, schema=target)
+    return ray.data.read_parquet(paths, **read_kwargs).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )
 

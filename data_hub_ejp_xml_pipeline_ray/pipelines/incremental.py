@@ -40,7 +40,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..stages.merge import DELETED_COL
 from ..state.checkpoint import load_manifest
 from .cdc import CHANGE_OP_COL, changes_between, read_lake
 
@@ -134,6 +133,7 @@ def refresh_live_stats(
     sum_cols: Sequence[str] = (),
     *,
     derive: Callable[[pa.Table], pa.Table] | None = None,
+    source_cols: Sequence[str] = (),
     at_version: int | None = None,
 ) -> dict:
     """Bring the per-``key`` live-row stats view (count + per-column
@@ -145,7 +145,9 @@ def refresh_live_stats(
     feed ``changes_between(last_seen, target, preimages=True)`` — cost
     O(changed rows), not O(lake). ``derive`` is an optional per-batch
     Arrow transform (e.g. add a ``text_chars`` column) applied to both
-    the full scan and the feed before aggregation."""
+    the full scan and the feed before aggregation; ``source_cols``
+    names the lake columns it reads, so the full build's parquet scan
+    is pruned to ``{key} | source_cols`` instead of every column."""
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
@@ -173,18 +175,13 @@ def refresh_live_stats(
         return ds
 
     if state is None:
-        ds = read_lake(lake_dir, version=target)
-        if DELETED_COL in (ds.schema().names or []):
-            def drop_tombstones(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                mask = pc.fill_null(pc.invert(t.column(DELETED_COL)), True)
-                return t.filter(mask)
-
-            ds = ds.map_batches(
-                drop_tombstones, batch_format="pyarrow",
-                zero_copy_batch=True, batch_size=None,
-            )
+        # projection scan: only key + derive inputs leave storage
+        # (read_lake filters tombstones itself). A derive hook with
+        # UNDECLARED source_cols gets the full row — correct, unpruned.
+        cols = None
+        if derive is None or source_cols:
+            cols = list(dict.fromkeys([key, *source_cols]))
+        ds = read_lake(lake_dir, version=target, columns=cols)
         stats = _aggregate(prepare(ds), key, sum_cols, signed=False)
         mode = "full"
     else:

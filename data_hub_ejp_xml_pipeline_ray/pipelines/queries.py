@@ -2071,10 +2071,11 @@ def q_incremental_lang_stats(sf_dir: str):
     view_dir = os.path.join(work, "view")
     r1 = refresh_live_stats(
         cfg.lake_dir, view_dir, "lang", ["chars"],
-        derive=add_chars, at_version=1,
+        derive=add_chars, source_cols=["text"], at_version=1,
     )
     r2 = refresh_live_stats(
-        cfg.lake_dir, view_dir, "lang", ["chars"], derive=add_chars,
+        cfg.lake_dir, view_dir, "lang", ["chars"],
+        derive=add_chars, source_cols=["text"],
     )
     assert r1["mode"] == "full" and r2["mode"] == "incremental"
     return read_view(view_dir)

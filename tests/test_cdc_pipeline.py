@@ -323,3 +323,25 @@ def test_schema_evolution_across_batches_matches_single_shot(tmp_path, ray_sessi
     b = lake_snapshot(str(tmp_path / "one")).sort_by([("url", "ascending")])
     assert a.schema.equals(b.schema)  # incl. column order
     assert a.equals(b)
+
+
+def test_read_lake_column_pruning_across_evolution(tmp_path):
+    """read_lake(columns=...) must return exactly the projection the
+    full read would, including an evolution-added column that old
+    partition files lack (scanner null-fills via the explicit schema)."""
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=13, n_urls=30, n_events=300,
+        n_segments=6, v2_from_segment=3,
+    )
+    cfg = _cfg(tmp, max_segments_per_batch=3)  # commit 1 = v1-only schema
+    run_ingest(cfg)
+    full = read_lake(cfg.lake_dir).to_pandas()
+    pruned = read_lake(
+        cfg.lake_dir, columns=["url", "content_type"]
+    ).to_pandas()
+    assert sorted(pruned.columns) == ["content_type", "url"]
+    exp = full[["url", "content_type"]].sort_values("url", ignore_index=True)
+    got = pruned[["url", "content_type"]].sort_values("url", ignore_index=True)
+    assert got.equals(exp)
+    assert pruned["content_type"].notna().any()  # evolved rows present

@@ -96,7 +96,7 @@ def test_stats_view_sums_match_recount(lake, tmp_path):
         return t.append_column("chars", chars)
 
     view = str(tmp_path / "sview")
-    kw = dict(derive=add_len)
+    kw = dict(derive=add_len, source_cols=["text"])
     refresh_live_stats(lake.lake_dir, view, "lang", ["chars"],
                        at_version=1, **kw)
     r = refresh_live_stats(lake.lake_dir, view, "lang", ["chars"], **kw)
