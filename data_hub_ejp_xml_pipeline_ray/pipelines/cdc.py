@@ -516,7 +516,7 @@ CHANGE_OP_COL = "change_op"
 
 def changes_between(
     lake_dir: str, v_from: int, v_to: int | None = None,
-    *, preimages: bool = False,
+    *, preimages: bool = False, columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Change data feed: the observable row changes between two retained
     lake versions, as a Dataset of the v_to winner rows tagged
@@ -560,7 +560,12 @@ def changes_between(
     union of its descendant files — which also catches descendants
     with no v_to file (all rows gone) and old partitions with no
     descendants at all. ``v_from=0`` diffs against the empty lake
-    (everything live is an insert)."""
+    (everything live is an insert).
+
+    ``columns`` prunes the PAYLOAD columns the feed carries (and
+    reads from storage — a consumer aggregating one metric column
+    doesn't pay to move the text payload); the change identity
+    (``url``, ``warc_ts``, ``seq``) is always present."""
     from ..schemas import conform_table
     from ..state.checkpoint import resolve_partition
 
@@ -569,6 +574,9 @@ def changes_between(
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     m_from = None if v_from == 0 else load_manifest(lake_dir, version=v_from)
     schema = m_to.schema
+    if columns is not None:
+        need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
+        schema = pa.schema([f for f in schema if f.name in need])
     out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
     out_schema = pa.schema(out_fields)
@@ -609,16 +617,22 @@ def changes_between(
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
 
+        def read_file(p: str) -> pa.Table:
+            # pruned column read (only the feed's columns leave disk);
+            # evolution-added columns a file predates are null-filled
+            # by conform_table afterwards
+            f = pq.ParquetFile(p)
+            avail = [c for c in schema.names if c in set(f.schema_arrow.names)]
+            return conform_table(f.read(columns=avail), schema)
+
         outs = []
         for d in batch.to_pylist():
-            news = [
-                conform_table(pq.read_table(p), schema) for p in d["new_paths"]
-            ]
+            news = [read_file(p) for p in d["new_paths"]]
             new = pa.concat_tables(news) if news else schema.empty_table()
             if d["old_path"] is None:
                 old = schema.empty_table()
             else:
-                old = conform_table(pq.read_table(d["old_path"]), schema)
+                old = read_file(d["old_path"])
             idx = pc.index_in(new.column("url"), value_set=old.column("url"))
             present = pc.is_valid(idx).to_numpy(zero_copy_only=False)
             idx_np = idx.to_numpy(zero_copy_only=False)

@@ -174,19 +174,21 @@ def refresh_live_stats(
             )
         return ds
 
+    # projection pruning for both paths: only key + derive inputs leave
+    # storage. A derive hook with UNDECLARED source_cols gets the full
+    # row — correct, unpruned.
+    cols = None
+    if derive is None or source_cols:
+        cols = list(dict.fromkeys([key, *source_cols]))
     if state is None:
-        # projection scan: only key + derive inputs leave storage
-        # (read_lake filters tombstones itself). A derive hook with
-        # UNDECLARED source_cols gets the full row — correct, unpruned.
-        cols = None
-        if derive is None or source_cols:
-            cols = list(dict.fromkeys([key, *source_cols]))
+        # (read_lake filters tombstones itself)
         ds = read_lake(lake_dir, version=target, columns=cols)
         stats = _aggregate(prepare(ds), key, sum_cols, signed=False)
         mode = "full"
     else:
         feed = changes_between(
-            lake_dir, state["lake_version"], target, preimages=True
+            lake_dir, state["lake_version"], target,
+            preimages=True, columns=cols,
         )
         delta = _aggregate(prepare(feed), key, sum_cols, signed=True)
         # view (+) delta: both are aggregate-sized (distinct key values,

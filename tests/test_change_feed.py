@@ -202,6 +202,28 @@ def test_feed_across_partition_split(wal8):
     assert _feed_dict(cfg.lake_dir, 2, 3) == expected
 
 
+def test_feed_column_pruning(wal8):
+    """columns=... drops unrequested payload from the feed (and the
+    read) while keeping the change identity; values must match the
+    full feed's projection."""
+    cfg = _cfg(wal8, max_segments_per_batch=4)
+    run_ingest(cfg)
+    pruned = changes_between(cfg.lake_dir, 1, 2, columns=["lang"]).take_all()
+    assert set(pruned[0].keys()) == {
+        "url", "change_op", "warc_ts", "seq", "lang",
+    }
+    full = _feed_dict(cfg.lake_dir, 1, 2)
+    got = {
+        r["url"]: (r["change_op"], r["warc_ts"], r["seq"], r["lang"])
+        for r in pruned
+    }
+    exp = {
+        u: (v["change_op"], v["warc_ts"], v["seq"], v["lang"])
+        for u, v in full.items()
+    }
+    assert got == exp
+
+
 def test_preimage_feed_retractions(wal8):
     """preimages=True switches to Delta-CDF retraction semantics:
     updates emit pre+post rows, deletes carry the OLD live row."""
