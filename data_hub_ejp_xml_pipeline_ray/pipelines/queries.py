@@ -2081,6 +2081,48 @@ def q_incremental_lang_stats(sf_dir: str):
     return read_view(view_dir)
 
 
+def q_replica_purchase_pages(sf_dir: str):
+    """Feed-driven filtered replica, DRIVER-ORACLE-CHECKED: ingest the
+    derived WAL in two commits, sync a replica of lang=='purchase'
+    pages at source v1, then incrementally apply the v1->v2 feed
+    (upserts, predicate exits, deletes — all row-level MERGE-INTO
+    arithmetic). The oracle recomputes the filtered LWW-live state
+    from scratch; hash equality proves the replica converged without
+    ever rescanning the source."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, lake_snapshot, run_ingest
+    from ..pipelines.replicate import sync_replica
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "replica")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+
+    def is_purchase(t: pa.Table) -> pa.Array:
+        return pc.equal(t.column("lang"), "purchase")
+
+    rep = os.path.join(work, "replica")
+    r1 = sync_replica(cfg.lake_dir, rep, predicate=is_purchase, at_version=1)
+    r2 = sync_replica(cfg.lake_dir, rep, predicate=is_purchase)
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    snap = lake_snapshot(rep).select(["url", "warc_ts", "seq", "text", "lang"])
+    i = snap.column_names.index("warc_ts")
+    return snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+
+
 def q_cdc_entity_lake(sf_dir: str):
     """Multi-entity demux CDC, DRIVER-ORACLE-CHECKED: the derived html
     carries a fixed title/h1/link skeleton, so each winning event's
@@ -2155,6 +2197,7 @@ QUERIES = {
     "cdc_change_feed": q_cdc_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
     "incremental_lang_stats": q_incremental_lang_stats,
+    "replica_purchase_pages": q_replica_purchase_pages,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -2654,6 +2697,23 @@ ORACLE_SQL = {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 AND NOT is_del)
         GROUP BY lang
+    """,
+    # Filtered replica: the final replica == the LWW-live state
+    # restricted to lang='purchase' (the Ray side converged to it by
+    # applying two change-feed deltas, never rescanning the source).
+    "replica_purchase_pages": """
+        SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+               ts AS warc_ts, event_id AS seq,
+               'page u' || CAST(user_id AS VARCHAR)
+               || ' rev ' || CAST(event_id AS VARCHAR) AS text,
+               event_type AS lang
+        FROM (
+          SELECT user_id, ts, event_id, event_type,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del AND event_type = 'purchase'
     """,
     # Entity-lake CDC: each winning event fans out to page/heading/link
     # entity rows whose values are literals of the event row.
