@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--view-dir", required=True)
     sp.add_argument("--key", default="lang")
     sp.add_argument("--at-version", type=int, default=None)
+    sp = sub.add_parser(
+        "sync", help="sync a feed-driven replica table of the lake")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--replica-dir", required=True)
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated payload columns to replicate")
 
     args = p.parse_args(argv)
 
@@ -240,6 +246,15 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 },
             }))
+        elif args.cmd == "sync":
+            from .pipelines.replicate import sync_replica
+
+            print(json.dumps(sync_replica(
+                args.lake_dir, args.replica_dir,
+                columns=(
+                    args.columns.split(",") if args.columns else None
+                ),
+            )))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

@@ -95,6 +95,13 @@ def test_cli_versions_vacuum_changes(tmp_path):
     vw = _run(["view", "--lake-dir", lake, "--view-dir", view,
                "--num-cpus", "4"])
     assert vw["mode"] == "full" and sum(vw["view"].values()) > 0
+    rep = str(tmp_path / "replica")
+    sy = _run(["sync", "--lake-dir", lake, "--replica-dir", rep,
+               "--num-cpus", "4"])
+    assert sy["synced"] and sy["source_version"] == 2
+    sy2 = _run(["sync", "--lake-dir", lake, "--replica-dir", rep,
+                "--num-cpus", "4"])
+    assert sy2 == {"synced": False, "mode": "noop", "source_version": 2}
     vac = _run(["vacuum", "--lake-dir", lake, "--keep", "1"])
     assert vac["retained_versions"] == [2]
     v2 = _run(["versions", "--lake-dir", lake])
