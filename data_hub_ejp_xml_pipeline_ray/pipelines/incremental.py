@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..state.checkpoint import load_manifest
+from ..state.checkpoint import list_versions, load_manifest
 from .cdc import CHANGE_OP_COL, changes_between, read_lake
 
 VIEW_STATE = "_view.json"
@@ -180,6 +180,15 @@ def refresh_live_stats(
     cols = None
     if derive is None or source_cols:
         cols = list(dict.fromkeys([key, *source_cols]))
+    prev_file = state["file"] if state is not None else None
+    if state is not None and state["lake_version"] not in set(
+        list_versions(lake_dir)
+    ):
+        # the view lagged past retention (its base snapshot was
+        # vacuumed): the delta no longer exists — rebuild from scratch
+        # instead of crashing, exactly what a too-stale Delta CDF
+        # consumer must do
+        state = None
     if state is None:
         # (read_lake filters tombstones itself)
         ds = read_lake(lake_dir, version=target, columns=cols)
@@ -215,9 +224,9 @@ def refresh_live_stats(
             "sum_cols": list(sum_cols),
         }, f)
     os.replace(tmp, os.path.join(view_dir, VIEW_STATE))
-    if state is not None and state["file"] != fname:
+    if prev_file is not None and prev_file != fname:
         try:
-            os.remove(os.path.join(view_dir, state["file"]))
+            os.remove(os.path.join(view_dir, prev_file))
         except FileNotFoundError:
             pass
     return {

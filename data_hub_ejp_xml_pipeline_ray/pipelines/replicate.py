@@ -39,6 +39,7 @@ from ..state.checkpoint import (
     LakeManifest,
     commit_manifest,
     gc_unreferenced,
+    list_versions,
     load_manifest,
     partition_file_relpath,
     utcnow_iso,
@@ -81,6 +82,12 @@ def sync_replica(
             f"replica at source version {last} is ahead of the source "
             f"({sv}) — was the source lake rebuilt?"
         )
+    rebuild = last != 0 and last not in set(list_versions(source_lake))
+    if rebuild:
+        # the replica lagged past the source's retention (its base
+        # snapshot was vacuumed): the delta no longer exists — rebuild
+        # from the 0->sv feed, dropping every old replica file
+        last = 0
 
     feed = changes_between(source_lake, last, sv, columns=columns)
     feed_schema = pa.schema(
@@ -96,7 +103,9 @@ def sync_replica(
     )
     version = (rm.version if rm is not None else 0) + 1
     token = f"sync-{sv:06d}"
-    old_parts = dict(rm.partitions) if rm is not None else {}
+    old_parts = (
+        dict(rm.partitions) if rm is not None and not rebuild else {}
+    )
 
     def route(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)
@@ -163,7 +172,9 @@ def sync_replica(
     )
 
     new_partitions = dict(old_parts)
-    new_meta = dict(rm.partition_meta) if rm is not None else {}
+    new_meta = (
+        dict(rm.partition_meta) if rm is not None and not rebuild else {}
+    )
     upserts = removed = 0
     for row in stats:
         part = int(row["part"])
@@ -215,7 +226,9 @@ def sync_replica(
         gc_unreferenced(replica_dir, new_manifest, previous=rm)
     return {
         "synced": True,
-        "mode": "full" if last == 0 else "incremental",
+        "mode": (
+            "rebuild" if rebuild else "full" if last == 0 else "incremental"
+        ),
         "source_version": sv,
         "replica_version": version,
         "partitions_touched": len(stats),

@@ -16,7 +16,10 @@ from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
     refresh_live_counts,
     refresh_live_stats,
 )
-from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+    compact_lake,
+    vacuum,
+)
 from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
 
 
@@ -113,6 +116,18 @@ def test_stats_view_sums_match_recount(lake, tmp_path):
     # a refresh asking for a different metric set is refused loudly
     with pytest.raises(ValueError):
         refresh_live_stats(lake.lake_dir, view, "lang", [])
+
+
+def test_view_rebuilds_after_vacuumed_gap(lake, tmp_path):
+    """A view whose base snapshot was vacuumed must FULL-rebuild, not
+    crash on the missing delta."""
+    view = str(tmp_path / "view")
+    refresh_live_counts(lake.lake_dir, view, at_version=1)
+    vacuum(lake.lake_dir, keep=1)  # only v3 retained; v1 delta gone
+    r = refresh_live_counts(lake.lake_dir, view)
+    assert r == {"refreshed": True, "mode": "full", "lake_version": 3,
+                 "keys": r["keys"]}
+    assert _view_dict(view) == _recount(lake.lake_dir)
 
 
 def test_refresh_across_compaction(lake, tmp_path):

@@ -11,7 +11,10 @@ from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
     lake_snapshot,
     run_ingest,
 )
-from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import compact_lake
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+    compact_lake,
+    vacuum,
+)
 from data_hub_ejp_xml_pipeline_ray.pipelines.replicate import sync_replica
 from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
 from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
@@ -83,6 +86,17 @@ def test_replica_column_pruning(source, tmp_path):
     sync_replica(source.lake_dir, rep, columns=["lang"])
     snap = lake_snapshot(rep)
     assert sorted(snap.column_names) == ["lang", "seq", "url", "warc_ts"]
+    assert _rows(rep) == _rows(source.lake_dir)
+
+
+def test_replica_rebuilds_after_vacuumed_gap(source, tmp_path):
+    """A replica whose base snapshot was vacuumed must rebuild from the
+    0->current feed (dropping stale files), not crash."""
+    rep = str(tmp_path / "replica")
+    sync_replica(source.lake_dir, rep, at_version=1)
+    vacuum(source.lake_dir, keep=1)  # v1 delta gone
+    r = sync_replica(source.lake_dir, rep)
+    assert r["mode"] == "rebuild" and r["source_version"] == 3
     assert _rows(rep) == _rows(source.lake_dir)
 
 
