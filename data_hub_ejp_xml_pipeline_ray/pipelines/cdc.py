@@ -514,6 +514,43 @@ def read_lake(
 CHANGE_OP_COL = "change_op"
 
 
+def _feed_pair_groups(
+    lake_dir: str, m_to, m_from,
+) -> list[dict]:
+    """Ancestor-granularity pairing for a version diff: splits are
+    append-only, so each v_to partition resolves to exactly one v_from
+    ancestor; one group per ancestor (its file + every descendant
+    file), plus groups for v_to partitions with no ancestor file and
+    v_from files with zero descendants."""
+    from ..state.checkpoint import resolve_partition
+
+    from_splits = m_from.split_set() if m_from is not None else frozenset()
+    from_parts = m_from.partitions if m_from is not None else {}
+    num_p = m_to.num_partitions
+    groups: dict = {}
+    for part, rel in sorted(m_to.partitions.items()):
+        old_part = (
+            resolve_partition(part, num_p, from_splits) if m_from is not None
+            else None
+        )
+        old_rel = from_parts.get(old_part) if old_part is not None else None
+        key = old_part if old_rel is not None else ("new", part)
+        g = groups.setdefault(key, {
+            "old_path": (
+                os.path.join(lake_dir, old_rel) if old_rel is not None else None
+            ),
+            "new_paths": [],
+        })
+        g["new_paths"].append(os.path.join(lake_dir, rel))
+    for old_part, old_rel in sorted(from_parts.items()):
+        # old file with zero descendant files: every live row is gone
+        if old_part not in groups:
+            groups[old_part] = {
+                "old_path": os.path.join(lake_dir, old_rel), "new_paths": [],
+            }
+    return list(groups.values())
+
+
 def changes_between(
     lake_dir: str, v_from: int, v_to: int | None = None,
     *, preimages: bool = False, columns: list[str] | None = None,
@@ -567,7 +604,6 @@ def changes_between(
     doesn't pay to move the text payload); the change identity
     (``url``, ``warc_ts``, ``seq``) is always present."""
     from ..schemas import conform_table
-    from ..state.checkpoint import resolve_partition
 
     m_to = load_manifest(lake_dir, version=v_to)
     if m_to is None:
@@ -581,31 +617,7 @@ def changes_between(
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
     out_schema = pa.schema(out_fields)
 
-    from_splits = m_from.split_set() if m_from is not None else frozenset()
-    from_parts = m_from.partitions if m_from is not None else {}
-    num_p = m_to.num_partitions
-    groups: dict = {}
-    for part, rel in sorted(m_to.partitions.items()):
-        old_part = (
-            resolve_partition(part, num_p, from_splits) if m_from is not None
-            else None
-        )
-        old_rel = from_parts.get(old_part) if old_part is not None else None
-        key = old_part if old_rel is not None else ("new", part)
-        g = groups.setdefault(key, {
-            "old_path": (
-                os.path.join(lake_dir, old_rel) if old_rel is not None else None
-            ),
-            "new_paths": [],
-        })
-        g["new_paths"].append(os.path.join(lake_dir, rel))
-    for old_part, old_rel in sorted(from_parts.items()):
-        # old file with zero descendant files: every live row is gone
-        if old_part not in groups:
-            groups[old_part] = {
-                "old_path": os.path.join(lake_dir, old_rel), "new_paths": [],
-            }
-    descs = list(groups.values())
+    descs = _feed_pair_groups(lake_dir, m_to, m_from)
     if not descs:
         return ray.data.from_arrow(out_schema.empty_table())
 
@@ -714,6 +726,140 @@ def changes_between(
                         outs.append(
                             pa.Table.from_arrays(gcols, schema=out_schema)
                         )
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        descs, override_num_blocks=len(descs)
+    ).map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entity_changes_between(
+    lake_dir: str, v_from: int, v_to: int | None = None,
+    *, preimages: bool = False,
+) -> ray.data.Dataset:
+    """Change feed for GROUP-VALUED lakes (the entity/nested shapes,
+    ``run_entity_ingest``): a url's state is the SET of rows sharing
+    its winning ``(warc_ts, seq)`` version, so the unit of change is
+    the whole row-group —
+
+    * ``insert`` = every row of a newly-live url
+    * ``update`` = every row of the NEW winning version (postimage
+      mode); with ``preimages=True``, the old version's rows come too
+      as ``update_preimage`` (all rows of one url share one op — a
+      consumer replaces the url's row-set atomically)
+    * ``delete`` = the tombstone row (postimage), or the old version's
+      rows (preimages) — compacted-away tombstones yield one NULL-
+      identity row per url (postimage) / real pre-image rows.
+
+    Same no-shuffle ancestor-pairing as :func:`changes_between`; the
+    per-group kernel is a polars url-level version join instead of a
+    row-level ``index_in`` (identical (warc_ts, seq) implies an
+    identical row-set — extraction is deterministic — so unchanged
+    urls emit nothing)."""
+    import polars as pl
+
+    from ..schemas import conform_table
+
+    m_to = load_manifest(lake_dir, version=v_to)
+    if m_to is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    m_from = None if v_from == 0 else load_manifest(lake_dir, version=v_from)
+    schema = m_to.schema
+    out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
+    out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
+    out_schema = pa.schema(out_fields)
+    descs = _feed_pair_groups(lake_dir, m_to, m_from)
+    if not descs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+        def info(df: pl.DataFrame) -> pl.DataFrame:
+            return df.group_by("url").agg(
+                pl.col("warc_ts").first().alias("_ts"),
+                pl.col("seq").first().alias("_seq"),
+                pl.col(DELETED_COL).fill_null(False).any().alias("_del"),
+                pl.lit(True).alias("_present"),
+            )
+
+        outs = []
+
+        def emit(df: pl.DataFrame, label: str) -> None:
+            if df.height == 0:
+                return
+            t = conform_table(df.to_arrow(), schema)
+            cols = [
+                t.column("url"),
+                pa.array([label] * t.num_rows, pa.string()),
+            ]
+            cols += [
+                t.column(f.name) for f in schema
+                if f.name not in ("url", DELETED_COL)
+            ]
+            outs.append(pa.Table.from_arrays(cols, schema=out_schema))
+
+        for d in batch.to_pylist():
+            news = [
+                conform_table(pq.read_table(p), schema) for p in d["new_paths"]
+            ]
+            new = pa.concat_tables(news) if news else schema.empty_table()
+            old = (
+                conform_table(pq.read_table(d["old_path"]), schema)
+                if d["old_path"] is not None else schema.empty_table()
+            )
+            nd, od = pl.from_arrow(new), pl.from_arrow(old)
+            j = info(nd).join(
+                info(od), on="url", how="full",
+                coalesce=True, suffix="_o",
+            ).with_columns(
+                pl.col("_present").fill_null(False),
+                pl.col("_present_o").fill_null(False),
+                pl.col("_del").fill_null(False),
+                pl.col("_del_o").fill_null(False),
+            )
+            new_live = pl.col("_present") & ~pl.col("_del")
+            old_live = pl.col("_present_o") & ~pl.col("_del_o")
+            same = (pl.col("_ts") == pl.col("_ts_o")) & (
+                pl.col("_seq") == pl.col("_seq_o")
+            )
+            j = j.with_columns(
+                (new_live & ~old_live).alias("_ins"),
+                (new_live & old_live & ~same.fill_null(False)).alias("_upd"),
+                (~new_live & old_live).alias("_rm"),
+            )
+            ins = j.filter("_ins").select("url")
+            upd = j.filter("_upd").select("url")
+            rm_tomb = j.filter(pl.col("_rm") & pl.col("_present")).select("url")
+            rm_gone = j.filter(pl.col("_rm") & ~pl.col("_present")).select("url")
+            emit(nd.join(ins, on="url", how="semi"), "insert")
+            if preimages:
+                emit(od.join(upd, on="url", how="semi"), "update_preimage")
+                emit(nd.join(upd, on="url", how="semi"), "update_postimage")
+                rm_all = pl.concat([rm_tomb, rm_gone])
+                emit(od.join(rm_all, on="url", how="semi"), "delete")
+            else:
+                emit(nd.join(upd, on="url", how="semi"), "update")
+                emit(nd.join(rm_tomb, on="url", how="semi"), "delete")
+                if rm_gone.height:
+                    # compacted-away tombstone: identity unknown
+                    urls = rm_gone.get_column("url").to_list()
+                    gcols = [
+                        pa.array(urls, pa.string()),
+                        pa.array(["delete"] * len(urls), pa.string()),
+                    ]
+                    gcols += [
+                        pa.nulls(len(urls), f.type) for f in schema
+                        if f.name not in ("url", DELETED_COL)
+                    ]
+                    outs.append(
+                        pa.Table.from_arrays(gcols, schema=out_schema)
+                    )
         if not outs:
             return out_schema.empty_table()
         return pa.concat_tables(outs)

@@ -2001,6 +2001,51 @@ def q_cdc_change_feed(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_entity_change_feed(sf_dir: str):
+    """Group-valued change feed, DRIVER-ORACLE-CHECKED: ingest the
+    derived ENTITY WAL in two commits, then stream
+    :func:`..pipelines.cdc.entity_changes_between`\\(v1, v2) — each
+    changed url contributes its whole new entity row-set (3 literal
+    rows from the fixed title/h1/link skeleton) or a single tombstone
+    row. The oracle is the page-feed classification CROSS-joined with
+    the entity fan-out literals."""
+    import shutil
+
+    from ..pipelines.cdc import (
+        CdcConfig,
+        entity_changes_between,
+        run_entity_ingest,
+    )
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "efeed")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=True,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_entity_ingest(cfg)
+    ds = entity_changes_between(cfg.lake_dir, 1, 2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.select([
+            "url", "change_op", "warc_ts", "seq", "entity_type",
+            "title", "href", "anchor", "link_index", "level", "text",
+        ])
+        i = batch.column_names.index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts", batch.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_incremental_lang_counts(sf_dir: str):
     """Incrementally-maintained materialized view, DRIVER-ORACLE-
     CHECKED: ingest the derived WAL in two commits, FULL-build the
@@ -2195,6 +2240,7 @@ QUERIES = {
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
+    "entity_change_feed": q_entity_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
     "incremental_lang_stats": q_incremental_lang_stats,
     "replica_purchase_pages": q_replica_purchase_pages,
@@ -2679,6 +2725,69 @@ ORACLE_SQL = {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 AND NOT is_del)
         GROUP BY lang
+    """,
+    # Group-valued change feed: the page-feed classification (two
+    # window-LWW states LEFT-joined) cross-joined with the entity
+    # fan-out literals; deletes are a single NULL-entity tombstone row.
+    "entity_change_feed": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        ), old_state AS (
+          SELECT user_id, ts, event_id, is_del FROM (
+            SELECT user_id, ts, event_id,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked WHERE rk <= 4 * ceil(n / 8.0)) WHERE rn = 1
+        ), new_state AS (
+          SELECT user_id, ts, event_id, is_del FROM (
+            SELECT user_id, ts, event_id,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1
+        ), changed AS (
+          SELECT w.user_id, w.ts, w.event_id, w.is_del,
+                 CASE WHEN NOT w.is_del AND (o.user_id IS NULL OR o.is_del)
+                        THEN 'insert'
+                      WHEN NOT w.is_del THEN 'update'
+                      ELSE 'delete' END AS change_op
+          FROM new_state w LEFT JOIN old_state o ON w.user_id = o.user_id
+          WHERE (NOT w.is_del AND (o.user_id IS NULL OR o.is_del))
+             OR (NOT w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del
+                 AND (w.ts <> o.ts OR w.event_id <> o.event_id))
+             OR (w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del)
+        ), base AS (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 change_op, ts AS warc_ts, event_id AS seq,
+                 user_id, event_id
+          FROM changed WHERE NOT is_del
+        )
+        SELECT url, change_op, warc_ts, seq, 'page' AS entity_type,
+               'T' || CAST(user_id AS VARCHAR) AS title,
+               NULL::VARCHAR AS href, NULL::VARCHAR AS anchor,
+               NULL::INTEGER AS link_index, NULL::INTEGER AS level,
+               NULL::VARCHAR AS text
+        FROM base
+        UNION ALL
+        SELECT url, change_op, warc_ts, seq, 'heading', NULL, NULL,
+               NULL, NULL, CAST(1 AS INTEGER),
+               'H' || CAST(event_id AS VARCHAR)
+        FROM base
+        UNION ALL
+        SELECT url, change_op, warc_ts, seq, 'link', NULL,
+               'https://l' || CAST(event_id AS VARCHAR) || '.example/',
+               'A' || CAST(event_id AS VARCHAR),
+               CAST(0 AS INTEGER), NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page',
+               'delete', ts, event_id, NULL, NULL, NULL, NULL,
+               NULL::INTEGER, NULL::INTEGER, NULL
+        FROM changed WHERE is_del
     """,
     # Generalized incremental view: count + summed live text length per
     # lang == a from-scratch recount over the LWW-live state (the Ray
