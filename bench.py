@@ -182,6 +182,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     refresh_live_counts(f"{lake}_0", view_dir)
     t_view = time.perf_counter() - t0
     shutil.rmtree(view_dir, ignore_errors=True)
+    from data_hub_ejp_xml_pipeline_ray.pipelines.replicate import sync_replica
+
+    rep_dir = f"{lake}_0_replica"
+    shutil.rmtree(rep_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    sync_replica(f"{lake}_0", rep_dir)
+    t_rep = time.perf_counter() - t0
+    shutil.rmtree(rep_dir, ignore_errors=True)
     shutil.rmtree(f"{lake}_0", ignore_errors=True)
 
     from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
@@ -222,6 +230,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "feed_scan_s": round(t_feed, 3),
             "feed_rows": feed_rows,
             "view_build_s": round(t_view, 3),
+            "replica_full_sync_s": round(t_rep, 3),
         },
         "capped_dropped_pairs": {
             k: v["capped_dropped_pairs"]

@@ -104,3 +104,66 @@ def test_nested_lake_commits_and_evolves(tmp_path):
             assert {k: lk[k] for k in ("href", "anchor", "link_index")} == exp_lk
     m = load_manifest(cfg.lake_dir)
     assert m.schema.field("links").type.equals(link_type2)
+
+
+def test_nested_lake_change_feed_across_evolution(tmp_path):
+    """The page-shaped feed works unchanged over the nested lake (one
+    row per url), INCLUDING a v1->v2 diff where v2 evolved the link
+    struct: v1's file conforms to the evolved schema inside the diff
+    task, and new winners carry the added nested field."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=51, n_urls=40, n_events=300, n_segments=4,
+                 delete_fraction=0.1, rich_pages=True)
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_nested_ingest(cfg, struct_version=1)  # -> v1
+    generate_wal(wal, seed=52, n_urls=40, n_events=150, n_segments=2,
+                 start_segment=4, delete_fraction=0.1, rich_pages=True)
+    run_nested_ingest(cfg, struct_version=2)  # -> v2 (struct adds rel)
+
+    def winners(upto=None):
+        segs = list_segments(wal)
+        if upto is not None:
+            segs = segs[:upto]
+        best = {}
+        for s in segs:
+            for row in pq.read_table(s.path).to_pylist():
+                key = (row["warc_ts"], row["seq"])
+                cur = best.get(row["url"])
+                if cur is None or key > (cur["warc_ts"], cur["seq"]):
+                    best[row["url"]] = row
+        return best
+
+    old_w, new_w = winners(4), winners()
+    expected_ops = {}
+    for url, w in new_w.items():
+        o = old_w.get(url)
+        old_live = o is not None and o["op"] != "delete"
+        new_live = w["op"] != "delete"
+        if new_live and not old_live:
+            expected_ops[url] = "insert"
+        elif new_live and (w["warc_ts"], w["seq"]) != (
+            o["warc_ts"], o["seq"]
+        ):
+            expected_ops[url] = "update"
+        elif not new_live and old_live:
+            expected_ops[url] = "delete"
+    feed = changes_between(cfg.lake_dir, 1, 2).take_all()
+    got = {r["url"]: r for r in feed}
+    assert {u: r["change_op"] for u, r in got.items()} == expected_ops
+    # nested payload rides the feed: live rows carry evolved structs
+    live = [r for r in feed if r["change_op"] != "delete"]
+    assert live and all(
+        all("rel" in link for link in r["links"]) for r in live
+        if r["links"]
+    )
+    # re-parse oracle on one live feed row's nested columns
+    sample = live[0]
+    p = parse_page_entities(sample["url"], new_w[sample["url"]]["html"])
+    assert [
+        {k: link[k] for k in ("href", "anchor", "link_index")}
+        for link in sample["links"]
+    ] == p["links"]
