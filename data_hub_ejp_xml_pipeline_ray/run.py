@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--interval", type=float, default=5.0)
     sp.add_argument("--timeout", type=float, default=120.0,
                     help="stop after this long with no new data")
+    sp.add_argument("--view-dir", default=None,
+                    help="keep this materialized view refreshed from "
+                         "the change feed after every commit")
+    sp.add_argument("--replica-dir", default=None,
+                    help="keep this replica table synced from the "
+                         "change feed after every commit")
     sp = sub.add_parser("compact", help="drop persisted tombstones")
     add_common(sp, lake_only=True)
     sp = sub.add_parser("show", help="print committed manifest summary")
@@ -202,11 +208,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if fresh:
                     report = runner(cfg)
-                    print(json.dumps({
+                    out = {
                         "commits": report.commits,
                         "events_applied": report.events_applied,
                         "watermark": report.watermark,
-                    }), flush=True)
+                    }
+                    # downstream consumers ride the change feed — each
+                    # refresh costs O(this batch's changes), not O(lake)
+                    if getattr(args, "view_dir", None):
+                        from .pipelines.incremental import (
+                            refresh_live_counts,
+                        )
+
+                        out["view"] = refresh_live_counts(
+                            cfg.lake_dir, args.view_dir
+                        )
+                    if getattr(args, "replica_dir", None):
+                        from .pipelines.replicate import sync_replica
+
+                        out["replica"] = sync_replica(
+                            cfg.lake_dir, args.replica_dir
+                        )
+                    print(json.dumps(out), flush=True)
                     deadline = time.monotonic() + args.timeout
                 else:
                     time.sleep(args.interval)

@@ -106,3 +106,26 @@ def test_cli_versions_vacuum_changes(tmp_path):
     assert vac["retained_versions"] == [2]
     v2 = _run(["versions", "--lake-dir", lake])
     assert [x["version"] for x in v2["versions"]] == [2]
+
+
+def test_cli_poll_keeps_consumers_fresh(tmp_path):
+    """poll --view-dir/--replica-dir refreshes downstream consumers
+    from the change feed after each commit (full on first sight,
+    incremental thereafter)."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    view = str(tmp_path / "view")
+    rep = str(tmp_path / "rep")
+    args = ["poll", "--wal-dir", wal, "--lake-dir", lake,
+            "--num-partitions", "4", "--num-cpus", "4",
+            "--interval", "0.5", "--timeout", "5",
+            "--view-dir", view, "--replica-dir", rep]
+    generate_wal(wal, seed=6, n_urls=12, n_events=80, n_segments=2)
+    r1 = _run(args)
+    assert r1["view"]["mode"] == "full" and r1["view"]["refreshed"]
+    assert r1["replica"]["mode"] == "full" and r1["replica"]["synced"]
+    generate_wal(wal, seed=7, n_urls=12, n_events=40, n_segments=1,
+                 start_segment=2)
+    r2 = _run(args)
+    assert r2["view"]["mode"] == "incremental"
+    assert r2["replica"]["mode"] == "incremental"
