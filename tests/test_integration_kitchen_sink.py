@@ -71,7 +71,8 @@ def test_kitchen_sink_converges(tmp_path):
     cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
                     num_partitions=4, extract_concurrency=2,
                     max_segments_per_batch=3,
-                    url_exclusion_pattern=EXCLUDE)
+                    url_exclusion_pattern=EXCLUDE,
+                    retain_versions=None)  # keep history for the feed leg
 
     # first micro-batches (3 segments), then split the largest partition
     import shutil
@@ -108,3 +109,47 @@ def test_kitchen_sink_converges(tmp_path):
     before = lake_snapshot(cfg.lake_dir)
     compact_lake(cfg.lake_dir)
     assert lake_snapshot(cfg.lake_dir).equals(before)
+
+    # --- change feed + consumers across the WHOLE gauntlet ------------
+    # (v1 predates the split, the v2 schema, the quarantined segment
+    # AND the compaction: the apply law must still hold)
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_view,
+        refresh_live_counts,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.replicate import sync_replica
+
+    cur = load_manifest(cfg.lake_dir).version
+    state = {
+        r["url"]: (r["warc_ts"], r["seq"], r["text"])
+        for r in lake_snapshot(cfg.lake_dir, version=1).to_pylist()
+    }
+    for r in changes_between(cfg.lake_dir, 1, cur).take_all():
+        if r["change_op"] == "delete":
+            state.pop(r["url"], None)
+        else:
+            state[r["url"]] = (r["warc_ts"], r["seq"], r["text"])
+    assert state == got  # apply(v1, feed(1 -> cur)) == final state
+
+    rep = os.path.join(tmp, "replica")
+    sync_replica(cfg.lake_dir, rep, at_version=1)
+    r = sync_replica(cfg.lake_dir, rep)
+    assert r["mode"] == "incremental"
+    rep_rows = {
+        r_["url"]: (r_["warc_ts"], r_["seq"], r_["text"])
+        for r_ in lake_snapshot(rep).to_pylist()
+    }
+    assert rep_rows == got
+
+    import collections
+
+    view = os.path.join(tmp, "view")
+    refresh_live_counts(cfg.lake_dir, view, "lang", at_version=1)
+    assert refresh_live_counts(cfg.lake_dir, view)["mode"] == "incremental"
+    exp_counts = collections.Counter(
+        r["lang"] for r in lake_snapshot(cfg.lake_dir).to_pylist()
+    )
+    assert {
+        v["lang"]: v["n"] for v in read_view(view).to_pylist()
+    } == dict(exp_counts)
