@@ -58,7 +58,15 @@ def vacuum(lake_dir: str, keep: int = 1) -> dict:
 
 def compact_lake(lake_dir: str) -> dict:
     """Drop persisted tombstones from every partition that has them.
-    Returns {"partitions_rewritten": n, "tombstones_dropped": n}."""
+    Returns {"partitions_rewritten": n, "tombstones_dropped": n}.
+    Runs under the writer lock with a CAS commit — a concurrent ingest
+    either wins the lock first or fails this compact fast, never gets
+    silently overwritten."""
+    with writer_lock(lake_dir) as lock_token:
+        return _compact_locked(lake_dir, lock_token)
+
+
+def _compact_locked(lake_dir: str, lock_token: str) -> dict:
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
@@ -149,7 +157,10 @@ def compact_lake(lake_dir: str) -> dict:
         counters=manifest.counters,
         retain_versions=manifest.retain_versions,
     )
-    commit_manifest(lake_dir, new_manifest)
+    commit_manifest(
+        lake_dir, new_manifest, expected_version=manifest.version
+    )
+    verify_lock(lake_dir, lock_token)  # fencing before deletes
     gc_unreferenced(lake_dir, new_manifest, previous=manifest)
     return {
         "partitions_rewritten": len(stats),

@@ -172,3 +172,28 @@ def test_split_partition_on_nested_lake_preserves_state(tmp_path):
     after = lake_snapshot(cfg.lake_dir)
     assert after.equals(before)
     assert load_manifest(cfg.lake_dir).splits == [[biggest, 4]]
+
+
+def test_compact_refuses_while_writer_live(tmp_path):
+    """compact_lake must take the writer lock: a live writer's lease
+    makes it fail fast instead of silently overwriting that writer's
+    commit (regression: compact committed without lock or CAS)."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        ConcurrentWriterError,
+        writer_lock,
+    )
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=17, n_urls=40,
+                 n_events=400, n_segments=4, delete_fraction=0.15)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    with writer_lock(cfg.lake_dir):
+        with pytest.raises(ConcurrentWriterError):
+            compact_lake(cfg.lake_dir)
+    # lock released: compaction proceeds normally
+    assert compact_lake(cfg.lake_dir)["tombstones_dropped"] > 0
