@@ -143,13 +143,18 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
     if args.cmd == "versions":
-        from .state.checkpoint import list_versions, load_manifest
+        from .state.checkpoint import (
+            list_versions,
+            load_manifest,
+            version_committed_at,
+        )
 
         out = []
         for v in list_versions(args.lake_dir):
             m = load_manifest(args.lake_dir, version=v)
             out.append({
                 "version": v, "watermark": m.watermark,
+                "committed_at": version_committed_at(m),
                 "partitions": len(m.partitions),
                 "rows": sum(x.get("rows", 0) for x in m.partition_meta.values()),
             })

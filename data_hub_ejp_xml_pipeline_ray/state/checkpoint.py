@@ -173,6 +173,34 @@ def list_versions(lake_dir: str) -> list[int]:
     return sorted(out)
 
 
+def version_committed_at(m: "LakeManifest") -> str | None:
+    """ISO commit time of a manifest's own version, from its lineage."""
+    for e in reversed(m.lineage):
+        if e.get("version") == m.version:
+            return e.get("committed_at")
+    return None
+
+
+def resolve_version_at(lake_dir: str, ts_iso: str) -> int:
+    """Timestamp-based time travel (the Delta ``TIMESTAMP AS OF``
+    analog): the newest RETAINED version committed at or before
+    ``ts_iso`` (ISO-8601 UTC strings compare lexically). Raises when
+    ``ts_iso`` predates all retained history — the snapshot that was
+    current then has been pruned."""
+    best = None
+    for v in list_versions(lake_dir):
+        m = load_manifest(lake_dir, version=v)
+        committed = version_committed_at(m)
+        if committed is not None and committed <= ts_iso:
+            best = v  # list_versions is ascending
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained version of {lake_dir} committed at or before "
+            f"{ts_iso} (retained: {list_versions(lake_dir)})"
+        )
+    return best
+
+
 def load_manifest(lake_dir: str, version: int | None = None) -> LakeManifest | None:
     """Read the committed manifest; None when the lake doesn't exist yet
     (the reference's NoSuchKey -> default-initial-state path,

@@ -28,6 +28,8 @@ from data_hub_ejp_xml_pipeline_ray.sources.wal import list_segments
 from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
     list_versions,
     load_manifest,
+    resolve_version_at,
+    version_committed_at,
 )
 
 COLS = ["url", "change_op", "warc_ts", "seq", "text", "lang"]
@@ -165,6 +167,29 @@ def test_time_travel_and_retention(wal8):
     # pruned v1 can't feed a diff either
     with pytest.raises(FileNotFoundError):
         changes_between(cfg.lake_dir, 1, 4)
+
+
+def test_timestamp_time_travel(wal8):
+    """resolve_version_at maps a wall-clock instant to the version that
+    was current then (Delta TIMESTAMP AS OF)."""
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)  # v1..v4
+    stamps = {
+        v: version_committed_at(load_manifest(cfg.lake_dir, version=v))
+        for v in list_versions(cfg.lake_dir)
+    }
+    assert all(stamps.values()) and sorted(stamps.values()) == [
+        stamps[v] for v in sorted(stamps)
+    ]
+    # exactly at a commit instant -> that version; just before -> prior
+    assert resolve_version_at(cfg.lake_dir, stamps[2]) == 2
+    assert resolve_version_at(cfg.lake_dir, "9999-12-31T00:00:00") == 4
+    with pytest.raises(FileNotFoundError):
+        resolve_version_at(cfg.lake_dir, "1970-01-01T00:00:00")
+    v = resolve_version_at(cfg.lake_dir, stamps[3])
+    assert lake_snapshot(cfg.lake_dir, version=v).equals(
+        lake_snapshot(cfg.lake_dir, version=3)
+    )
 
 
 def test_retain_all_history(wal8):
