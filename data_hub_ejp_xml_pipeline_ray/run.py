@@ -127,6 +127,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--replica-dir", required=True)
     sp.add_argument("--columns", default=None,
                     help="comma-separated payload columns to replicate")
+    sp = sub.add_parser(
+        "export", help="write a (time-traveled) snapshot of the live "
+                       "rows as a plain parquet directory")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--timestamp", default=None,
+                    help="ISO instant: export the version current then")
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated columns to export")
 
     args = p.parse_args(argv)
 
@@ -273,6 +283,27 @@ def main(argv: list[str] | None = None) -> int:
                         table.column("n").to_pylist(),
                     )
                 },
+            }))
+        elif args.cmd == "export":
+            from .pipelines.cdc import read_lake
+            from .state.checkpoint import resolve_version_at
+
+            version = args.version
+            if version is None and args.timestamp is not None:
+                version = resolve_version_at(args.lake_dir, args.timestamp)
+            ds = read_lake(
+                args.lake_dir, version=version,
+                columns=(
+                    args.columns.split(",") if args.columns else None
+                ),
+            )
+            ds.write_parquet(args.out_dir)
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(args.out_dir, format="parquet").count_rows()
+            print(json.dumps({
+                "exported": True, "out_dir": args.out_dir,
+                "version": version, "rows": n,
             }))
         elif args.cmd == "sync":
             from .pipelines.replicate import sync_replica

@@ -129,3 +129,28 @@ def test_cli_poll_keeps_consumers_fresh(tmp_path):
     r2 = _run(args)
     assert r2["view"]["mode"] == "incremental"
     assert r2["replica"]["mode"] == "incremental"
+
+
+def test_cli_export_snapshot(tmp_path):
+    """export writes the (time-traveled) live rows as plain parquet a
+    downstream tool can read directly."""
+    import pyarrow.dataset as pads
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=8, n_urls=15, n_events=120, n_segments=2,
+                 delete_fraction=0.2)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4",
+          "--max-segments-per-batch", "1"])
+    out1 = str(tmp_path / "out_v1")
+    e1 = _run(["export", "--lake-dir", lake, "--out-dir", out1,
+               "--version", "1", "--columns", "url,lang", "--num-cpus", "4"])
+    assert e1["exported"] and e1["version"] == 1 and e1["rows"] > 0
+    t = pads.dataset(out1, format="parquet").to_table()
+    assert sorted(t.column_names) == ["lang", "url"]
+    out2 = str(tmp_path / "out_cur")
+    e2 = _run(["export", "--lake-dir", lake, "--out-dir", out2,
+               "--num-cpus", "4"])
+    s = _run(["show", "--lake-dir", lake])
+    assert e2["rows"] == s["rows"] - s["tombstones"]
