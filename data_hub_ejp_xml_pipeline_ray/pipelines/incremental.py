@@ -66,14 +66,15 @@ def _metric_type(t: pa.DataType) -> pa.DataType:
     return pa.float64() if pa.types.is_floating(t) else pa.int64()
 
 
-def _out_schema(key: str, key_type: pa.DataType,
+def _out_schema(keys: Sequence[str],
                 sum_cols: Sequence[str], batch: pa.Schema) -> pa.Schema:
-    fields = [(key, key_type), ("n", pa.int64())]
+    fields = [(k, batch.field(k).type) for k in keys]
+    fields += [("n", pa.int64())]
     fields += [(c, _metric_type(batch.field(c).type)) for c in sum_cols]
     return pa.schema(fields)
 
 
-def _partial_stats(key: str, sum_cols: Sequence[str], signed: bool):
+def _partial_stats(keys: Sequence[str], sum_cols: Sequence[str], signed: bool):
     """Per-batch combiner: collapse a block to (key, n, *sums) partials
     — one vectorized polars call, so the downstream groupby shuffles
     only ``blocks x distinct(key)`` rows."""
@@ -95,35 +96,33 @@ def _partial_stats(key: str, sum_cols: Sequence[str], signed: bool):
             (pl.col(c).fill_null(0) * pl.col("_sign")).sum().alias(c)
             for c in sum_cols
         ]
-        out = df.group_by(key).agg(aggs).to_arrow()
-        return out.cast(
-            _out_schema(key, batch.schema.field(key).type, sum_cols,
-                        batch.schema)
-        )
+        out = df.group_by(list(keys)).agg(aggs).to_arrow()
+        return out.cast(_out_schema(keys, sum_cols, batch.schema))
 
     return fn
 
 
 def _aggregate(
-    ds: ray.data.Dataset, key: str, sum_cols: Sequence[str], signed: bool
+    ds: ray.data.Dataset, keys: Sequence[str], sum_cols: Sequence[str],
+    signed: bool,
 ) -> pa.Table:
     # partials are tiny (blocks x distinct keys): materialize once so
     # the schema read below doesn't re-execute the upstream scan
     partial = ds.map_batches(
-        _partial_stats(key, sum_cols, signed), batch_format="pyarrow",
+        _partial_stats(keys, sum_cols, signed), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None,
     ).materialize()
     metrics = ["n", *sum_cols]
-    rows = partial.groupby(key).aggregate(
+    rows = partial.groupby(list(keys)).aggregate(
         *[Sum(m, alias_name=m) for m in metrics]
     ).take_all()
     base = partial.schema().base_schema
     arrow_schema = pa.schema([
-        (key, base.field(key).type),
+        *[(k, base.field(k).type) for k in keys],
         *[(m, base.field(m).type) for m in metrics],
     ])
     return pa.table(
-        {c: [r[c] for r in rows] for c in (key, *metrics)},
+        {c: [r[c] for r in rows] for c in (*keys, *metrics)},
         schema=arrow_schema,
     )
 
@@ -147,7 +146,10 @@ def refresh_live_stats(
     Arrow transform (e.g. add a ``text_chars`` column) applied to both
     the full scan and the feed before aggregation; ``source_cols``
     names the lake columns it reads, so the full build's parquet scan
-    is pruned to ``{key} | source_cols`` instead of every column."""
+    is pruned to ``{key} | source_cols`` instead of every column.
+    ``key`` may be one column name or a sequence (composite-key
+    views)."""
+    keys = [key] if isinstance(key, str) else list(key)
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
@@ -158,6 +160,13 @@ def refresh_live_stats(
             f"view maintains sum_cols={state.get('sum_cols', [])}, "
             f"refresh asked for {list(sum_cols)}"
         )
+    if state is not None:
+        skeys = state.get("key", keys)
+        skeys = [skeys] if isinstance(skeys, str) else list(skeys)
+        if skeys != keys:
+            raise ValueError(
+                f"view is keyed by {skeys}, refresh asked for {keys}"
+            )
     if state is not None and state["lake_version"] == target:
         return {"refreshed": False, "mode": "noop", "lake_version": target}
     if state is not None and state["lake_version"] > target:
@@ -179,7 +188,7 @@ def refresh_live_stats(
     # row — correct, unpruned.
     cols = None
     if derive is None or source_cols:
-        cols = list(dict.fromkeys([key, *source_cols]))
+        cols = list(dict.fromkeys([*keys, *source_cols]))
     prev_file = state["file"] if state is not None else None
     if state is not None and state["lake_version"] not in set(
         list_versions(lake_dir)
@@ -192,20 +201,20 @@ def refresh_live_stats(
     if state is None:
         # (read_lake filters tombstones itself)
         ds = read_lake(lake_dir, version=target, columns=cols)
-        stats = _aggregate(prepare(ds), key, sum_cols, signed=False)
+        stats = _aggregate(prepare(ds), keys, sum_cols, signed=False)
         mode = "full"
     else:
         feed = changes_between(
             lake_dir, state["lake_version"], target,
             preimages=True, columns=cols,
         )
-        delta = _aggregate(prepare(feed), key, sum_cols, signed=True)
+        delta = _aggregate(prepare(feed), keys, sum_cols, signed=True)
         # view (+) delta: both are aggregate-sized (distinct key values,
         # not lake rows), so the merge is a driver-side polars fold
         old_tab = pl.read_parquet(os.path.join(view_dir, state["file"]))
         merged = (
             pl.concat([old_tab, pl.from_arrow(delta)])
-            .group_by(key)
+            .group_by(keys)
             .agg([pl.col(c).sum() for c in ("n", *sum_cols)])
             .filter(pl.col("n") > 0)
         )
@@ -216,11 +225,14 @@ def refresh_live_stats(
     fname = f"stats-v{target:06d}.parquet"
     import pyarrow.parquet as pq
 
-    pq.write_table(stats.sort_by(key), os.path.join(view_dir, fname))
+    pq.write_table(
+        stats.sort_by([(k, "ascending") for k in keys]),
+        os.path.join(view_dir, fname),
+    )
     tmp = os.path.join(view_dir, VIEW_STATE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({
-            "lake_version": target, "file": fname, "key": key,
+            "lake_version": target, "file": fname, "key": keys,
             "sum_cols": list(sum_cols),
         }, f)
     os.replace(tmp, os.path.join(view_dir, VIEW_STATE))

@@ -118,6 +118,28 @@ def test_stats_view_sums_match_recount(lake, tmp_path):
         refresh_live_stats(lake.lake_dir, view, "lang", [])
 
 
+def test_composite_key_view(lake, tmp_path):
+    """Multi-column keys: counts per (lang, _src_segment) maintained
+    incrementally match a from-scratch recount; a re-keyed refresh is
+    refused."""
+    view = str(tmp_path / "ckview")
+    keys = ["lang", "_src_segment"]
+    refresh_live_stats(lake.lake_dir, view, keys, at_version=1)
+    r = refresh_live_stats(lake.lake_dir, view, keys)
+    assert r["mode"] == "incremental"
+    got = {
+        (row["lang"], row["_src_segment"]): row["n"]
+        for row in read_view(view).to_pylist()
+    }
+    exp = {}
+    for row in lake_snapshot(lake.lake_dir).to_pylist():
+        k = (row["lang"], row["_src_segment"])
+        exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+    with pytest.raises(ValueError):
+        refresh_live_stats(lake.lake_dir, view, "lang")
+
+
 def test_view_rebuilds_after_vacuumed_gap(lake, tmp_path):
     """A view whose base snapshot was vacuumed must FULL-rebuild, not
     crash on the missing delta."""
