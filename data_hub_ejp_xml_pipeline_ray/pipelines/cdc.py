@@ -345,6 +345,7 @@ def _ingest_one_batch(
         ],
         counters=counters,
         retain_versions=cfg.retain_versions,
+        kind=manifest.kind,
     )
     import shutil as _shutil
 
@@ -388,7 +389,8 @@ def _ingest_one_batch(
 
 
 def run_ingest(
-    cfg: CdcConfig, *, spill_cls=None, lake_schema_fn=None, reduce_fn=None
+    cfg: CdcConfig, *, spill_cls=None, lake_schema_fn=None, reduce_fn=None,
+    kind: str = "row",
 ) -> IngestReport:
     """Tail the WAL past the committed watermark and merge everything
     new, in segment order, committing once per micro-batch. Idempotent:
@@ -396,8 +398,13 @@ def run_ingest(
     converges to the same lake state (tests assert this)."""
     check_no_live_writer(cfg.lake_dir)  # fail fast like the reference
     manifest = load_manifest(cfg.lake_dir) or LakeManifest(
-        num_partitions=cfg.num_partitions
+        num_partitions=cfg.num_partitions, kind=kind
     )
+    if manifest.kind != kind:
+        raise ValueError(
+            f"lake {cfg.lake_dir} is kind={manifest.kind!r}; this ingest "
+            f"writes kind={kind!r} rows — point it at its own lake dir"
+        )
     segments = wal_source.segments_after(
         wal_source.list_segments(cfg.wal_dir, cfg.segment_glob), manifest.watermark
     )
@@ -438,6 +445,7 @@ def run_entity_ingest(cfg: CdcConfig) -> IngestReport:
         spill_cls=EntityExtractCombineSpill,
         lake_schema_fn=entity_lake_schema,
         reduce_fn=lww_winner_rows,
+        kind="group",
     )
 
 
@@ -609,6 +617,18 @@ def changes_between(
     if m_to is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     m_from = None if v_from == 0 else load_manifest(lake_dir, version=v_from)
+    if m_from is not None and m_from.version > m_to.version:
+        # a reversed range would mis-pair partitions through the split
+        # map and invert the labels — refuse instead of lying
+        raise ValueError(
+            f"v_from={m_from.version} is newer than v_to={m_to.version}"
+        )
+    if m_to.kind != "row":
+        # one-row-per-url assumption (index_in diff) does not hold
+        raise ValueError(
+            f"lake {lake_dir} is kind={m_to.kind!r}: use "
+            "entity_changes_between for group-valued lakes"
+        )
     schema = m_to.schema
     if columns is not None:
         need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
@@ -766,6 +786,10 @@ def entity_changes_between(
     if m_to is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     m_from = None if v_from == 0 else load_manifest(lake_dir, version=v_from)
+    if m_from is not None and m_from.version > m_to.version:
+        raise ValueError(
+            f"v_from={m_from.version} is newer than v_to={m_to.version}"
+        )
     schema = m_to.schema
     out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]

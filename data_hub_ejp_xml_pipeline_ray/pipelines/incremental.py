@@ -186,9 +186,12 @@ def refresh_live_stats(
     # projection pruning for both paths: only key + derive inputs leave
     # storage. A derive hook with UNDECLARED source_cols gets the full
     # row — correct, unpruned.
+    # sum_cols are included too: when derive is None they are raw lake
+    # columns the kernel reads; when derive produces them, a name not
+    # in the lake schema prunes to nothing (harmless)
     cols = None
     if derive is None or source_cols:
-        cols = list(dict.fromkeys([*keys, *source_cols]))
+        cols = list(dict.fromkeys([*keys, *sum_cols, *source_cols]))
     prev_file = state["file"] if state is not None else None
     if state is not None and state["lake_version"] not in set(
         list_versions(lake_dir)
@@ -235,6 +238,8 @@ def refresh_live_stats(
             "lake_version": target, "file": fname, "key": keys,
             "sum_cols": list(sum_cols),
         }, f)
+        f.flush()
+        os.fsync(f.fileno())  # rename must not outrun the data
     os.replace(tmp, os.path.join(view_dir, VIEW_STATE))
     if prev_file is not None and prev_file != fname:
         try:

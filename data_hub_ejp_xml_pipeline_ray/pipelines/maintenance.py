@@ -156,6 +156,7 @@ def _compact_locked(lake_dir: str, lock_token: str) -> dict:
         }],
         counters=manifest.counters,
         retain_versions=manifest.retain_versions,
+        kind=manifest.kind,
     )
     commit_manifest(
         lake_dir, new_manifest, expected_version=manifest.version
@@ -256,6 +257,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
             }],
             counters=current.counters,
             retain_versions=current.retain_versions,
+            kind=current.kind,
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version

@@ -48,6 +48,7 @@ from ..state.checkpoint import (
 )
 
 PART_COL = "_part"
+REPLICA_STATE = "_replica.json"
 
 
 def sync_replica(
@@ -55,6 +56,7 @@ def sync_replica(
     replica_dir: str,
     *,
     predicate: Callable[[pa.Table], pa.Array] | None = None,
+    predicate_tag: str | None = None,
     columns: list[str] | None = None,
     num_partitions: int | None = None,
     at_version: int | None = None,
@@ -66,8 +68,36 @@ def sync_replica(
     boolean array) deciding which live rows belong in the replica;
     ``columns`` prunes the payload columns replicated (url/warc_ts/seq
     always carried); ``num_partitions`` fixes the replica's own
-    partition count on first sync (default: the source's)."""
+    partition count on first sync (default: the source's).
+
+    The replica records its filter identity (``predicate_tag``,
+    defaulting to the predicate function's ``__name__`` — pass an
+    explicit tag for lambdas) and column set in ``_replica.json``; a
+    later sync with a DIFFERENT filter/projection is refused, so a
+    filtered replica can never be silently polluted by an unfiltered
+    sync (e.g. the CLI/poll loop, which has no predicate)."""
+    import json as _json
+
     from .cdc import CHANGE_OP_COL, changes_between
+
+    conf = {
+        "columns": sorted(columns) if columns else None,
+        "predicate_tag": (
+            predicate_tag
+            or (getattr(predicate, "__name__", "predicate")
+                if predicate is not None else None)
+        ),
+    }
+    conf_path = os.path.join(replica_dir, REPLICA_STATE)
+    if os.path.exists(conf_path):
+        with open(conf_path, "r", encoding="utf-8") as f:
+            prev_conf = _json.load(f)
+        if prev_conf != conf:
+            raise ValueError(
+                f"replica {replica_dir} was built with {prev_conf}, "
+                f"this sync passes {conf} — a changed filter/projection "
+                "needs a fresh replica dir"
+            )
 
     sm = load_manifest(source_lake)
     if sm is None:
@@ -224,6 +254,12 @@ def sync_replica(
         )
         verify_lock(replica_dir, lock_token)  # fencing before deletes
         gc_unreferenced(replica_dir, new_manifest, previous=rm)
+        tmp = conf_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(conf, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, conf_path)
     return {
         "synced": True,
         "mode": (

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -140,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if (
+        args.cmd == "poll" and getattr(args, "entity", False)
+        and (args.view_dir or args.replica_dir)
+    ):
+        # group-valued lakes need the entity feed; the row-level
+        # consumers would mis-diff — refuse up front
+        p.error("--view-dir/--replica-dir are row-lake consumers; "
+                "they cannot ride --entity (group-valued) lakes")
+
     if args.cmd == "errors":
         from .pipelines.cdc import read_errors
 
@@ -254,7 +264,7 @@ def main(argv: list[str] | None = None) -> int:
             ds = changes_between(
                 args.lake_dir, args.v_from, args.v_to,
                 preimages=args.preimages,
-            )
+            ).materialize()  # consumed twice below: diff runs ONCE
             ops = {
                 r["change_op"]: r["count()"]
                 for r in ds.groupby("change_op").count().take_all()
@@ -288,6 +298,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.cdc import read_lake
             from .state.checkpoint import resolve_version_at
 
+            if os.path.isdir(args.out_dir) and os.listdir(args.out_dir):
+                print(json.dumps({
+                    "error": f"out-dir {args.out_dir} is not empty — "
+                             "refusing to mix exports",
+                }))
+                return 2
             version = args.version
             if version is None and args.timestamp is not None:
                 version = resolve_version_at(args.lake_dir, args.timestamp)

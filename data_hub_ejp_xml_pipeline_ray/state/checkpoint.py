@@ -81,6 +81,12 @@ class LakeManifest:
     #: maintenance ops (compact/split) honor the same policy as ingest.
     #: ``None`` = keep all history until an explicit vacuum.
     retain_versions: int | None = 2
+    #: row semantics of the lake: "row" = one row per url (page/nested
+    #: lakes), "group" = a url's state is a SET of rows sharing one
+    #: version (entity lake). Consumers that assume one row per url
+    #: (``changes_between`` and everything built on it) check this and
+    #: refuse group lakes instead of silently mis-diffing.
+    kind: str = "row"
 
     def split_set(self) -> frozenset[tuple[int, int]]:
         return frozenset((int(r), int(m)) for r, m in self.splits)
@@ -98,6 +104,7 @@ class LakeManifest:
             "lineage": self.lineage,
             "counters": self.counters,
             "retain_versions": self.retain_versions,
+            "kind": self.kind,
         }
 
     @classmethod
@@ -115,6 +122,7 @@ class LakeManifest:
             lineage=list(doc.get("lineage", [])),
             counters=dict(doc.get("counters", {})),
             retain_versions=doc.get("retain_versions", 2),
+            kind=doc.get("kind", "row"),
         )
 
 
@@ -481,8 +489,19 @@ def gc_unreferenced(
                 with open(snap, "r", encoding="utf-8") as f:
                     m = LakeManifest.from_json(json.load(f))
                 live |= {os.path.normpath(rel) for rel in m.partitions.values()}
-            except (FileNotFoundError, json.JSONDecodeError, KeyError):
-                continue
+            except FileNotFoundError:
+                continue  # vacuumed between listing and read
+            except (json.JSONDecodeError, KeyError) as e:
+                # FAIL CLOSED: an unreadable retained snapshot must
+                # abort the sweep — skipping it would delete every data
+                # file only that version references while the snapshot
+                # still lists as time-travelable (commit writes
+                # snapshots via tmp+fsync+rename, so this is real
+                # corruption, not a torn write)
+                raise RuntimeError(
+                    f"retained snapshot v{v} at {lake_dir} is "
+                    f"unreadable ({e!r}); refusing to GC"
+                ) from e
         else:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(snap)

@@ -141,6 +141,10 @@ def test_unchanged_versions_empty_feed(wal8):
     cfg = _cfg(wal8, max_segments_per_batch=4)
     run_ingest(cfg)
     assert changes_between(cfg.lake_dir, 2, 2).count() == 0
+    # a reversed range would invert labels and mis-pair split
+    # partitions — refused, not silently wrong
+    with pytest.raises(ValueError):
+        changes_between(cfg.lake_dir, 2, 1)
 
 
 def test_time_travel_and_retention(wal8):
@@ -167,6 +171,24 @@ def test_time_travel_and_retention(wal8):
     # pruned v1 can't feed a diff either
     with pytest.raises(FileNotFoundError):
         changes_between(cfg.lake_dir, 1, 4)
+
+
+def test_gc_fails_closed_on_corrupt_snapshot(wal8):
+    """An unreadable retained snapshot must ABORT the sweep (fail
+    closed) — skipping it would delete that version's data files while
+    it still lists as time-travelable."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import vacuum
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import snapshot_path
+
+    cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
+    run_ingest(cfg)  # v1, v2
+    with open(snapshot_path(cfg.lake_dir, 1), "w", encoding="utf-8") as f:
+        f.write("{corrupt")
+    with pytest.raises(RuntimeError, match="refusing to GC"):
+        vacuum(cfg.lake_dir, keep=2)
+    # current lake and the intact snapshot still read fine
+    assert lake_snapshot(cfg.lake_dir).num_rows > 0
+    assert lake_snapshot(cfg.lake_dir, version=2).num_rows > 0
 
 
 def test_timestamp_time_travel(wal8):

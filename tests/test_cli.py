@@ -154,3 +154,33 @@ def test_cli_export_snapshot(tmp_path):
                "--num-cpus", "4"])
     s = _run(["show", "--lake-dir", lake])
     assert e2["rows"] == s["rows"] - s["tombstones"]
+
+
+def test_cli_export_refuses_nonempty_dir(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=9, n_urls=8, n_events=40, n_segments=1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "2", "--num-cpus", "4"])
+    out = str(tmp_path / "out")
+    _run(["export", "--lake-dir", lake, "--out-dir", out, "--num-cpus", "4"])
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "-m", "data_hub_ejp_xml_pipeline_ray.run",
+         "export", "--lake-dir", lake, "--out-dir", out, "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert p.returncode == 2
+    assert "not empty" in p.stdout
+
+
+def test_cli_poll_entity_rejects_row_consumers(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    p = subprocess.run(
+        [sys.executable, "-m", "data_hub_ejp_xml_pipeline_ray.run",
+         "poll", "--wal-dir", "w", "--lake-dir", "l", "--entity",
+         "--view-dir", str(tmp_path / "v")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=60,
+    )
+    assert p.returncode == 2
+    assert "row-lake consumers" in p.stderr

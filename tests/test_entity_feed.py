@@ -109,6 +109,15 @@ def elake(tmp_path):
     return cfg
 
 
+def test_row_feed_refuses_group_lake(elake):
+    """changes_between's one-row-per-url diff is wrong for group-valued
+    lakes — the manifest kind makes it refuse loudly."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+
+    with pytest.raises(ValueError, match="entity_changes_between"):
+        changes_between(elake.lake_dir, 1, 2)
+
+
 def test_entity_feed_matches_reparse_oracle(elake):
     expected = _expected_feed(elake.wal_dir, 4, None)
     ops = {v["op"] for v in expected.values()}

@@ -118,6 +118,25 @@ def test_stats_view_sums_match_recount(lake, tmp_path):
         refresh_live_stats(lake.lake_dir, view, "lang", [])
 
 
+def test_raw_column_sums_without_derive(lake, tmp_path):
+    """sum_cols naming raw lake columns must survive projection
+    pruning (regression: the pruned scan dropped them and the kernel
+    crashed on the missing column)."""
+    view = str(tmp_path / "rawsum")
+    refresh_live_stats(lake.lake_dir, view, "lang", ["seq"], at_version=1)
+    r = refresh_live_stats(lake.lake_dir, view, "lang", ["seq"])
+    assert r["mode"] == "incremental"
+    got = {
+        row["lang"]: (row["n"], row["seq"])
+        for row in read_view(view).to_pylist()
+    }
+    exp = {}
+    for row in lake_snapshot(lake.lake_dir).to_pylist():
+        n, s = exp.get(row["lang"], (0, 0))
+        exp[row["lang"]] = (n + 1, s + row["seq"])
+    assert got == exp
+
+
 def test_composite_key_view(lake, tmp_path):
     """Multi-column keys: counts per (lang, _src_segment) maintained
     incrementally match a from-scratch recount; a re-keyed refresh is

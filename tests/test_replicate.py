@@ -81,6 +81,30 @@ def test_filtered_replica_predicate_exit(source, tmp_path):
     assert r["rows_removed"] > 0
 
 
+def test_replica_refuses_changed_filter(source, tmp_path):
+    """A filtered replica later synced with a different (or no)
+    predicate must be refused, never silently polluted — the filter
+    identity is recorded in _replica.json."""
+    import pyarrow as pa
+
+    def only_en(t):
+        return pc.equal(t.column("lang"), "en")
+
+    rep = str(tmp_path / "replica")
+    sync_replica(source.lake_dir, rep, predicate=only_en, at_version=1)
+    with pytest.raises(ValueError, match="fresh replica dir"):
+        sync_replica(source.lake_dir, rep)  # unfiltered sync
+    with pytest.raises(ValueError, match="fresh replica dir"):
+        sync_replica(source.lake_dir, rep, predicate=only_en,
+                     columns=["lang"])  # changed projection
+    # same tag: proceeds
+    r = sync_replica(source.lake_dir, rep, predicate=only_en)
+    assert r["synced"] and r["mode"] == "incremental"
+    assert all(
+        v[-1] == "en" for v in _rows(rep).values()
+    )
+
+
 def test_replica_column_pruning(source, tmp_path):
     rep = str(tmp_path / "replica")
     sync_replica(source.lake_dir, rep, columns=["lang"])
