@@ -757,7 +757,7 @@ def changes_between(
 
 def entity_changes_between(
     lake_dir: str, v_from: int, v_to: int | None = None,
-    *, preimages: bool = False,
+    *, preimages: bool = False, columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Change feed for GROUP-VALUED lakes (the entity/nested shapes,
     ``run_entity_ingest``): a url's state is the SET of rows sharing
@@ -791,6 +791,9 @@ def entity_changes_between(
             f"v_from={m_from.version} is newer than v_to={m_to.version}"
         )
     schema = m_to.schema
+    if columns is not None:
+        need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
+        schema = pa.schema([f for f in schema if f.name in need])
     out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
     out_schema = pa.schema(out_fields)
@@ -803,6 +806,11 @@ def entity_changes_between(
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+
+        def read_file(p: str) -> pa.Table:
+            f = pq.ParquetFile(p)
+            avail = [c for c in schema.names if c in set(f.schema_arrow.names)]
+            return conform_table(f.read(columns=avail), schema)
 
         def info(df: pl.DataFrame) -> pl.DataFrame:
             return df.group_by("url").agg(
@@ -829,12 +837,10 @@ def entity_changes_between(
             outs.append(pa.Table.from_arrays(cols, schema=out_schema))
 
         for d in batch.to_pylist():
-            news = [
-                conform_table(pq.read_table(p), schema) for p in d["new_paths"]
-            ]
+            news = [read_file(p) for p in d["new_paths"]]
             new = pa.concat_tables(news) if news else schema.empty_table()
             old = (
-                conform_table(pq.read_table(d["old_path"]), schema)
+                read_file(d["old_path"])
                 if d["old_path"] is not None else schema.empty_table()
             )
             nd, od = pl.from_arrow(new), pl.from_arrow(old)

@@ -131,6 +131,24 @@ def test_entity_feed_initial_all_inserts(elake):
     assert _feed_dict(elake.lake_dir, 0, 1) == expected
 
 
+def test_entity_feed_column_pruning(elake):
+    """columns=... drops unrequested entity payload while keeping the
+    change identity and the entity_type discriminator."""
+    rows = entity_changes_between(
+        elake.lake_dir, 1, 2, columns=["entity_type"]
+    ).take_all()
+    assert rows and set(rows[0].keys()) == {
+        "url", "change_op", "warc_ts", "seq", "entity_type",
+    }
+    full = _feed_dict(elake.lake_dir, 1, 2)
+    got_ops = {}
+    for r in rows:
+        got_ops.setdefault(r["url"], set()).add(r["change_op"])
+    assert {u: next(iter(v)) for u, v in got_ops.items()} == {
+        u: e["op"] for u, e in full.items()
+    }
+
+
 def test_entity_feed_preimages(elake):
     """Pre-image mode: update urls carry BOTH versions' row-sets;
     deletes carry the old live row-set (re-parse oracle on each)."""
