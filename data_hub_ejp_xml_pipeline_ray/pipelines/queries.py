@@ -2126,6 +2126,40 @@ def q_incremental_lang_stats(sf_dir: str):
     return read_view(view_dir)
 
 
+def q_incremental_lang_segment_counts(sf_dir: str):
+    """COMPOSITE-KEY incremental view, DRIVER-ORACLE-CHECKED: live-row
+    counts per (lang, _src_segment) — the provenance column records
+    which WAL segment delivered each url's winning event, so the key
+    tuple is fully derivable in SQL (segment index = winning event's
+    rank bucketed by ceil(n/8)). Built at v1, refreshed to v2 through
+    the signed pre-image feed with a two-column group key."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, run_ingest
+    from ..pipelines.incremental import read_view, refresh_live_stats
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "mseg")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+    view_dir = os.path.join(work, "view")
+    keys = ["lang", "_src_segment"]
+    r1 = refresh_live_stats(cfg.lake_dir, view_dir, keys, at_version=1)
+    r2 = refresh_live_stats(cfg.lake_dir, view_dir, keys)
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    return read_view(view_dir)
+
+
 def q_replica_purchase_pages(sf_dir: str):
     """Feed-driven filtered replica, DRIVER-ORACLE-CHECKED: ingest the
     derived WAL in two commits, sync a replica of lang=='purchase'
@@ -2243,6 +2277,7 @@ QUERIES = {
     "entity_change_feed": q_entity_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
     "incremental_lang_stats": q_incremental_lang_stats,
+    "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
     "replica_purchase_pages": q_replica_purchase_pages,
 }
 
@@ -2806,6 +2841,31 @@ ORACLE_SQL = {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 AND NOT is_del)
         GROUP BY lang
+    """,
+    # Composite-key view: counts per (lang, winning event's WAL segment)
+    # — the segment index is the winner's event_id rank bucketed by
+    # ceil(n/8), mirroring derive_wal_from_events' slicing.
+    "incremental_lang_segment_counts": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS total
+          FROM events
+        ), win AS (
+          SELECT event_type AS lang, rk, total FROM (
+            SELECT event_type, rk, total,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1 AND NOT is_del
+        )
+        SELECT lang,
+               'segment-' || lpad(CAST(CAST(
+                   floor((rk - 1) / ceil(total / 8.0)) AS BIGINT
+               ) AS VARCHAR), 5, '0') || '.parquet' AS _src_segment,
+               count(*) AS n
+        FROM win
+        GROUP BY 1, 2
     """,
     # Filtered replica: the final replica == the LWW-live state
     # restricted to lang='purchase' (the Ray side converged to it by
