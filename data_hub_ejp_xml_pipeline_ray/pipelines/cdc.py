@@ -478,13 +478,18 @@ def run_nested_ingest(cfg: CdcConfig, *, struct_version: int = 1) -> IngestRepor
 def read_lake(
     lake_dir: str, *, version: int | None = None,
     columns: list[str] | None = None,
+    filter: "pc.Expression | None" = None,
 ) -> ray.data.Dataset:
     """Read the committed lake as a Dataset under the unified schema
     (old partitions null-filled / widened on the fly). ``version`` time-
     travels to a retained snapshot (see ``CdcConfig.retain_versions``).
     ``columns`` prunes at the parquet read — only those columns leave
     storage (at 100 TB the difference between a projection scan and a
-    full-lake read); tombstone filtering still happens regardless."""
+    full-lake read); ``filter`` is a ``pyarrow.compute`` expression
+    pushed into the scan (row-group statistics prune before bytes
+    move). Tombstone filtering still happens regardless — and because
+    tombstones carry NULL payload, a payload predicate never
+    resurrects them."""
     from ..schemas import conform_table
 
     manifest = load_manifest(lake_dir, version=version)
@@ -514,6 +519,8 @@ def read_lake(
         # explicit schema: partitions predating an evolution-added
         # column null-fill it in the scanner instead of erroring
         read_kwargs = dict(columns=target.names, schema=target)
+    if filter is not None:
+        read_kwargs["filter"] = filter
     return ray.data.read_parquet(paths, **read_kwargs).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -345,3 +345,21 @@ def test_read_lake_column_pruning_across_evolution(tmp_path):
     got = pruned[["url", "content_type"]].sort_values("url", ignore_index=True)
     assert got.equals(exp)
     assert pruned["content_type"].notna().any()  # evolved rows present
+
+
+def test_read_lake_filter_pushdown(small_wal):
+    """read_lake(filter=...) pushes the predicate into the parquet scan
+    and composes with tombstone filtering (tombstones carry NULL
+    payload, so a payload predicate cannot resurrect them)."""
+    import pyarrow.compute as pc
+
+    cfg = _cfg(small_wal)
+    run_ingest(cfg)
+    full = read_lake(cfg.lake_dir).to_pandas()
+    en = read_lake(
+        cfg.lake_dir, filter=(pc.field("lang") == "en")
+    ).to_pandas()
+    assert len(en) > 0
+    exp = full[full["lang"] == "en"].sort_values("url", ignore_index=True)
+    got = en.sort_values("url", ignore_index=True)
+    assert got.equals(exp)
