@@ -20,7 +20,6 @@ import os
 from datetime import datetime
 
 import numpy as np
-import pandas as pd
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -132,6 +131,22 @@ def _hash_bucket(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
+def _buckets_for(
+    sf_dir: str, table: str = "events", rows_per_bucket: int = 500_000
+) -> int:
+    """Bucket count for ``_bucketed_groups``, sized from the parquet
+    FOOTER the same way ``_read`` sizes blocks (no data read): each
+    bucket task holds at most ~``rows_per_bucket`` rows of complete
+    groups, so per-task memory stays bounded at any data volume (a
+    fixed 64 buckets would hold N/64 rows — unbounded at 100x) and the
+    bucket-key shuffle cardinality grows with the data instead of
+    collapsing onto 64 reducers."""
+    rows = pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).metadata.num_rows
+    return max(64, -(-rows // rows_per_bucket))
+
+
 def _bucketed_groups(
     ds: ray.data.Dataset, key: str, bucket_fn, *, num_buckets: int = 64
 ) -> ray.data.Dataset:
@@ -181,7 +196,7 @@ def q_lww_latest_by_user(sf_dir: str):
             ])
         )
 
-    return _bucketed_groups(ds, "user_id", last_rows_bucket)
+    return _bucketed_groups(ds, "user_id", last_rows_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def q_watermark_filter(sf_dir: str):
@@ -229,7 +244,7 @@ def q_dedup_first_event(sf_dir: str):
             ("first_event_id", pa.int64()),
         ]))
 
-    return _bucketed_groups(ds, "user_id", first_rows_bucket)
+    return _bucketed_groups(ds, "user_id", first_rows_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def q_fanout_entities(sf_dir: str):
@@ -310,7 +325,7 @@ def q_sessionize(sf_dir: str):
             ("n_events", pa.int64()), ("session_start", pa.timestamp("us")),
         ]))
 
-    return _bucketed_groups(ds, "user_id", sessions_bucket)
+    return _bucketed_groups(ds, "user_id", sessions_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def q_hopping_window_counts(sf_dir: str):
@@ -366,7 +381,7 @@ def q_events_in_prior_hour(sf_dir: str):
             ("event_id", pa.int64()), ("n_prior", pa.int64()),
         ]))
 
-    return _bucketed_groups(ds, "user_id", prior_bucket)
+    return _bucketed_groups(ds, "user_id", prior_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def grouped_count_distinct(
@@ -735,9 +750,21 @@ def q_pricing_summary(sf_dir: str):
 
 def _broadcast_dim(sf_dir: str, table: str, key: str, cols: list[str]):
     """Read a small dimension table driver-side and ``ray.put`` it once
-    (broadcast-join pattern — no shuffle for small sides)."""
+    (broadcast-join pattern — no shuffle for small sides). Ships the
+    Arrow table itself; consumers do zero-copy ``index_in`` lookups
+    instead of paying a pandas conversion per batch."""
     t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=cols)
-    return ray.put(t.to_pandas().set_index(key))
+    return ray.put(t.combine_chunks())
+
+
+def _dim_lookup(
+    dim: pa.Table, key: str, value: str, probe: pa.ChunkedArray | pa.Array
+) -> pa.Array:
+    """Vectorized broadcast-join probe: ``dim[value]`` for each key in
+    ``probe`` (Arrow ``index_in`` + ``take`` — no pandas, no hashmap
+    rebuild per call beyond Arrow's internal memo table)."""
+    pos = pc.index_in(probe, value_set=dim.column(key).combine_chunks())
+    return pc.take(dim.column(value).combine_chunks(), pos)
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -780,17 +807,32 @@ def q_revenue_by_nation(sf_dir: str):
 
     class NationPartial:
         def __init__(self):
-            # dims fetched once per aggregator actor, not per batch
-            self.cust = ray.get(cust_ref)["c_nationkey"]
-            self.nation = ray.get(nation_ref)["n_name"]
+            # dims fetched once per actor, pre-joined custkey -> n_name
+            # so the per-batch path is a single Arrow index_in + take
+            cust = ray.get(cust_ref)
+            nation = ray.get(nation_ref)
+            self.cust_keys = cust.column("c_custkey").combine_chunks()
+            self.cust_names = pc.take(
+                nation.column("n_name").combine_chunks(),
+                pc.index_in(
+                    cust.column("c_nationkey"),
+                    value_set=nation.column("n_nationkey").combine_chunks(),
+                ),
+            )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            name = batch["o_custkey"].map(self.cust).map(self.nation)
-            part = pd.DataFrame({"n_name": name, "revenue": batch["revenue"]})
-            return part.groupby("n_name", as_index=False)["revenue"].sum()
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            name = pc.take(
+                self.cust_names,
+                pc.index_in(batch.column("o_custkey"), value_set=self.cust_keys),
+            )
+            part = pa.table({"n_name": name, "revenue": batch.column("revenue")})
+            return part.group_by("n_name").aggregate(
+                [("revenue", "sum")]
+            ).rename_columns(["n_name", "revenue"])
 
     partials = joined.map_batches(
-        NationPartial, batch_format="pandas", concurrency=(1, 4), num_cpus=1
+        NationPartial, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4), num_cpus=1,
     )
     agg = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
     return agg.map_batches(
@@ -802,28 +844,44 @@ def q_revenue_by_nation(sf_dir: str):
 
 
 def q_top_customers(sf_dir: str):
-    """Grouped sum -> global top-k (sort + limit) with deterministic
-    tiebreak, then broadcast name lookup."""
+    """Grouped sum -> global top-k with deterministic tiebreak, then
+    broadcast name lookup. Top-k is a per-block keep-10 COMBINER over
+    the grouped aggregate (the ``brute_force_topk`` pattern) — the
+    final sort sees 10 x num_blocks rows, never the full O(customers)
+    aggregate a global ``sort().limit()`` would shuffle."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"], rows_per_block=20_000)
     agg = ds.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="total_spent")
     )
-    agg = agg.map_batches(
-        lambda t: t.set_column(
+
+    def keep_top10(t: pa.Table) -> pa.Table:
+        t = t.set_column(
             t.column_names.index("total_spent"), "total_spent",
             _round2(t.column("total_spent")),
-        ),
-        batch_format="pyarrow",
-    )
-    top = agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
+        )
+        if t.num_rows <= 10:
+            return t
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("total_spent", "descending"), ("o_custkey", "ascending")],
+        )
+        return t.take(idx.slice(0, 10))
+
+    top = agg.map_batches(
+        keep_top10, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10)
     names_ref = _broadcast_dim(sf_dir, "customer", "c_custkey", ["c_custkey", "c_name"])
 
-    def add_name(t: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(names_ref)["c_name"]
-        t["c_name"] = t["o_custkey"].map(names)
-        return t[["o_custkey", "c_name", "total_spent"]]
+    def add_name(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        name = _dim_lookup(names, "c_custkey", "c_name", t.column("o_custkey"))
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "c_name": name,
+            "total_spent": t.column("total_spent"),
+        })
 
-    return top.map_batches(add_name, batch_format="pandas")
+    return top.map_batches(add_name, batch_format="pyarrow")
 
 
 def q_order_priority_count(sf_dir: str):
@@ -873,7 +931,7 @@ def q_asof_last_signup(sf_dir: str):
             ("last_signup_ts", pa.timestamp("us")),
         ]))
 
-    return _bucketed_groups(ds, "user_id", asof_bucket)
+    return _bucketed_groups(ds, "user_id", asof_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def q_customers_without_orders(sf_dir: str):
@@ -1026,7 +1084,7 @@ def q_top2_events_per_user(sf_dir: str):
             ("value", pa.float64()), ("rank", pa.int64()),
         ]))
 
-    return _bucketed_groups(ds, "user_id", top2_bucket)
+    return _bucketed_groups(ds, "user_id", top2_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def q_cumulative_value_per_user(sf_dir: str):
@@ -1053,7 +1111,7 @@ def q_cumulative_value_per_user(sf_dir: str):
             ("cum_value", pa.float64()),
         ]))
 
-    return _bucketed_groups(ds, "user_id", cum_bucket)
+    return _bucketed_groups(ds, "user_id", cum_bucket, num_buckets=_buckets_for(sf_dir))
 
 
 def grouped_quantiles_distributed(

@@ -183,3 +183,18 @@ def test_percent_rank_tie_heavy(tmp_path):
         q.ORACLE_SQL["value_percentile_by_type"]
     ).fetchdf().sort_values("event_id", ignore_index=True)
     assert (got["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
+
+
+def test_buckets_for_grows_with_input_rows(tmp_path):
+    # the window-family bucket count must scale with data volume, so no
+    # bucket task ever holds more than ~rows_per_bucket rows at 100x
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import _buckets_for
+
+    small = pa.table({"x": pa.array(np.zeros(1000, dtype=np.int64))})
+    pq.write_table(small, tmp_path / "events.parquet")
+    assert _buckets_for(str(tmp_path)) == 64  # floor for small inputs
+
+    assert _buckets_for(str(tmp_path), rows_per_bucket=10) == 100
+    assert _buckets_for(str(tmp_path), rows_per_bucket=3) == 334  # ceil
