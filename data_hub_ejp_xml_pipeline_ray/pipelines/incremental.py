@@ -232,15 +232,17 @@ def refresh_live_stats(
         stats.sort_by([(k, "ascending") for k in keys]),
         os.path.join(view_dir, fname),
     )
-    tmp = os.path.join(view_dir, VIEW_STATE + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({
+    from ..state.store import LOCAL_STORE
+
+    # atomic publish via the storage seam (fsync'd rename locally,
+    # plain conditional PUT on an object store — see state/store.py)
+    LOCAL_STORE.put_atomic(
+        os.path.join(view_dir, VIEW_STATE),
+        json.dumps({
             "lake_version": target, "file": fname, "key": keys,
             "sum_cols": list(sum_cols),
-        }, f)
-        f.flush()
-        os.fsync(f.fileno())  # rename must not outrun the data
-    os.replace(tmp, os.path.join(view_dir, VIEW_STATE))
+        }).encode("utf-8"),
+    )
     if prev_file is not None and prev_file != fname:
         try:
             os.remove(os.path.join(view_dir, prev_file))

@@ -254,12 +254,9 @@ def sync_replica(
         )
         verify_lock(replica_dir, lock_token)  # fencing before deletes
         gc_unreferenced(replica_dir, new_manifest, previous=rm)
-        tmp = conf_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            _json.dump(conf, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, conf_path)
+        from ..state.store import LOCAL_STORE
+
+        LOCAL_STORE.put_atomic(conf_path, _json.dumps(conf).encode("utf-8"))
     return {
         "synced": True,
         "mode": (

@@ -11,10 +11,13 @@ between load and state update re-appends, ``dags/s3_xml_import_pipeline
 * data files are immutable and content-addressed by a deterministic
   batch token, so a retried or replayed write produces the same bytes at
   the same path (idempotent);
-* the only mutation readers can observe is a single atomic
-  ``os.replace`` of ``_manifest.json`` — the manifest names the exact
-  set of live partition files, the segment high watermark, the unified
-  lake schema, per-commit lineage and counters;
+* the only mutation readers can observe is a single atomic swap of
+  ``_manifest.json`` (a :class:`~.store.Store` conditional publish —
+  POSIX rename locally, conditional PUT on an object store; the commit
+  protocol itself is rename-free, see :func:`commit_manifest`) — the
+  manifest names the exact set of live partition files, the segment
+  high watermark, the unified lake schema, per-commit lineage and
+  counters;
 * crash before the swap leaves the previous manifest intact; orphaned
   staging files are garbage-collected lazily (the crash-safe analog of
   delete-after-load, ``etl.py:202-213``).
@@ -34,6 +37,7 @@ from typing import Any, Iterator
 import pyarrow as pa
 
 from ..schemas import schema_from_json, schema_to_json
+from .store import LOCAL_STORE, Store
 
 MANIFEST_NAME = "_manifest.json"
 LOCK_NAME = "_commit.lock"
@@ -163,16 +167,15 @@ def snapshot_path(lake_dir: str, version: int) -> str:
     return os.path.join(lake_dir, SNAPSHOTS_DIR, f"v{int(version):06d}.json")
 
 
-def list_versions(lake_dir: str) -> list[int]:
+def list_versions(lake_dir: str, *, store: Store | None = None) -> list[int]:
     """Committed manifest versions with a retained snapshot, ascending.
     Every commit writes an immutable per-version snapshot alongside the
     current-pointer swap (Delta/Iceberg-style version history);
     :func:`vacuum`-style retention prunes old ones."""
-    snap_dir = os.path.join(lake_dir, SNAPSHOTS_DIR)
-    if not os.path.isdir(snap_dir):
-        return []
+    store = store or LOCAL_STORE
     out = []
-    for name in os.listdir(snap_dir):
+    for path in store.list_prefix(os.path.join(lake_dir, SNAPSHOTS_DIR)):
+        name = os.path.basename(path)
         if name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
@@ -189,15 +192,17 @@ def version_committed_at(m: "LakeManifest") -> str | None:
     return None
 
 
-def resolve_version_at(lake_dir: str, ts_iso: str) -> int:
+def resolve_version_at(
+    lake_dir: str, ts_iso: str, *, store: Store | None = None
+) -> int:
     """Timestamp-based time travel (the Delta ``TIMESTAMP AS OF``
     analog): the newest RETAINED version committed at or before
     ``ts_iso`` (ISO-8601 UTC strings compare lexically). Raises when
     ``ts_iso`` predates all retained history — the snapshot that was
     current then has been pruned."""
     best = None
-    for v in list_versions(lake_dir):
-        m = load_manifest(lake_dir, version=v)
+    for v in list_versions(lake_dir, store=store):
+        m = load_manifest(lake_dir, version=v, store=store)
         committed = version_committed_at(m)
         if committed is not None and committed <= ts_iso:
             best = v  # list_versions is ascending
@@ -209,26 +214,29 @@ def resolve_version_at(lake_dir: str, ts_iso: str) -> int:
     return best
 
 
-def load_manifest(lake_dir: str, version: int | None = None) -> LakeManifest | None:
+def load_manifest(
+    lake_dir: str, version: int | None = None, *, store: Store | None = None
+) -> LakeManifest | None:
     """Read the committed manifest; None when the lake doesn't exist yet
     (the reference's NoSuchKey -> default-initial-state path,
     ``etl_state.py:26-52``). With ``version``, read that retained
     snapshot instead (time travel) — raises FileNotFoundError when the
     snapshot was vacuumed or never existed."""
+    store = store or LOCAL_STORE
     if version is not None:
-        path = snapshot_path(lake_dir, version)
-        if not os.path.exists(path):
+        try:
+            raw = store.get_bytes(snapshot_path(lake_dir, version))
+        except FileNotFoundError:
             raise FileNotFoundError(
                 f"no retained snapshot v{version} at {lake_dir} "
-                f"(retained: {list_versions(lake_dir)})"
-            )
-        with open(path, "r", encoding="utf-8") as f:
-            return LakeManifest.from_json(json.load(f))
-    path = manifest_path(lake_dir)
-    if not os.path.exists(path):
+                f"(retained: {list_versions(lake_dir, store=store)})"
+            ) from None
+        return LakeManifest.from_json(json.loads(raw))
+    try:
+        raw = store.get_bytes(manifest_path(lake_dir))
+    except FileNotFoundError:
         return None
-    with open(path, "r", encoding="utf-8") as f:
-        return LakeManifest.from_json(json.load(f))
+    return LakeManifest.from_json(json.loads(raw))
 
 
 @contextlib.contextmanager
@@ -380,50 +388,83 @@ def renew_lock(
     os.replace(tmp, path)
 
 
+def _same_logical_commit(a: LakeManifest, b: LakeManifest) -> bool:
+    """Two manifests describe the SAME commit when their observable
+    state is identical: version, watermark and the exact live file set.
+    Lineage ``committed_at`` wall-clock stamps may differ between a
+    crashed attempt and its retry — they are metadata, not state."""
+    return (
+        a.version == b.version
+        and a.watermark == b.watermark
+        and a.partitions == b.partitions
+    )
+
+
 def commit_manifest(
     lake_dir: str,
     manifest: LakeManifest,
     *,
     expected_version: int | None = None,
+    store: Store | None = None,
 ) -> None:
-    """Atomically publish a new manifest (tmp write + fsync + rename).
+    """Atomically publish a new manifest — RENAME-FREE, expressed over
+    the :class:`~.store.Store` conditional-write primitives so the same
+    protocol runs on POSIX (default :data:`~.store.LOCAL_STORE`) and on
+    a CAS-capable object store (see ``store.py``'s mapping table):
 
-    With ``expected_version``, the publish is compare-and-swap: it
-    fails with :class:`ConcurrentWriterError` when the on-disk manifest
-    version moved since the caller loaded it (a concurrent writer won);
-    call it while holding :func:`writer_lock` so the check-and-swap is
-    atomic."""
+    1. **CAS point**: the immutable per-version snapshot is created
+       with ``put_if_absent`` — of N racing writers of v(N), exactly one
+       creates it. A loser finding a snapshot with DIFFERENT logical
+       content fails with :class:`ConcurrentWriterError`; finding its
+       OWN content (a crashed-and-retried commit — the deterministic
+       batch token makes retries bit-equal in state) proceeds to step 2.
+    2. **Pointer publish**: ``_manifest.json`` is swapped with
+       ``replace_if_matches`` against the bytes read at CAS-check time,
+       so a zombie writer that lost its lease can never regress the
+       pointer over a successor's newer commit.
+
+    A crash between 1 and 2 leaves an orphan snapshot of an uncommitted
+    version; the retried commit overwrites it (same logical content)
+    and completes the pointer swap. Callers pass ``expected_version``
+    (the version they loaded) while holding :func:`writer_lock`;
+    without it the publish is unconditional (fresh lake bootstrap)."""
+    store = store or LOCAL_STORE
+    pointer = manifest_path(lake_dir)
+    current_bytes: bytes | None = None
     if expected_version is not None:
-        current = load_manifest(lake_dir)
-        current_version = current.version if current is not None else 0
+        try:
+            current_bytes = store.get_bytes(pointer)
+        except FileNotFoundError:
+            current_bytes = None
+        current_version = (
+            LakeManifest.from_json(json.loads(current_bytes)).version
+            if current_bytes is not None else 0
+        )
         if current_version != expected_version:
             raise ConcurrentWriterError(
                 f"manifest at {lake_dir} is v{current_version}, expected "
                 f"v{expected_version}: a concurrent writer committed first"
             )
-    os.makedirs(lake_dir, exist_ok=True)
     manifest.lineage = manifest.lineage[-MAX_LINEAGE_ENTRIES:]
-    doc = manifest.to_json()
-    # Immutable per-version snapshot FIRST (time travel / change feed /
-    # snapshot-isolated readers), then the atomic current-pointer swap.
-    # A crash between the two leaves an orphan snapshot of an
-    # uncommitted version; the retried commit (same deterministic
-    # token -> same content) simply overwrites it.
+    doc_bytes = json.dumps(manifest.to_json()).encode("utf-8")
     snap = snapshot_path(lake_dir, manifest.version)
-    os.makedirs(os.path.dirname(snap), exist_ok=True)
-    tmp = snap + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, snap)
-    path = manifest_path(lake_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    if not store.put_if_absent(snap, doc_bytes):
+        existing = LakeManifest.from_json(json.loads(store.get_bytes(snap)))
+        if not _same_logical_commit(existing, manifest):
+            raise ConcurrentWriterError(
+                f"snapshot v{manifest.version} at {lake_dir} already exists "
+                f"with different content: a concurrent writer committed first"
+            )
+        # our own crashed attempt: refresh it so snapshot == pointer bytes
+        store.put_atomic(snap, doc_bytes)
+    if current_bytes is not None:
+        if not store.replace_if_matches(pointer, current_bytes, doc_bytes):
+            raise ConcurrentWriterError(
+                f"manifest pointer at {lake_dir} moved during commit of "
+                f"v{manifest.version}: a concurrent writer committed first"
+            )
+    else:
+        store.put_atomic(pointer, doc_bytes)
 
 
 def batch_token(watermark: str | None, segment_names: list[str]) -> str:
@@ -451,6 +492,7 @@ def gc_unreferenced(
     previous: LakeManifest | None = None,
     *,
     retain_versions: "int | None | object" = _FROM_MANIFEST,
+    store: Store | None = None,
 ) -> list[str]:
     """Delete data files not referenced by any RETAINED snapshot —
     orphans from crashed batches and superseded partition versions.
@@ -469,11 +511,12 @@ def gc_unreferenced(
     (the Delta/Iceberg retention model)."""
     if retain_versions is _FROM_MANIFEST:
         retain_versions = manifest.retain_versions
+    store = store or LOCAL_STORE
     removed = []
     live = {os.path.normpath(rel) for rel in manifest.partitions.values()}
     if previous is not None:
         live |= {os.path.normpath(rel) for rel in previous.partitions.values()}
-    versions = list_versions(lake_dir)
+    versions = list_versions(lake_dir, store=store)
     keep_versions = (
         set(versions) if retain_versions is None
         else set(versions[-max(int(retain_versions), 1):])
@@ -486,8 +529,7 @@ def gc_unreferenced(
         snap = snapshot_path(lake_dir, v)
         if v in keep_versions:
             try:
-                with open(snap, "r", encoding="utf-8") as f:
-                    m = LakeManifest.from_json(json.load(f))
+                m = LakeManifest.from_json(json.loads(store.get_bytes(snap)))
                 live |= {os.path.normpath(rel) for rel in m.partitions.values()}
             except FileNotFoundError:
                 continue  # vacuumed between listing and read
@@ -503,8 +545,7 @@ def gc_unreferenced(
                     f"unreadable ({e!r}); refusing to GC"
                 ) from e
         else:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(snap)
+            if store.delete(snap):
                 removed.append(os.path.normpath(
                     os.path.join(SNAPSHOTS_DIR, f"v{v:06d}.json")))
     data_dir = os.path.join(lake_dir, DATA_DIR)
