@@ -103,6 +103,44 @@ def _default_events(sf_dir: str) -> int:
     return max(50_000, rows * 2)
 
 
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat — the host-
+    contention signal that actually shows DURING a run (load average is
+    self-polluted by the benchmark's own work; idle-time steal sampling
+    missed every burst we chased in rounds 2-3)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 1
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, max(1, sum(vals))
+
+
+def _settle(load_thresh: float, max_wait_s: float) -> tuple[float, float]:
+    """Bounded wait for ambient load to drain before a timed section
+    (orphaned ray clusters / another tenant's burst). Returns the load
+    observed when we proceeded + how long we waited."""
+    waited = 0.0
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 <= load_thresh or waited >= max_wait_s:
+            return load1, waited
+        time.sleep(5.0)
+        waited += 5.0
+
+
+def _timed(fn) -> tuple[float, object, float]:
+    """Run fn() timed, returning (wall, result, steal% during the run)."""
+    s0, j0 = _steal_snapshot()
+    t0 = time.perf_counter()
+    result = fn()
+    dt = time.perf_counter() - t0
+    s1, j1 = _steal_snapshot()
+    steal_pct = 100.0 * (s1 - s0) / max(1, j1 - j0)
+    return dt, result, steal_pct
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -142,13 +180,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     staging_root = (
         os.path.join(shm, f"graft_bench_staging_{os.getpid()}") if shm else None
     )
-    # Best-of-N for the headline: the ~8s ingest is short enough that
-    # one ambient host-contention burst skews it 30%+ (observed
-    # 136k-180k ev/s swings on an idle guest, zero steal when sampled).
-    # The best run is the least-contended measurement of identical work.
+    # Contention protocol (the committed JSON must be a SETTLED number,
+    # not whichever run caught a host burst — the r3 artifact was a
+    # recorded 7.19 s vs 5.82 s settled):
+    #  1. bounded settle-wait on ambient load BEFORE the timed section;
+    #  2. steal% measured from /proc/stat ACROSS each leg;
+    #  3. best-of-N with bounded AUTO-RETRY while every leg so far ran
+    #     contended (steal above threshold);
+    #  4. the legs + retry count are recorded in the JSON.
+    load_thresh = float(os.environ.get("GRAFT_LOAD_THRESH", "4.0"))
+    steal_thresh = float(os.environ.get("GRAFT_STEAL_THRESH_PCT", "3.0"))
+    pre_load1, settle_wait = _settle(
+        load_thresh, float(os.environ.get("GRAFT_SETTLE_WAIT_S", "120"))
+    )
     cdc_repeats = int(os.environ.get("GRAFT_CDC_REPEATS", "2"))
+    max_extra = int(os.environ.get("GRAFT_CDC_MAX_RETRIES", "2"))
     t_cdc, report = None, None
-    for i in range(cdc_repeats):
+    cdc_legs: list[dict] = []
+    i = 0
+    while i < cdc_repeats or (
+        i < cdc_repeats + max_extra
+        and all(leg["steal_pct"] > steal_thresh for leg in cdc_legs)
+    ):
         cfg = CdcConfig(
             wal_dir=wal, lake_dir=f"{lake}_{i}", num_partitions=64,
             max_segments_per_batch=64,
@@ -156,13 +209,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             # extractor pool size defaults to cpus-4 (see cdc.py) — the
             # read/decode stage needs the remaining CPUs
         )
-        t0 = time.perf_counter()
-        rep = run_ingest(cfg)
-        dt = time.perf_counter() - t0
+        dt, rep, steal_pct = _timed(lambda: run_ingest(cfg))
+        cdc_legs.append({"sec": round(dt, 3), "steal_pct": round(steal_pct, 2)})
         if i > 0:  # lake_0 is reused below for the change-feed timings
             shutil.rmtree(f"{lake}_{i}", ignore_errors=True)
         if t_cdc is None or dt < t_cdc:
             t_cdc, report = dt, rep
+        i += 1
 
     # Change-feed + incremental-view timings on the committed bench
     # lake: the 0->1 feed scans every partition once (insert-only), so
@@ -202,6 +255,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     q_times: dict[str, float] = {}
     q_repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
+    q_steal0 = _steal_snapshot()
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = None
@@ -218,8 +272,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 best = dt
         q_times[name] = round(best, 3)
 
+    q_steal1 = _steal_snapshot()
     ray.shutdown()
     return {
+        "protocol": {
+            "pre_load1": round(pre_load1, 2),
+            "settle_wait_s": settle_wait,
+            "cdc_legs": cdc_legs,
+            "cdc_auto_retries": len(cdc_legs) - cdc_repeats,
+            "query_section_steal_pct": round(
+                100.0 * (q_steal1[0] - q_steal0[0])
+                / max(1, q_steal1[1] - q_steal0[1]), 2,
+            ),
+        },
         "metric": "cdc_ingest_seconds (tail->extract->LWW merge->committed parquet)",
         "value": round(t_cdc, 3),
         "unit": "sec",
