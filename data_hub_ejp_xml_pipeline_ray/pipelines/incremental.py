@@ -106,6 +106,17 @@ def _aggregate(
     ds: ray.data.Dataset, keys: Sequence[str], sum_cols: Sequence[str],
     signed: bool,
 ) -> pa.Table:
+    """Distributed partials -> one driver-side Arrow table of
+    (key, n, *sums).
+
+    DRIVER-MEMORY BOUND (documented contract): the returned table — and
+    the view file built from it — is O(distinct key values), NEVER
+    O(lake rows); the lake's row volume is collapsed inside
+    ``map_batches`` partials before any shuffle. ~100k keys is a few MB
+    and collected VECTORIZED (Arrow block refs, no per-row Python); a
+    view whose key cardinality outgrows one node's memory should be
+    hash-partitioned by key into per-partition view files — the same
+    contract as the lake itself (see SCALE.md)."""
     # partials are tiny (blocks x distinct keys): materialize once so
     # the schema read below doesn't re-execute the upstream scan
     partial = ds.map_batches(
@@ -113,18 +124,23 @@ def _aggregate(
         zero_copy_batch=True, batch_size=None,
     ).materialize()
     metrics = ["n", *sum_cols]
-    rows = partial.groupby(list(keys)).aggregate(
-        *[Sum(m, alias_name=m) for m in metrics]
-    ).take_all()
     base = partial.schema().base_schema
     arrow_schema = pa.schema([
         *[(k, base.field(k).type) for k in keys],
         *[(m, base.field(m).type) for m in metrics],
     ])
-    return pa.table(
-        {c: [r[c] for r in rows] for c in (*keys, *metrics)},
-        schema=arrow_schema,
+    blocks = ray.get(
+        partial.groupby(list(keys)).aggregate(
+            *[Sum(m, alias_name=m) for m in metrics]
+        ).to_arrow_refs()
     )
+    # Ray's hash aggregate emits zero-column blocks for empty partitions
+    blocks = [b for b in blocks if b.num_rows > 0]
+    if not blocks:
+        return arrow_schema.empty_table()
+    return pa.concat_tables(
+        b.select(arrow_schema.names) for b in blocks
+    ).cast(arrow_schema)
 
 
 def refresh_live_stats(

@@ -180,3 +180,38 @@ def test_refresh_across_compaction(lake, tmp_path):
     r = refresh_live_counts(lake.lake_dir, view)
     assert r["mode"] == "incremental" and r["lake_version"] == 4
     assert _view_dict(view) == _recount(lake.lake_dir)
+
+
+def test_aggregate_100k_distinct_keys_vectorized(ray_session):
+    # the view-state driver bound is O(distinct keys) — at 100k keys the
+    # collection must stay vectorized (Arrow refs, no per-row Python)
+    # and both the signed and unsigned paths must produce exact results
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import _aggregate
+
+    n_keys, per_key = 100_000, 3
+    keys = np.repeat(np.arange(n_keys), per_key)
+    vals = np.ones(n_keys * per_key, dtype=np.float64)
+    ops = np.tile(
+        np.array(["insert", "insert", "delete"]), n_keys
+    )  # signed sum per key = +1 +1 -1 = 1
+    tbl = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals),
+        "change_op": pa.array(ops),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    out = _aggregate(ds, ["k"], ["v"], signed=True)
+    assert out.num_rows == n_keys
+    import pyarrow.compute as pc
+    assert pc.min(out.column("n")).as_py() == 1
+    assert pc.max(out.column("n")).as_py() == 1
+    assert pc.sum(out.column("v")).as_py() == n_keys
+
+    out2 = _aggregate(ds.drop_columns(["change_op"]), ["k"], ["v"], signed=False)
+    assert out2.num_rows == n_keys
+    assert pc.sum(out2.column("n")).as_py() == n_keys * per_key

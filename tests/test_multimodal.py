@@ -50,12 +50,64 @@ def test_decode_metadata_actor_pool():
     assert "payload" not in out[0]  # payload dropped early
 
 
-def test_real_decoder_is_stubbed():
-    dec = DecodeImageMetadata(decoder="real")
-    with pytest.raises(NotImplementedError):
-        dec(_media_table(2))
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+_HAS_PIL = _has("PIL.Image")
+_HAS_CV2 = _has("cv2")
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: real branch active")
+def test_real_decoder_fails_fast_without_pil():
+    # fail-fast at ACTOR INIT (once per actor), dependency named
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        DecodeImageMetadata(decoder="real")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        ResizeImage(4, 4, decoder="real")
+
+
+@pytest.mark.skipif(_HAS_CV2, reason="cv2 installed: real branch active")
+def test_real_frame_sampler_fails_fast_without_cv2():
+    with pytest.raises(NotImplementedError, match="opencv"):
+        SampleFrames(decoder="real")
+
+
+def test_bogus_decoder_rejected():
     with pytest.raises(ValueError):
         DecodeImageMetadata(decoder="bogus")
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_real_decode_and_resize_with_pil():
+    # real-codec branch: PIL-generated PNG -> decode metadata -> resize
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    tbl = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "url": pa.array(["u1", "u2"]),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([png, b"not-an-image"], pa.binary()),
+        "content_type": pa.array(["image/png", "image/png"]),
+    })
+    out = DecodeImageMetadata(decoder="real", drop_payload=False)(tbl)
+    assert out.column("width").to_pylist() == [20, None]
+    assert out.column("height").to_pylist() == [10, None]
+    assert out.column("channels").to_pylist() == [3, None]
+    resized = ResizeImage(4, 6, decoder="real")(tbl)
+    img = Image.open(io.BytesIO(resized.column("payload")[0].as_py()))
+    assert img.size == (4, 6)
+    # undecodable payload passes through unchanged
+    assert resized.column("payload")[1].as_py() == b"not-an-image"
 
 
 def test_resize_rewrites_header():
