@@ -285,3 +285,110 @@ def split_overflowing(lake_dir: str, max_partition_bytes: int) -> dict:
     ]
     results = [split_partition(lake_dir, part) for part in sorted(over)]
     return {"splits": len(results), "parents": [r["parent"] for r in results]}
+
+def cluster_lake(
+    lake_dir: str,
+    sort_by: "list[str] | str" = "url",
+    *,
+    row_group_rows: int = 64_000,
+) -> dict:
+    """Rewrite every partition file SORTED by ``sort_by`` with bounded
+    row groups — the single-sort-key analog of Delta's ``OPTIMIZE
+    ZORDER BY``. After clustering, parquet row-group min/max statistics
+    become selective for the sort key, so the predicate-pushdown lake
+    reads (``read_lake(filter=...)``) skip whole row groups instead of
+    scanning every one: at 100 TB a point lookup touches
+    O(log row-groups) of a partition, not all of it.
+
+    Logical state is unchanged (a pure layout rewrite, like
+    compaction): the commit bumps the version with op ``cluster`` so
+    the change feed correctly reports zero row changes across it. One
+    Ray task per partition file; cost is one read + sort + write of
+    each partition, so run it off the ingest path (the reference has no
+    analog — its store is append-only JSONL into BigQuery).
+    """
+    keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    with writer_lock(lake_dir) as lock_token:
+        manifest = load_manifest(lake_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        for k in keys:
+            if manifest.schema is not None and k not in manifest.schema.names:
+                raise ValueError(
+                    f"sort key {k!r} not in lake schema "
+                    f"{manifest.schema.names}"
+                )
+        targets = sorted(manifest.partitions.items())
+        if not targets:
+            return {"partitions_rewritten": 0, "sort_by": keys}
+        token = f"cluster-{manifest.version + 1}"
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+            out_parts, out_paths, out_rows, out_bytes = [], [], [], []
+            for part, rel in zip(
+                batch.column("part").to_pylist(), batch.column("rel").to_pylist()
+            ):
+                table = pq.read_table(os.path.join(lake_dir, rel))
+                idx = pc.sort_indices(
+                    table, sort_keys=[(k, "ascending") for k in keys]
+                )
+                table = table.take(idx)
+                new_rel = os.path.join("data", f"part-{part:05d}-{token}.parquet")
+                out_path = os.path.join(lake_dir, new_rel)
+                tmp = out_path + ".inprogress"
+                pq.write_table(table, tmp, row_group_size=row_group_rows)
+                os.replace(tmp, out_path)
+                out_parts.append(part)
+                out_paths.append(new_rel)
+                out_rows.append(table.num_rows)
+                out_bytes.append(os.path.getsize(out_path))
+            return pa.table(
+                {"part": pa.array(out_parts, pa.int64()),
+                 "path": pa.array(out_paths, pa.string()),
+                 "rows": pa.array(out_rows, pa.int64()),
+                 "bytes": pa.array(out_bytes, pa.int64())}
+            )
+
+        work = ray.data.from_arrow(
+            pa.table({"part": [p for p, _ in targets],
+                      "rel": [r for _, r in targets]})
+        ).repartition(min(len(targets), 32))
+        stats = work.map_batches(rewrite, batch_format="pyarrow").take_all()
+
+        new_partitions = dict(manifest.partitions)
+        new_meta = dict(manifest.partition_meta)
+        for row in stats:
+            part = int(row["part"])
+            new_partitions[part] = row["path"]
+            kept_meta = dict(manifest.partition_meta.get(part, {}))
+            kept_meta.update(rows=int(row["rows"]), bytes=int(row["bytes"]))
+            new_meta[part] = kept_meta
+
+        new_manifest = LakeManifest(
+            num_partitions=manifest.num_partitions,
+            version=manifest.version + 1,
+            watermark=manifest.watermark,
+            schema=manifest.schema,
+            partitions=new_partitions,
+            partition_meta=new_meta,
+            splits=list(manifest.splits),
+            lineage=manifest.lineage
+            + [{
+                "version": manifest.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "cluster",
+                "sort_by": keys,
+                "partitions_rewritten": len(stats),
+            }],
+            counters=manifest.counters,
+            retain_versions=manifest.retain_versions,
+            kind=manifest.kind,
+        )
+        commit_manifest(
+            lake_dir, new_manifest, expected_version=manifest.version
+        )
+        verify_lock(lake_dir, lock_token)  # fencing before deletes
+        gc_unreferenced(lake_dir, new_manifest, previous=manifest)
+    return {"partitions_rewritten": len(stats), "sort_by": keys}

@@ -1470,6 +1470,83 @@ def q_event_type_pivot(sf_dir: str):
     )
 
 
+def q_rollup_doc_counts(sf_dir: str):
+    """Multi-level aggregate (ROLLUP): doc counts + char sums at
+    (lang, source), (lang) and grand-total levels in one result, NULLs
+    marking the rolled-up columns. Scale shape: ONE distributed pass
+    computes the finest aggregate; the coarser levels are derived from
+    that aggregate-sized table (|lang| x |source| rows collected as
+    Arrow blocks) — never a second scan of the corpus per level."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"],
+               rows_per_block=20_000)
+    agg = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    fine = pl.from_arrow(pa.concat_tables(
+        b.select(["lang", "source", "n_docs", "sum_chars"]) for b in blocks
+    )).with_columns(
+        pl.col("n_docs").cast(pl.Int64), pl.col("sum_chars").cast(pl.Int64)
+    )
+    sums = [pl.col("n_docs").sum(), pl.col("sum_chars").sum()]
+    lang_lvl = fine.group_by("lang").agg(sums).with_columns(
+        pl.lit(None, dtype=pl.String).alias("source")
+    )
+    total = fine.select(sums).with_columns(
+        pl.lit(None, dtype=pl.String).alias("lang"),
+        pl.lit(None, dtype=pl.String).alias("source"),
+    )
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+    out = pl.concat([fine.select(cols), lang_lvl.select(cols),
+                     total.select(cols)])
+    return out.to_arrow().cast(pa.schema([
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_docs", pa.int64()), ("sum_chars", pa.int64()),
+    ]))
+
+
+def q_funnel_signup_purchase(sf_dir: str):
+    """Funnel / event-sequence analysis: for each user, the first
+    purchase STRICTLY AFTER their first signup (conversion pairs).
+    Same bucketed per-key vectorized shape as the window family — one
+    polars kernel per ~500k-row bucket of complete user groups; the
+    event-type filter is pushed into the parquet read so only funnel
+    events leave storage."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["signup", "purchase"]),
+    )
+
+    def funnel_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        s = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id").agg(pl.col("ts").min().alias("signup_ts"))
+        )
+        conv = (
+            df.filter(pl.col("event_type") == "purchase")
+            .join(s, on="user_id", how="inner")
+            .filter(pl.col("ts") > pl.col("signup_ts"))
+            .group_by("user_id")
+            .agg(
+                pl.col("signup_ts").first(),
+                pl.col("ts").min().alias("first_purchase_ts"),
+            )
+        )
+        return conv.select(
+            ["user_id", "signup_ts", "first_purchase_ts"]
+        ).to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()),
+            ("signup_ts", pa.timestamp("us")),
+            ("first_purchase_ts", pa.timestamp("us")),
+        ]))
+
+    return _bucketed_groups(
+        ds, "user_id", funnel_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
 _SAMPLE_MULT = 2654435761  # Knuth multiplicative hash (SQL-expressible)
 _SAMPLE_MOD = 1 << 32
 
@@ -2337,6 +2414,8 @@ QUERIES = {
     "incremental_lang_stats": q_incremental_lang_stats,
     "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
     "replica_purchase_pages": q_replica_purchase_pages,
+    "rollup_doc_counts": q_rollup_doc_counts,
+    "funnel_signup_purchase": q_funnel_signup_purchase,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -3129,4 +3208,22 @@ ORACLE_SQL["embedding_scores"] = f"""
                  * 1000000) / 1000000 AS score
     FROM embeddings
     ORDER BY score DESC, vec_id LIMIT 50
+"""
+
+ORACLE_SQL["rollup_doc_counts"] = """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+ORACLE_SQL["funnel_signup_purchase"] = """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
+    FROM s JOIN events e
+      ON e.user_id = s.user_id
+     AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
 """

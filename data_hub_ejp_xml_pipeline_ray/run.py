@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
                          "change feed after every commit")
     sp = sub.add_parser("compact", help="drop persisted tombstones")
     add_common(sp, lake_only=True)
+    sp = sub.add_parser(
+        "cluster", help="sort-cluster partition files for row-group pruning")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--sort-by", default="url",
+                    help="comma-separated sort key columns (default url)")
     sp = sub.add_parser("show", help="print committed manifest summary")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
@@ -334,6 +339,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import compact_lake
 
             print(json.dumps(compact_lake(args.lake_dir)))
+        elif args.cmd == "cluster":
+            from .pipelines.maintenance import cluster_lake
+
+            print(json.dumps(
+                cluster_lake(args.lake_dir, args.sort_by.split(","))
+            ))
         elif args.cmd == "split":
             from .pipelines.maintenance import split_overflowing, split_partition
 

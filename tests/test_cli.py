@@ -36,6 +36,10 @@ def test_cli_ingest_show_compact(tmp_path):
     assert c["tombstones_dropped"] == s["tombstones"]
     s2 = _run(["show", "--lake-dir", lake])
     assert s2["tombstones"] == 0 and s2["rows"] == s["rows"] - s["tombstones"]
+    cl = _run(["cluster", "--lake-dir", lake, "--num-cpus", "4"])
+    assert cl["sort_by"] == ["url"] and cl["partitions_rewritten"] > 0
+    s3 = _run(["show", "--lake-dir", lake])
+    assert s3["rows"] == s2["rows"]  # pure layout rewrite
 
 
 def test_cli_split_and_errors(tmp_path):

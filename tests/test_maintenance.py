@@ -197,3 +197,61 @@ def test_compact_refuses_while_writer_live(tmp_path):
             compact_lake(cfg.lake_dir)
     # lock released: compaction proceeds normally
     assert compact_lake(cfg.lake_dir)["tombstones_dropped"] > 0
+
+
+def test_cluster_lake_sorts_and_prunes_row_groups(tmp_path):
+    """Sort clustering: logical state unchanged, files sorted by the
+    key with bounded row groups, and row-group min/max stats become
+    selective (a point lookup matches exactly one row group)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import cluster_lake
+
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=23, n_urls=300, n_events=3000,
+        n_segments=4,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    before = lake_snapshot(cfg.lake_dir)
+    m = load_manifest(cfg.lake_dir)
+
+    out = cluster_lake(cfg.lake_dir, "url", row_group_rows=16)
+    assert out["partitions_rewritten"] == len(m.partitions)
+    m2 = load_manifest(cfg.lake_dir)
+    assert m2.version == m.version + 1 and m2.watermark == m.watermark
+    after = lake_snapshot(cfg.lake_dir)
+    assert after.equals(before)  # pure layout rewrite
+
+    # every file: sorted by url, multiple bounded row groups, and
+    # DISJOINT per-row-group url ranges -> point lookups prune
+    probed = 0
+    for rel in m2.partitions.values():
+        f = pq.ParquetFile(os.path.join(cfg.lake_dir, rel))
+        md = f.metadata
+        if md.num_rows > 16:
+            assert md.num_row_groups > 1
+        col = f.schema_arrow.names.index("url")
+        ranges = [
+            (md.row_group(g).column(col).statistics.min,
+             md.row_group(g).column(col).statistics.max)
+            for g in range(md.num_row_groups)
+        ]
+        assert all(lo <= hi for lo, hi in ranges)
+        for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo2  # sorted file -> non-overlapping stats
+        # a point lookup on the first url matches exactly one row group
+        target = ranges[0][0]
+        probed += 1
+        assert sum(1 for lo, hi in ranges if lo <= target <= hi) == 1
+    assert probed == len(m2.partitions)
+
+    # the change feed across a cluster commit reports zero row changes
+    assert changes_between(cfg.lake_dir, m.version, m2.version).count() == 0
+
+    # bad sort key is rejected before any rewrite
+    import pytest
+    with pytest.raises(ValueError):
+        cluster_lake(cfg.lake_dir, "no_such_column")
