@@ -249,6 +249,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         sync_replica(f"{lake}_0", rep_dir)
         t_rep = time.perf_counter() - t0
         shutil.rmtree(rep_dir, ignore_errors=True)
+
+    # Sort clustering + the point lookup it exists for: after
+    # cluster_lake the url row-group stats are disjoint, so the pushed
+    # filter reads O(1) row groups per partition instead of the lake.
+    t_cluster = t_lookup = None
+    if n_events <= 2_000_000:
+        import pyarrow.compute as pa_compute
+
+        from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import read_lake
+        from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+            cluster_lake,
+        )
+
+        t0 = time.perf_counter()
+        cluster_lake(f"{lake}_0", "url")
+        t_cluster = time.perf_counter() - t0
+        target_url = read_lake(f"{lake}_0", columns=["url"]).limit(1).take(1)[0]["url"]
+        t0 = time.perf_counter()
+        read_lake(
+            f"{lake}_0", columns=["url", "warc_ts"],
+            filter=(pa_compute.field("url") == target_url),
+        ).count()
+        t_lookup = time.perf_counter() - t0
     shutil.rmtree(f"{lake}_0", ignore_errors=True)
 
     from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
@@ -303,6 +326,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "view_build_s": None if t_view is None else round(t_view, 3),
             "replica_full_sync_s": (
                 None if t_rep is None else round(t_rep, 3)
+            ),
+            "cluster_s": None if t_cluster is None else round(t_cluster, 3),
+            "clustered_point_lookup_s": (
+                None if t_lookup is None else round(t_lookup, 3)
             ),
         },
         "capped_dropped_pairs": {
