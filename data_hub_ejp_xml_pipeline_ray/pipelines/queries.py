@@ -791,78 +791,104 @@ def _dim_lookup(
 
 def q_revenue_by_nation(sf_dir: str):
     """3-way join, scale-shaped: lineitem and orders are both FACT
-    tables, so their equi-join runs as a DISTRIBUTED hash join on
-    ``l_orderkey`` (``Dataset.join`` — hash-shuffle aggregators); only
-    the true dimensions (customer, nation — bounded cardinality) are
-    broadcast via ``ray.put``. A per-batch combiner pre-aggregates
-    lineitem revenue by orderkey before the join, so the shuffled left
-    side carries one row per (block, orderkey), not one per lineitem."""
+    tables, so their equi-join on orderkey runs as a TAGGED-UNION
+    CO-GROUP on the bucketed executor — both sides hash-bucket by
+    orderkey (bucket count footer-scaled, so each co-group task holds
+    ~500k rows of complete key groups at any volume) and ONE polars
+    join runs per bucket; only the true dimensions (customer, nation —
+    bounded cardinality) are broadcast via ``ray.put``. A per-batch
+    combiner pre-aggregates lineitem revenue by orderkey before the
+    shuffle, and each bucket emits nation-level partials, so the final
+    fold sees buckets x 25 rows. (This replaced ``Dataset.join``: its
+    per-partition aggregator actors cost ~2x the whole query at these
+    block counts; the one sort shuffle here moves the same bytes.)"""
     cust_ref = _broadcast_dim(sf_dir, "customer", "c_custkey", ["c_custkey", "c_nationkey"])
     nation_ref = _broadcast_dim(sf_dir, "nation", "n_nationkey", ["n_nationkey", "n_name"])
+    num_buckets = _buckets_for(sf_dir, "orders")
 
     def partial_rev(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(1.0, batch.column("l_discount")),
         )
-        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "revenue": rev})
-        return t.group_by("l_orderkey").aggregate([("revenue", "sum")]).rename_columns(
-            ["l_orderkey", "revenue"]
+        t = pa.table({"orderkey": batch.column("l_orderkey"), "revenue": rev})
+        t = t.group_by("orderkey").aggregate([("revenue", "sum")]).rename_columns(
+            ["orderkey", "revenue"]
         )
+        return pa.table({
+            "orderkey": t.column("orderkey"),
+            "revenue": t.column("revenue"),
+            "custkey": pa.nulls(t.num_rows, pa.int64()),
+            "_bucket": _hash_bucket(t.column("orderkey"), num_buckets),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch.column("o_orderkey"),
+            "revenue": pa.nulls(batch.num_rows, pa.float64()),
+            "custkey": batch.column("o_custkey"),
+            "_bucket": _hash_bucket(batch.column("o_orderkey"), num_buckets),
+        })
 
     lineitem = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=20_000)
-    # join partitions sized to data volume (~500k combined rows per
-    # partition): each partition costs a fixed aggregator-actor
-    # overhead, so a small input must not pay for 16+ of them, while
-    # 100x data gets proportionally more
-    n_rows = pq.ParquetFile(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).metadata.num_rows
-    n_part = max(4, min(256, n_rows // 500_000 + 1))
-    joined = lineitem.join(
-        orders, join_type="inner", num_partitions=n_part,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=20_000
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
 
-    class NationPartial:
-        def __init__(self):
-            # dims fetched once per actor, pre-joined custkey -> n_name
-            # so the per-batch path is a single Arrow index_in + take
-            cust = ray.get(cust_ref)
-            nation = ray.get(nation_ref)
-            self.cust_keys = cust.column("c_custkey").combine_chunks()
-            self.cust_names = pc.take(
+    def cogroup_bucket(t: pa.Table) -> pa.Table:
+        # one vectorized join per bucket of complete orderkey groups;
+        # dims come from the object store zero-copy per task
+        cust = ray.get(cust_ref)
+        nation = ray.get(nation_ref)
+        df = pl.from_arrow(t)
+        rev = (
+            df.filter(pl.col("revenue").is_not_null())
+            .group_by("orderkey").agg(pl.col("revenue").sum())
+        )
+        ok = df.filter(pl.col("custkey").is_not_null()).select(
+            ["orderkey", "custkey"]
+        )
+        joined = rev.join(ok, on="orderkey", how="inner")
+        name = pc.take(
+            pc.take(
                 nation.column("n_name").combine_chunks(),
                 pc.index_in(
                     cust.column("c_nationkey"),
                     value_set=nation.column("n_nationkey").combine_chunks(),
                 ),
-            )
+            ),
+            pc.index_in(
+                pa.array(joined.get_column("custkey"), pa.int64()),
+                value_set=cust.column("c_custkey").combine_chunks(),
+            ),
+        )
+        part = pa.table({
+            "n_name": name,
+            "revenue": joined.get_column("revenue").to_arrow().cast(pa.float64()),
+        })
+        return part.group_by("n_name").aggregate(
+            [("revenue", "sum")]
+        ).rename_columns(["n_name", "revenue"])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            name = pc.take(
-                self.cust_names,
-                pc.index_in(batch.column("o_custkey"), value_set=self.cust_keys),
-            )
-            part = pa.table({"n_name": name, "revenue": batch.column("revenue")})
-            return part.group_by("n_name").aggregate(
-                [("revenue", "sum")]
-            ).rename_columns(["n_name", "revenue"])
-
-    partials = joined.map_batches(
-        NationPartial, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), num_cpus=1,
-    )
-    agg = partials.groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
-    return agg.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("revenue"), "revenue", _round2(t.column("revenue"))
-        ),
+    partials = lineitem.union(orders).groupby("_bucket").map_groups(
+        lambda g: cogroup_bucket(g.drop_columns(["_bucket"])),
         batch_format="pyarrow",
     )
+    # final fold: buckets x 25 nation rows — aggregate-sized, collected
+    # vectorized (the incremental-view driver-bound contract)
+    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    out = (
+        pl.from_arrow(pa.concat_tables(
+            b.select(["n_name", "revenue"]) for b in blocks
+        ))
+        .group_by("n_name").agg(pl.col("revenue").sum())
+    )
+    tab = out.to_arrow().cast(
+        pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+    )
+    return tab.set_column(1, "revenue", _round2(tab.column("revenue")))
 
 
 def q_top_customers(sf_dir: str):
