@@ -945,6 +945,80 @@ def q_top_customers(sf_dir: str):
     return top.map_batches(add_name, batch_format="pyarrow")
 
 
+def q_orders_left_join_recent_revenue(sf_dir: str):
+    """Fact-fact LEFT OUTER join (completes the §2.5 join family):
+    every order with the revenue of its 1998+ shipments, NULL when none
+    — same tagged-union co-group executor as ``revenue_by_nation``
+    (both sides hash-bucket by orderkey, one polars left join per
+    bucket of complete key groups), with the shipdate predicate pushed
+    into the lineitem parquet read so pre-1998 rows never leave
+    storage."""
+    num_buckets = _buckets_for(sf_dir, "orders")
+    cutoff = datetime(1998, 1, 1)
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        )
+        t = pa.table({"orderkey": batch.column("l_orderkey"), "revenue": rev})
+        t = t.group_by("orderkey").aggregate([("revenue", "sum")]).rename_columns(
+            ["orderkey", "revenue"]
+        )
+        return pa.table({
+            "orderkey": t.column("orderkey"),
+            "revenue": t.column("revenue"),
+            "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+            "_bucket": _hash_bucket(t.column("orderkey"), num_buckets),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch.column("o_orderkey"),
+            "revenue": pa.nulls(batch.num_rows, pa.float64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_bucket": _hash_bucket(batch.column("o_orderkey"), num_buckets),
+        })
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= cutoff),
+    ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+        rows_per_block=20_000,
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+
+    def left_join_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rev = (
+            df.filter(pl.col("revenue").is_not_null())
+            .group_by("orderkey").agg(pl.col("revenue").sum())
+        )
+        orders_side = df.filter(pl.col("o_orderpriority").is_not_null()).select(
+            ["orderkey", "o_orderpriority"]
+        )
+        out = orders_side.join(rev, on="orderkey", how="left").rename(
+            {"orderkey": "o_orderkey", "revenue": "recent_revenue"}
+        )
+        tab = out.select(
+            ["o_orderkey", "o_orderpriority", "recent_revenue"]
+        ).to_arrow().cast(pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("o_orderpriority", pa.string()),
+            ("recent_revenue", pa.float64()),
+        ]))
+        return tab.set_column(
+            2, "recent_revenue", _round2(tab.column("recent_revenue"))
+        )
+
+    return lineitem.union(orders).groupby("_bucket").map_groups(
+        lambda g: left_join_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+
 def q_order_priority_count(sf_dir: str):
     """Date-range count — predicate pushed into the parquet read."""
     ds = ray.data.read_parquet(
@@ -2476,6 +2550,7 @@ QUERIES = {
     "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
     "replica_purchase_pages": q_replica_purchase_pages,
     "rollup_doc_counts": q_rollup_doc_counts,
+    "orders_left_join_recent_revenue": q_orders_left_join_recent_revenue,
     "funnel_signup_purchase": q_funnel_signup_purchase,
 }
 
@@ -3287,4 +3362,14 @@ ORACLE_SQL["funnel_signup_purchase"] = """
       ON e.user_id = s.user_id
      AND e.event_type = 'purchase' AND e.ts > s.signup_ts
     GROUP BY s.user_id, s.signup_ts
+"""
+
+ORACLE_SQL["orders_left_join_recent_revenue"] = """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS recent_revenue
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderpriority
 """
