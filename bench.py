@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "stratified_sample_by_lang",
     "prepare_training_corpus",
     "curate_filter",
+    "rollup_doc_counts",
+    "funnel_signup_purchase",
+    "orders_left_join_recent_revenue",
 ]
 
 
