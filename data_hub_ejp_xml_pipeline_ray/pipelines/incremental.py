@@ -37,6 +37,7 @@ from typing import Callable, Sequence
 
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -278,6 +279,181 @@ def refresh_live_counts(
     return refresh_live_stats(
         lake_dir, view_dir, key, (), at_version=at_version
     )
+
+
+EXTREMA_STATE = "_extrema.json"
+
+
+def _aggregate_extrema(
+    ds: ray.data.Dataset, key: str, max_cols: Sequence[str]
+) -> pa.Table:
+    """Distributed per-key maxima: per-batch polars partials (one call
+    per block), final fold over the aggregate-sized partials — the same
+    driver-memory contract as :func:`_aggregate` (O(distinct keys))."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        # NULL keys are excluded on BOTH the build and the affected-key
+        # paths (a null never names a recomputable key in the feed)
+        df = pl.from_arrow(batch).filter(pl.col(key).is_not_null())
+        return df.group_by(key).agg(
+            [pl.col(c).max().alias(c) for c in max_cols]
+        ).to_arrow()
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    schema = parts.schema().base_schema
+    if not blocks:
+        return schema.empty_table()
+    out = pl.from_arrow(pa.concat_tables(
+        b.select(schema.names) for b in blocks
+    )).group_by(key).agg([pl.col(c).max().alias(c) for c in max_cols])
+    return out.select(schema.names).to_arrow().cast(schema)
+
+
+def refresh_live_extrema(
+    lake_dir: str, view_dir: str, key: str = "lang",
+    max_cols: Sequence[str] = ("warc_ts",),
+    *,
+    at_version: int | None = None,
+) -> dict:
+    """Per-``key`` MAX view — the NON-INVERTIBLE aggregate case.
+
+    ``count``/``sum`` views refresh by signed retraction arithmetic
+    (:func:`refresh_live_stats`); a ``max`` cannot — deleting the row
+    that held the maximum gives the feed no way to produce the runner-
+    up. The standard incremental-view answer (Materialize/DBSP call
+    these non-invertible reductions) is AFFECTED-KEY RECOMPUTE:
+
+    1. the pre-image change feed since the view's last-seen version
+       names every key value whose row set changed (delete pre-images
+       carry the old live row, so a vanished maximum still names its
+       key);
+    2. ONLY those keys are recomputed from the current lake — a
+       column-pruned scan with ``key IN (affected)`` pushed into the
+       parquet read — and spliced into the view.
+
+    Cost: O(lake rows in affected keys) per refresh, vs O(lake) for a
+    rebuild; worst case (every key touched) degrades gracefully to the
+    full build. The view itself is O(distinct keys) driver-side, the
+    same documented bound as :func:`refresh_live_stats`. A vacuumed
+    feed gap triggers a full rebuild, same as the stats view."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    target = manifest.version if at_version is None else int(at_version)
+    spath = os.path.join(view_dir, EXTREMA_STATE)
+    state = None
+    if os.path.exists(spath):
+        with open(spath, "r", encoding="utf-8") as f:
+            state = json.load(f)
+    if state is not None and (
+        state.get("key") != key or state.get("max_cols") != list(max_cols)
+    ):
+        raise ValueError(
+            f"extrema view maintains key={state.get('key')} "
+            f"max_cols={state.get('max_cols')}, refresh asked for "
+            f"{key}/{list(max_cols)}"
+        )
+    if state is not None and state["lake_version"] == target:
+        return {"refreshed": False, "mode": "noop", "lake_version": target}
+    if state is not None and state["lake_version"] > target:
+        raise ValueError(
+            f"view at lake version {state['lake_version']} is newer than "
+            f"requested {target}"
+        )
+    if state is not None and state["lake_version"] not in set(
+        list_versions(lake_dir)
+    ):
+        state = None  # lagged past retention: rebuild
+
+    cols = [key, *max_cols]
+    prev_file = state["file"] if state is not None else None
+    if state is None:
+        view = _aggregate_extrema(
+            read_lake(lake_dir, version=target, columns=cols), key, max_cols
+        )
+        mode = "full"
+        recomputed = view.num_rows
+    else:
+        feed = changes_between(
+            lake_dir, state["lake_version"], target,
+            preimages=True, columns=[key],
+        )
+        # affected key values: aggregate-sized by the view bound
+        affected_ds = feed.map_batches(
+            lambda t: pa.table({key: pc.unique(pc.drop_null(t.column(key)))}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        affected_blocks = [
+            b for b in ray.get(affected_ds.to_arrow_refs()) if b.num_rows
+        ]
+        old_tab = pl.read_parquet(os.path.join(view_dir, state["file"]))
+        if not affected_blocks:
+            view = old_tab.to_arrow()
+            mode = "incremental"
+            recomputed = 0
+        else:
+            affected = pc.unique(
+                pa.concat_tables(affected_blocks).column(key).combine_chunks()
+            )
+            fresh = _aggregate_extrema(
+                read_lake(
+                    lake_dir, version=target, columns=cols,
+                    filter=pc.field(key).isin(affected),
+                ),
+                key, max_cols,
+            )
+            kept = old_tab.filter(
+                ~pl.col(key).is_in(affected.to_pylist())
+            )
+            view = pl.concat(
+                [kept, pl.from_arrow(fresh).select(kept.columns)]
+            ).to_arrow().cast(old_tab.to_arrow().schema)
+            mode = "incremental"
+            recomputed = len(affected)
+
+    os.makedirs(view_dir, exist_ok=True)
+    fname = f"extrema-v{target:06d}.parquet"
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        view.sort_by([(key, "ascending")]), os.path.join(view_dir, fname)
+    )
+    from ..state.store import LOCAL_STORE
+
+    LOCAL_STORE.put_atomic(
+        spath,
+        json.dumps({
+            "lake_version": target, "file": fname, "key": key,
+            "max_cols": list(max_cols),
+        }).encode("utf-8"),
+    )
+    if prev_file is not None and prev_file != fname:
+        try:
+            os.remove(os.path.join(view_dir, prev_file))
+        except FileNotFoundError:
+            pass
+    return {
+        "refreshed": True, "mode": mode, "lake_version": target,
+        "keys": view.num_rows, "keys_recomputed": recomputed,
+    }
+
+
+def read_extrema_view(view_dir: str) -> pa.Table:
+    """The committed extrema view as an Arrow table, sorted by key."""
+    spath = os.path.join(view_dir, EXTREMA_STATE)
+    if not os.path.exists(spath):
+        raise FileNotFoundError(f"no committed extrema view at {view_dir}")
+    with open(spath, "r", encoding="utf-8") as f:
+        state = json.load(f)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(view_dir, state["file"]))
 
 
 def read_view(view_dir: str) -> pa.Table:

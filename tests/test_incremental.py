@@ -215,3 +215,131 @@ def test_aggregate_100k_distinct_keys_vectorized(ray_session):
     out2 = _aggregate(ds.drop_columns(["change_op"]), ["k"], ["v"], signed=False)
     assert out2.num_rows == n_keys
     assert pc.sum(out2.column("n")).as_py() == n_keys * per_key
+
+
+def _recount_max(lake_dir):
+    # ground truth: max warc_ts per lang over live rows
+    out = {}
+    for r in lake_snapshot(lake_dir).to_pylist():
+        k = r["lang"]
+        if k is None:
+            continue
+        if k not in out or r["warc_ts"] > out[k]:
+            out[k] = r["warc_ts"]
+    return out
+
+
+def _extrema_dict(view_dir):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_extrema_view,
+    )
+
+    return {
+        r["lang"]: r["warc_ts"] for r in read_extrema_view(view_dir).to_pylist()
+    }
+
+
+def test_extrema_view_stepwise_matches_recount(lake, tmp_path):
+    """Non-invertible aggregate (MAX): affected-key recompute must land
+    on exactly the recount at every version — including versions where
+    a delete removed the row HOLDING a maximum (retraction arithmetic
+    cannot produce the runner-up; the recompute path must)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        refresh_live_extrema,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+    view = str(tmp_path / "xview")
+    top = load_manifest(lake.lake_dir).version
+    assert top >= 3
+    r = refresh_live_extrema(lake.lake_dir, view, at_version=1)
+    assert r["mode"] == "full"
+    assert _extrema_dict(view) == {
+        k: v for k, v in _recount_max_at(lake.lake_dir, 1).items()
+    }
+    for v in range(2, top + 1):
+        r = refresh_live_extrema(lake.lake_dir, view, at_version=v)
+        assert r["refreshed"] and r["mode"] == "incremental"
+        assert _extrema_dict(view) == _recount_max_at(lake.lake_dir, v)
+    # idempotent at head
+    assert refresh_live_extrema(lake.lake_dir, view)["mode"] == "noop"
+    # one-shot build == stepwise result
+    view2 = str(tmp_path / "xview2")
+    refresh_live_extrema(lake.lake_dir, view2)
+    assert _extrema_dict(view2) == _extrema_dict(view)
+
+
+def _recount_max_at(lake_dir, version):
+    out = {}
+    for r in lake_snapshot(lake_dir, version=version).to_pylist():
+        k = r["lang"]
+        if k is None:
+            continue
+        if k not in out or r["warc_ts"] > out[k]:
+            out[k] = r["warc_ts"]
+    return out
+
+
+def test_extrema_view_key_contract_enforced(lake, tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        refresh_live_extrema,
+    )
+
+    view = str(tmp_path / "xview")
+    refresh_live_extrema(lake.lake_dir, view, key="lang")
+    with pytest.raises(ValueError):
+        refresh_live_extrema(lake.lake_dir, view, key="fetch_status")
+    with pytest.raises(ValueError):
+        refresh_live_extrema(
+            lake.lake_dir, view, key="lang", max_cols=("seq",)
+        )
+
+
+def test_extrema_view_recovers_runner_up_after_max_delete(lake, tmp_path):
+    """THE non-invertible case: delete the exact row holding a lang's
+    max — the feed cannot yield the runner-up; the affected-key
+    recompute must."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        refresh_live_extrema,
+    )
+
+    view = str(tmp_path / "xview")
+    refresh_live_extrema(lake.lake_dir, view)
+    before = _extrema_dict(view)
+
+    # find the row holding some lang's maximum and author a WAL segment
+    # that deletes that url
+    rows = lake_snapshot(lake.lake_dir).to_pylist()
+    lang, max_ts = next(iter(sorted(before.items())))
+    victim = next(
+        r for r in rows if r["lang"] == lang and r["warc_ts"] == max_ts
+    )
+    runner_up = max(
+        (r["warc_ts"] for r in rows
+         if r["lang"] == lang and r["url"] != victim["url"]),
+        default=None,
+    )
+    assert runner_up is not None and runner_up < max_ts
+    seg = pa.table({
+        "op": pa.array(["delete"]),
+        "url": pa.array([victim["url"]]),
+        "warc_ts": pa.array(
+            [victim["warc_ts"]], pa.timestamp("us", tz="UTC")
+        ),
+        "seq": pa.array([victim["seq"] + 1], pa.int64()),
+        "html": pa.array([None], pa.binary()),
+        "lang": pa.array([victim["lang"]]),
+        "schema_version": pa.array([1], pa.int32()),
+        "fetch_status": pa.array([200], pa.int32()),
+    })
+    pq.write_table(seg, os.path.join(lake.wal_dir, "segment-00099.parquet"))
+    run_ingest(lake)
+
+    r = refresh_live_extrema(lake.lake_dir, view)
+    assert r["mode"] == "incremental" and r["keys_recomputed"] >= 1
+    after = _extrema_dict(view)
+    assert after[lang] == runner_up          # runner-up recovered
+    assert after == _recount_max(lake.lake_dir)  # and everything matches
