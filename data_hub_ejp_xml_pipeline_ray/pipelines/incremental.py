@@ -285,11 +285,16 @@ EXTREMA_STATE = "_extrema.json"
 
 
 def _aggregate_extrema(
-    ds: ray.data.Dataset, key: str, max_cols: Sequence[str]
+    ds: ray.data.Dataset, key: str, max_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
 ) -> pa.Table:
-    """Distributed per-key maxima: per-batch polars partials (one call
+    """Distributed per-key extrema: per-batch polars partials (one call
     per block), final fold over the aggregate-sized partials — the same
-    driver-memory contract as :func:`_aggregate` (O(distinct keys))."""
+    driver-memory contract as :func:`_aggregate` (O(distinct keys)).
+    Min columns are emitted as ``min_<col>`` (a column may appear in
+    both lists)."""
+    aggs = [pl.col(c).max().alias(c) for c in max_cols]
+    aggs += [pl.col(c).min().alias(f"min_{c}") for c in min_cols]
 
     def partial(batch: pa.Table) -> pa.Table:
         pa.set_cpu_count(1)
@@ -297,9 +302,14 @@ def _aggregate_extrema(
         # NULL keys are excluded on BOTH the build and the affected-key
         # paths (a null never names a recomputable key in the feed)
         df = pl.from_arrow(batch).filter(pl.col(key).is_not_null())
+        return df.group_by(key).agg(aggs).to_arrow()
+
+    def refold(df: pl.DataFrame) -> pl.DataFrame:
+        # fold partials: max of maxes, min of mins
         return df.group_by(key).agg(
             [pl.col(c).max().alias(c) for c in max_cols]
-        ).to_arrow()
+            + [pl.col(f"min_{c}").min().alias(f"min_{c}") for c in min_cols]
+        )
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True,
@@ -309,19 +319,20 @@ def _aggregate_extrema(
     schema = parts.schema().base_schema
     if not blocks:
         return schema.empty_table()
-    out = pl.from_arrow(pa.concat_tables(
+    out = refold(pl.from_arrow(pa.concat_tables(
         b.select(schema.names) for b in blocks
-    )).group_by(key).agg([pl.col(c).max().alias(c) for c in max_cols])
+    )))
     return out.select(schema.names).to_arrow().cast(schema)
 
 
 def refresh_live_extrema(
     lake_dir: str, view_dir: str, key: str = "lang",
     max_cols: Sequence[str] = ("warc_ts",),
+    min_cols: Sequence[str] = (),
     *,
     at_version: int | None = None,
 ) -> dict:
-    """Per-``key`` MAX view — the NON-INVERTIBLE aggregate case.
+    """Per-``key`` MAX/MIN view — the NON-INVERTIBLE aggregate case.
 
     ``count``/``sum`` views refresh by signed retraction arithmetic
     (:func:`refresh_live_stats`); a ``max`` cannot — deleting the row
@@ -352,12 +363,15 @@ def refresh_live_extrema(
         with open(spath, "r", encoding="utf-8") as f:
             state = json.load(f)
     if state is not None and (
-        state.get("key") != key or state.get("max_cols") != list(max_cols)
+        state.get("key") != key
+        or state.get("max_cols") != list(max_cols)
+        or state.get("min_cols", []) != list(min_cols)
     ):
         raise ValueError(
             f"extrema view maintains key={state.get('key')} "
-            f"max_cols={state.get('max_cols')}, refresh asked for "
-            f"{key}/{list(max_cols)}"
+            f"max_cols={state.get('max_cols')} "
+            f"min_cols={state.get('min_cols', [])}, refresh asked for "
+            f"{key}/{list(max_cols)}/{list(min_cols)}"
         )
     if state is not None and state["lake_version"] == target:
         return {"refreshed": False, "mode": "noop", "lake_version": target}
@@ -371,11 +385,12 @@ def refresh_live_extrema(
     ):
         state = None  # lagged past retention: rebuild
 
-    cols = [key, *max_cols]
+    cols = list(dict.fromkeys([key, *max_cols, *min_cols]))
     prev_file = state["file"] if state is not None else None
     if state is None:
         view = _aggregate_extrema(
-            read_lake(lake_dir, version=target, columns=cols), key, max_cols
+            read_lake(lake_dir, version=target, columns=cols),
+            key, max_cols, min_cols,
         )
         mode = "full"
         recomputed = view.num_rows
@@ -406,7 +421,7 @@ def refresh_live_extrema(
                     lake_dir, version=target, columns=cols,
                     filter=pc.field(key).isin(affected),
                 ),
-                key, max_cols,
+                key, max_cols, min_cols,
             )
             kept = old_tab.filter(
                 ~pl.col(key).is_in(affected.to_pylist())
@@ -430,7 +445,7 @@ def refresh_live_extrema(
         spath,
         json.dumps({
             "lake_version": target, "file": fname, "key": key,
-            "max_cols": list(max_cols),
+            "max_cols": list(max_cols), "min_cols": list(min_cols),
         }).encode("utf-8"),
     )
     if prev_file is not None and prev_file != fname:

@@ -343,3 +343,48 @@ def test_extrema_view_recovers_runner_up_after_max_delete(lake, tmp_path):
     after = _extrema_dict(view)
     assert after[lang] == runner_up          # runner-up recovered
     assert after == _recount_max(lake.lake_dir)  # and everything matches
+
+
+def test_extrema_view_min_and_max_columns(lake, tmp_path):
+    """min+max in one view: stepwise refresh matches recount for both
+    directions (min is equally non-invertible)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_extrema_view,
+        refresh_live_extrema,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+    view = str(tmp_path / "mmview")
+    top = load_manifest(lake.lake_dir).version
+    refresh_live_extrema(
+        lake.lake_dir, view, key="lang",
+        max_cols=("warc_ts", "seq"), min_cols=("warc_ts",), at_version=1,
+    )
+    for v in range(2, top + 1):
+        refresh_live_extrema(
+            lake.lake_dir, view, key="lang",
+            max_cols=("warc_ts", "seq"), min_cols=("warc_ts",), at_version=v,
+        )
+    got = {r["lang"]: r for r in read_extrema_view(view).to_pylist()}
+    truth = {}
+    for r in lake_snapshot(lake.lake_dir).to_pylist():
+        k = r["lang"]
+        if k is None:
+            continue
+        t = truth.setdefault(
+            k, {"warc_ts": r["warc_ts"], "seq": r["seq"],
+                "min_warc_ts": r["warc_ts"]}
+        )
+        t["warc_ts"] = max(t["warc_ts"], r["warc_ts"])
+        t["seq"] = max(t["seq"], r["seq"])
+        t["min_warc_ts"] = min(t["min_warc_ts"], r["warc_ts"])
+    assert set(got) == set(truth)
+    for k, t in truth.items():
+        for c in ("warc_ts", "seq", "min_warc_ts"):
+            assert got[k][c] == t[c], (k, c)
+    # contract: changing min_cols is refused
+    import pytest
+    with pytest.raises(ValueError):
+        refresh_live_extrema(
+            lake.lake_dir, view, key="lang", max_cols=("warc_ts", "seq"),
+        )
