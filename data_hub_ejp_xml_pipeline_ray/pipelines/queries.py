@@ -957,9 +957,24 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
     cutoff = datetime(1998, 1, 1)
 
     def partial_rev(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(1.0, batch.column("l_discount")),
+        # price and discount are 2dp decimals, so each term is EXACT on
+        # a 1e-4 grid: snap to int64 ten-thousandths before summing.
+        # Integer partial sums are order-independent, and the final 2dp
+        # rounding is integer arithmetic too ((sum+50)//100 on both
+        # sides), so no float knife-edge can ever flip a value vs the
+        # oracle.
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(1.0, batch.column("l_discount")),
+                    ),
+                    10_000.0,
+                ),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         t = pa.table({"orderkey": batch.column("l_orderkey"), "revenue": rev})
         t = t.group_by("orderkey").aggregate([("revenue", "sum")]).rename_columns(
@@ -975,7 +990,7 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
     def tag_orders(batch: pa.Table) -> pa.Table:
         return pa.table({
             "orderkey": batch.column("o_orderkey"),
-            "revenue": pa.nulls(batch.num_rows, pa.float64()),
+            "revenue": pa.nulls(batch.num_rows, pa.int64()),
             "o_orderpriority": batch.column("o_orderpriority"),
             "_bucket": _hash_bucket(batch.column("o_orderkey"), num_buckets),
         })
@@ -999,19 +1014,19 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
         orders_side = df.filter(pl.col("o_orderpriority").is_not_null()).select(
             ["orderkey", "o_orderpriority"]
         )
-        out = orders_side.join(rev, on="orderkey", how="left").rename(
-            {"orderkey": "o_orderkey", "revenue": "recent_revenue"}
-        )
-        tab = out.select(
+        out = orders_side.join(rev, on="orderkey", how="left").with_columns(
+            # integer half-up to cents (all revenues positive), then to
+            # float only for display — identical arithmetic in the SQL
+            (((pl.col("revenue") + 50) // 100).cast(pl.Float64) / 100.0)
+            .alias("recent_revenue")
+        ).rename({"orderkey": "o_orderkey"})
+        return out.select(
             ["o_orderkey", "o_orderpriority", "recent_revenue"]
         ).to_arrow().cast(pa.schema([
             ("o_orderkey", pa.int64()),
             ("o_orderpriority", pa.string()),
             ("recent_revenue", pa.float64()),
         ]))
-        return tab.set_column(
-            2, "recent_revenue", _round2(tab.column("recent_revenue"))
-        )
 
     return lineitem.union(orders).groupby("_bucket").map_groups(
         lambda g: left_join_bucket(g.drop_columns(["_bucket"])),
@@ -3365,8 +3380,14 @@ ORACLE_SQL["funnel_signup_purchase"] = """
 """
 
 ORACLE_SQL["orders_left_join_recent_revenue"] = """
+    -- per-term snap to the exact 1e-4 grid before summing, then
+    -- INTEGER half-up to cents (matches the engine bit for bit:
+    -- integer sums are order-independent and the final rounding never
+    -- touches a float)
     SELECT o.o_orderkey, o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           CAST(FLOOR((SUM(CAST(ROUND(
+               l.l_extendedprice * (1 - l.l_discount) * 10000
+           ) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0
                AS recent_revenue
     FROM orders o LEFT JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
