@@ -255,3 +255,33 @@ def test_cluster_lake_sorts_and_prunes_row_groups(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         cluster_lake(cfg.lake_dir, "no_such_column")
+
+
+def test_cluster_then_ingest_converges(tmp_path):
+    """Sort clustering is a pure layout rewrite: ingesting more WAL
+    AFTER a cluster must converge to the clean single-shot lake (the
+    merge reads the re-laid-out base files transparently)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import cluster_lake
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=29, n_urls=50, n_events=500,
+                 n_segments=6, delete_fraction=0.1)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=8, extract_concurrency=2,
+                    max_segments_per_batch=3)
+    run_ingest(cfg)
+    cluster_lake(cfg.lake_dir, "url", row_group_rows=32)
+    generate_wal(os.path.join(tmp, "wal"), seed=83, n_urls=50, n_events=250,
+                 n_segments=3, start_segment=6, delete_fraction=0.1)
+    run_ingest(cfg)
+
+    clean = CdcConfig(wal_dir=cfg.wal_dir,
+                      lake_dir=os.path.join(tmp, "clean"),
+                      num_partitions=8, extract_concurrency=2,
+                      max_segments_per_batch=64)
+    run_ingest(clean)
+    a = lake_snapshot(cfg.lake_dir)
+    b = lake_snapshot(clean.lake_dir)
+    assert a.num_rows == b.num_rows
+    assert a.sort_by("url").equals(b.sort_by("url"))
