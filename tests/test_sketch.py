@@ -98,3 +98,90 @@ def test_cms_topk_matches_exact_on_skewed_corpus():
         if t.startswith("term"):
             true = (20 - int(t[4:])) * 200
             assert true <= e <= true + 600  # eps*N slack
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+
+def _rank_error(data_sorted, estimate, p):
+    n = len(data_sorted)
+    rank = np.searchsorted(data_sorted, estimate) / n
+    return abs(rank - p)
+
+
+def test_tdigest_rank_error_bound():
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        TDIGEST_DELTA,
+        tdigest_build,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(0.0, 2.0, 50_000)  # heavy-tailed
+    sk = tdigest_build(data)
+    ds = np.sort(data)
+    for p in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = float(tdigest_quantile(sk, p))
+        bound = max(4.0 * p * (1 - p) / TDIGEST_DELTA * 3.0, 0.002)
+        assert _rank_error(ds, est, p) <= bound, (p, est)
+
+
+def test_tdigest_merge_matches_single_build():
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    parts = [rng.standard_normal(8_000) * (i + 1) for i in range(6)]
+    whole = np.concatenate(parts)
+    merged = tdigest_merge([tdigest_build(p) for p in parts])
+    ds = np.sort(whole)
+    for p in (0.05, 0.5, 0.95):
+        est = float(tdigest_quantile(merged, p))
+        assert _rank_error(ds, est, p) <= 0.02, p
+    # merge order must not matter (up to the same bound)
+    rev = tdigest_merge([tdigest_build(x) for x in reversed(parts)])
+    for p in (0.05, 0.5, 0.95):
+        a = _rank_error(ds, float(tdigest_quantile(merged, p)), p)
+        b = _rank_error(ds, float(tdigest_quantile(rev, p)), p)
+        assert abs(a - b) <= 0.02
+    # serialization round-trips
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        tdigest_deserialize,
+        tdigest_serialize,
+    )
+    rt = tdigest_deserialize(tdigest_serialize(merged))
+    assert np.allclose(rt[0], merged[0]) and np.allclose(rt[1], merged[1])
+
+
+def test_tdigest_grouped_dataset_close_to_exact():
+    import ray.data
+
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        tdigest_grouped_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(["a", "b", "c"], 20_000)
+    v = np.concatenate([
+        rng.standard_normal(20_000),
+        rng.lognormal(0, 1, 20_000),
+        rng.uniform(-5, 5, 20_000),
+    ])
+    tbl = pa.table({"grp": pa.array(g), "val": pa.array(v)})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = tdigest_grouped_quantiles(ds, "val", [0.25, 0.5, 0.9], group_col="grp")
+    for key in ("a", "b", "c"):
+        vals = np.sort(v[g == key])
+        for p, est in zip((0.25, 0.5, 0.9), got[key]):
+            assert _rank_error(vals, est, p) <= 0.02, (key, p)
+    # centroid payload stays sketch-sized (fixed partials, not values)
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        TDIGEST_DELTA,
+        tdigest_build,
+    )
+    m, w = tdigest_build(v)
+    assert m.size <= 2 * TDIGEST_DELTA
