@@ -2499,6 +2499,209 @@ def q_cdc_entity_lake(sf_dir: str):
     )
 
 
+def q_value_quantiles_tdigest(sf_dir: str):
+    """ONE-PASS approximate grouped quantiles via the mergeable t-digest
+    (``functions/sketch.py``): per-batch per-group digests (~KB each)
+    merged driver-side — the values themselves never move, vs the exact
+    sibling ``value_quantiles_by_type``'s 3 selection passes. Rows-only
+    (approximate by design); rank-error vs the exact sibling is bounded
+    by ``tests/test_sketch.py``."""
+    from ..functions.sketch import tdigest_grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"], rows_per_block=20_000)
+    ps = [0.25, 0.5, 0.75, 0.9]
+    qs = tdigest_grouped_quantiles(ds, "value", ps, group_col="event_type")
+    groups = sorted(qs)
+    cols: dict = {"event_type": pa.array(groups, pa.string())}
+    for name, i in zip(["p25", "p50", "p75", "p90"], range(len(ps))):
+        cols[name] = pa.array(
+            [float(qs[g][i]) for g in groups], pa.float64()
+        )
+    return pa.table(cols)
+
+
+def q_distinct_sources_by_lang(sf_dir: str):
+    """Group-valued string aggregation (collect-set + ordered join): the
+    sorted distinct source list per language as one string. Scale shape:
+    a per-batch DISTINCT-pair combiner collapses each block to at most
+    |langs|x|sources| rows BEFORE the shuffle, so the groupby moves the
+    distinct-pair set, never the corpus."""
+    ds = _read(sf_dir, "documents", ["lang", "source"], rows_per_block=20_000)
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).unique().to_arrow().cast(
+                pa.schema([("lang", pa.string()), ("source", pa.string())])
+            )
+        )
+
+    pairs = ds.map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        srcs = sorted(set(g.column("source").to_pylist()))
+        return pa.table({
+            "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
+            "sources": pa.array([",".join(srcs)], pa.string()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+        })
+
+    return pairs.groupby("lang").map_groups(assemble, batch_format="pyarrow")
+
+
+#: Bigrams below this corpus count are noise — and a deterministic
+#: result set needs a count floor, not a top-k with unstable ties.
+_BIGRAM_MIN_COUNT = 5
+
+
+def q_bigram_counts(sf_dir: str):
+    """Corpus n-gram language-model counts (bigrams with count >=
+    floor): vectorized polars tokenise -> explode -> shift-join within
+    each doc, LOCAL count combiner per block, tiny global sum. The
+    shuffle moves (bigram, partial_count) rows bounded by per-block
+    vocabulary — never the corpus text."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def local_bigrams(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_row_index("rid")
+        ex = (
+            df.select(
+                pl.col("rid"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("tk"),
+            )
+            .explode("tk")
+            .drop_nulls()
+        )
+        ex = ex.with_columns(
+            bigram=pl.col("tk") + " " + pl.col("tk").shift(-1),
+            rid2=pl.col("rid").shift(-1),
+        )
+        out = (
+            ex.filter(pl.col("rid") == pl.col("rid2"))
+            .group_by("bigram").agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+        )
+
+    counts = ds.map_batches(
+        local_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = counts.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n"), _BIGRAM_MIN_COUNT)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _round4_half_away(x: float) -> float:
+    return float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)
+
+
+def q_value_moments_by_type(sf_dir: str):
+    """Distributed moment aggregates (mean / sample stddev) via the
+    classic (n, sum, sumsq) partials: each block collapses to one row
+    per group before the shuffle; the final reduce sees blocks x groups
+    rows. Rounded scale-4 on both sides so summation order can't flip
+    the value hash."""
+    ds = _read(sf_dir, "events", ["event_type", "value"], rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("value").sum().alias("s1"),
+            (pl.col("value") ** 2).sum().alias("s2"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("s1", pa.float64()), ("s2", pa.float64()),
+        ]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+    )
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("mean_value", pa.float64()), ("std_value", pa.float64()),
+    ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # Ray hash-agg emits 0-col empty blocks
+            return out_schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        var = np.maximum(s2 - s1 * s1 / n, 0.0) / np.maximum(n - 1, 1.0)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n": t.column("n"),
+            "mean_value": pa.array(
+                [_round4_half_away(x) for x in mean], pa.float64()),
+            "std_value": pa.array(
+                [_round4_half_away(x) for x in np.sqrt(var)], pa.float64()),
+        })
+
+    # per-group rows are final after the aggregate -> finish is row-local
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+#: Weighted-sample size (priority sampling: rank by hash/weight — the
+#: byte-budgeted corpus subsampling primitive, weight = n_chars).
+_WEIGHTED_SAMPLE_K = 50
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic WEIGHTED sample (priority / bottom-k sampling):
+    rank docs by ``hash(doc_id) / weight`` and keep the k smallest —
+    longer docs proportionally likelier, reproducible under
+    repartitioning, and SQL-expressible (IEEE division is bit-exact on
+    both sides, unlike ln()/pow() A-Res variants). Scale shape: per-block
+    keep-k combiner, then one tiny final sort — the full corpus is
+    never globally sorted (same pattern as ``top_customers``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+               rows_per_block=20_000)
+    k = _WEIGHTED_SAMPLE_K
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        mask = w > 0
+        h = (did * _SAMPLE_MULT) % _SAMPLE_MOD
+        key = np.where(mask, h / np.maximum(w, 1), np.inf)
+        order = np.lexsort((did, key))[:k]
+        out = t.take(pa.array(np.sort(order)))
+        return out.append_column(
+            "_k", pa.array(key[np.sort(order)], pa.float64())
+        )
+
+    parts = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64()), ("_k", pa.float64()),
+    ])
+    tbls = [
+        b.cast(schema)
+        for b in parts.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    top = pa.concat_tables(tbls) if tbls else schema.empty_table()
+    df = pl.from_arrow(top).sort(["_k", "doc_id"]).head(k)
+    return df.drop("_k").to_arrow()
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2567,6 +2770,11 @@ QUERIES = {
     "rollup_doc_counts": q_rollup_doc_counts,
     "orders_left_join_recent_revenue": q_orders_left_join_recent_revenue,
     "funnel_signup_purchase": q_funnel_signup_purchase,
+    "value_quantiles_tdigest": q_value_quantiles_tdigest,
+    "distinct_sources_by_lang": q_distinct_sources_by_lang,
+    "bigram_counts": q_bigram_counts,
+    "value_moments_by_type": q_value_moments_by_type,
+    "weighted_sample_docs": q_weighted_sample_docs,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -3393,4 +3601,43 @@ ORACLE_SQL["orders_left_join_recent_revenue"] = """
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
     GROUP BY o.o_orderkey, o.o_orderpriority
+"""
+
+ORACLE_SQL["distinct_sources_by_lang"] = """
+    SELECT lang,
+           string_agg(source, ',' ORDER BY source) AS sources,
+           count(*) AS n_sources
+    FROM (SELECT DISTINCT lang, source FROM documents)
+    GROUP BY lang
+"""
+
+ORACLE_SQL["bigram_counts"] = """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ), pairs AS (
+      -- two unnests in one SELECT zip positionally in DuckDB
+      SELECT unnest(tk[1:len(tk) - 1]) AS a,
+             unnest(tk[2:len(tk)]) AS b
+      FROM toks
+    )
+    SELECT a || ' ' || b AS bigram, count(*) AS n
+    FROM pairs GROUP BY 1 HAVING count(*) >= 5
+"""
+
+ORACLE_SQL["value_moments_by_type"] = """
+    SELECT event_type, count(*) AS n,
+           round(avg(value), 4) AS mean_value,
+           round(stddev_samp(value), 4) AS std_value
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["weighted_sample_docs"] = """
+    -- priority (bottom-k) weighted sample: rank by hash/weight; IEEE
+    -- double division is bit-exact on both sides (ln()/pow() is not)
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ((doc_id * 2654435761) % 4294967296) * 1.0 / n_chars AS k
+      FROM documents WHERE n_chars > 0
+      ORDER BY k ASC, doc_id ASC LIMIT 50)
 """

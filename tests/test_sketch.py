@@ -185,3 +185,24 @@ def test_tdigest_grouped_dataset_close_to_exact():
     )
     m, w = tdigest_build(v)
     assert m.size <= 2 * TDIGEST_DELTA
+
+
+def test_value_quantiles_tdigest_close_to_exact_sibling():
+    """The registered one-pass t-digest query tracks the exact 3-pass
+    selection query within a small relative tolerance per cell."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        q_value_quantiles_by_type,
+        q_value_quantiles_tdigest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_value_quantiles_by_type(sf).to_pandas().set_index("event_type")
+    approx = q_value_quantiles_tdigest(sf).to_pandas().set_index("event_type")
+    assert sorted(exact.index) == sorted(approx.index)
+    for g in exact.index:
+        for col in ("p25", "p50", "p75", "p90"):
+            e, a = exact.loc[g, col], approx.loc[g, col]
+            # value-space tolerance: 5% of the group's p90 scale
+            assert abs(a - e) <= 0.05 * max(abs(exact.loc[g, "p90"]), 1.0), (
+                g, col, e, a,
+            )
