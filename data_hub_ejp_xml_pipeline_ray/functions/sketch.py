@@ -399,3 +399,71 @@ def tdigest_grouped_quantiles(
     if group_col is None:
         return qs[""]
     return qs
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+# ---------------------------------------------------------------------------
+
+#: ~0.8% false-positive rate at the matching k below; NO false
+#: negatives ever (the property the decontamination prefilter relies
+#: on: a zero-hit document is definitively clean).
+BLOOM_BITS_PER_ITEM = 10
+BLOOM_K = 7  # round(BITS_PER_ITEM * ln 2)
+
+_BLOOM_H2_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_sizes(n_items: int, bits_per_item: int = BLOOM_BITS_PER_ITEM) -> int:
+    """Bit-array size (multiple of 64) for an expected item count."""
+    m = max(64, int(n_items) * bits_per_item)
+    return (m + 63) // 64 * 64
+
+
+def bloom_empty(m_bits: int) -> np.ndarray:
+    return np.zeros(m_bits // 64, dtype=np.uint64)
+
+
+def _bloom_positions(bits: np.ndarray, h: np.ndarray, i: int):
+    """(word, bit) arrays for probe ``i`` via Kirsch-Mitzenmacher double
+    hashing g_i = h1 + i*h2 — h is already a uniform 64-bit hash
+    (blake2b upstream), so h2 derives by odd multiplicative mixing."""
+    m = np.uint64(bits.size * 64)
+    h1 = h.astype(np.uint64)
+    h2 = (h1 * _BLOOM_H2_MULT) | np.uint64(1)
+    idx = (h1 + np.uint64(i) * h2) % m
+    return (idx >> np.uint64(6)).astype(np.int64), idx & np.uint64(63)
+
+
+def bloom_add(bits: np.ndarray, hashes, k: int = BLOOM_K) -> np.ndarray:
+    """Fold a hash array in, vectorized (np.bitwise_or.at handles
+    duplicate word indices). Mutates and returns ``bits``."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    if h.size == 0:
+        return bits
+    for i in range(k):
+        word, bit = _bloom_positions(bits, h, i)
+        np.bitwise_or.at(bits, word, np.left_shift(np.uint64(1), bit))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, hashes, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership test -> bool array (false positives at the
+    documented rate; never false negatives)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    acc = np.ones(h.size, dtype=bool)
+    for i in range(k):
+        word, bit = _bloom_positions(bits, h, i)
+        acc &= (
+            (bits[word] >> bit) & np.uint64(1)
+        ).astype(bool)
+    return acc
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two same-sized blooms (bitwise OR) — associative,
+    commutative, idempotent: partial blooms built per batch merge into
+    exactly the bloom of the union of their inputs."""
+    if a.size != b.size:
+        raise ValueError(f"bloom size mismatch: {a.size} != {b.size}")
+    return a | b

@@ -1799,6 +1799,127 @@ def q_decontaminate_ngrams(sf_dir: str):
     return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-prefiltered EXACT decontamination — the 100-TB shape of
+    ``decontaminate_ngrams``. The exact variant broadcasts the full
+    benchmark gram-hash SET (~50 MB per million grams as a Python set);
+    here the bulk stream holds only a Bloom filter (10 bits/gram ≈
+    1.2 MB per million, mergeable by OR) and exactness is restored by a
+    distributed semi-join instead of a bigger broadcast:
+
+    1. benchmark gram hashes -> distinct-per-batch int64 rows,
+       materialized (ints only, benchmark-bounded);
+    2. driver folds them into the bloom (vectorized ``bloom_add`` per
+       batch) -> ``ray.put`` once;
+    3. the corpus streams ONCE against the bloom, emitting (doc_id, h)
+       rows ONLY for bloom-positive grams (volume = true hits + the
+       ~1% false-positive tail — never the corpus);
+    4. candidates verify via a bucketed co-group semi-join against the
+       bench gram rows: bloom has NO false negatives, the join kills
+       its false positives;
+    5. a final TEXT-FREE pass anti-filters the matched doc_ids
+       (collected driver-side: bounded by truly-contaminated docs).
+    """
+    from ..functions.sketch import (
+        bloom_add, bloom_contains, bloom_empty, bloom_sizes,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    bench_max = _decon_bench_max(sf_dir)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), bench_max))
+        hashes: set[int] = set()
+        for x in t.column("text").to_pylist():
+            hashes.update(_gram_hash_list(x))
+        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+
+    grams = ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # ints only, benchmark-bounded
+    bits = bloom_empty(bloom_sizes(max(grams.count(), 1)))
+    for b in grams.iter_batches(batch_format="pyarrow"):
+        bloom_add(
+            bits, b.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+    bloom_ref = ray.put(bits)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        t = t.filter(pc.greater_equal(t.column("doc_id"), bench_max))
+        ids = t.column("doc_id").to_pylist()
+        all_h: list[int] = []
+        counts: list[int] = []
+        for x in t.column("text").to_pylist():
+            g = _gram_hash_list(x)
+            all_h.extend(g)
+            counts.append(len(g))
+        if not all_h:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        h_arr = np.asarray(all_h, dtype=np.int64)
+        hit = bloom_contains(bloom, h_arr.astype(np.uint64))
+        did = np.repeat(np.asarray(ids, np.int64), counts)
+        return pa.table({"doc_id": pa.array(did[hit], pa.int64()),
+                         "h": pa.array(h_arr[hit], pa.int64())})
+
+    cand = ds.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # tagged union + bucketed co-group = semi-join on h (no Dataset.join:
+    # its empty hash partitions emit schema-less blocks)
+    def tag_cand(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_src", pa.array(np.zeros(t.num_rows, np.int8))
+        )
+
+    def tag_bench(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.nulls(t.num_rows, pa.int64()),
+            "h": t.column("h"),
+            "_src": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    both = cand.map_batches(
+        tag_cand, batch_format="pyarrow", zero_copy_batch=True
+    ).union(grams.map_batches(
+        tag_bench, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def match_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        bench_h = df.filter(pl.col("_src") == 1).select("h")
+        out = (
+            df.filter(pl.col("_src") == 0)
+            .join(bench_h, on="h", how="semi")
+            .select("doc_id").unique()
+        )
+        return out.to_arrow().cast(pa.schema([("doc_id", pa.int64())]))
+
+    matched = _bucketed_groups(
+        both, "h", match_bucket,
+        num_buckets=_buckets_for(sf_dir, "documents", rows_per_bucket=50_000),
+    )
+    bad = {
+        r
+        for b in matched.iter_batches(batch_format="pyarrow")
+        for r in b.column("doc_id").to_pylist()
+    }
+    bad_arr = pa.array(sorted(bad), pa.int64())
+
+    final = _read(sf_dir, "documents", ["doc_id", "lang"])  # text-free
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("doc_id"), bench_max),
+            pc.invert(pc.is_in(t.column("doc_id"), value_set=bad_arr)),
+        )
+        return t.filter(keep)
+
+    return final.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: Per-language sampling rates (threshold on the same multiplicative
 #: hash sample_documents uses): up-sample low-resource languages,
 #: down-sample the head — the data-mixture rebalancing primitive.
@@ -2770,6 +2891,7 @@ QUERIES = {
     "rollup_doc_counts": q_rollup_doc_counts,
     "orders_left_join_recent_revenue": q_orders_left_join_recent_revenue,
     "funnel_signup_purchase": q_funnel_signup_purchase,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "value_quantiles_tdigest": q_value_quantiles_tdigest,
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "bigram_counts": q_bigram_counts,
@@ -3602,6 +3724,10 @@ ORACLE_SQL["orders_left_join_recent_revenue"] = """
      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
     GROUP BY o.o_orderkey, o.o_orderpriority
 """
+
+# identical result contract to decontaminate_ngrams: the bloom is a
+# prefilter, the semi-join restores exactness — same NOT EXISTS oracle.
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngrams"]
 
 ORACLE_SQL["distinct_sources_by_lang"] = """
     SELECT lang,

@@ -206,3 +206,39 @@ def test_value_quantiles_tdigest_close_to_exact_sibling():
             assert abs(a - e) <= 0.05 * max(abs(exact.loc[g, "p90"]), 1.0), (
                 g, col, e, a,
             )
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from data_hub_ejp_xml_pipeline_ray.functions.sketch import (
+        bloom_add, bloom_contains, bloom_empty, bloom_merge, bloom_sizes,
+    )
+
+    rng = np.random.default_rng(7)
+    items = rng.integers(0, 2**63, 40_000, dtype=np.int64)
+    other = rng.integers(0, 2**63, 40_000, dtype=np.int64)
+    other = other[~np.isin(other, items)]
+    bits = bloom_add(bloom_empty(bloom_sizes(items.size)), items)
+    assert bloom_contains(bits, items).all()  # never a false negative
+    assert bloom_contains(bits, other).mean() < 0.03
+    # merge law: partial blooms OR into the bloom of the union
+    b1 = bloom_add(bloom_empty(bloom_sizes(items.size)), items[:20_000])
+    b2 = bloom_add(bloom_empty(bloom_sizes(items.size)), items[20_000:])
+    assert (bloom_merge(b1, b2) == bits).all()
+
+
+def test_decontaminate_bloom_equals_exact_sibling():
+    """Bloom prefilter + semi-join verification returns EXACTLY the
+    broadcast-set variant's row set."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        q_decontaminate_bloom,
+        q_decontaminate_ngrams,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = q_decontaminate_bloom(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    b = q_decontaminate_ngrams(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert a.equals(b)
