@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "rollup_doc_counts",
     "funnel_signup_purchase",
     "orders_left_join_recent_revenue",
+    "decontaminate_bloom",
+    "bigram_counts",
+    "weighted_sample_docs",
+    "value_quantiles_tdigest",
 ]
 
 

@@ -1758,43 +1758,100 @@ def _gram_hash_list(text: str | None) -> list[int]:
     ]
 
 
+def _gram_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, hash) pairs for every word 8-gram of every text in the
+    batch — vectorized end-to-end: polars tokenize -> explode ->
+    shifted concat_str -> 64-bit hash (one kernel call each; replaces a
+    python blake2b loop over ~100 grams/doc). Hashes are consistent
+    only WITHIN one engine run (bench and corpus sides both compute
+    them with this kernel, same polars version + fixed seed, verified
+    deterministic across worker processes) — which is all
+    set-membership needs; the ORACLE compares gram STRINGS. Collision
+    odds at 64 bits: ~n^2/2^65, ~1e-6 at 10M grams."""
+    n = _DECON_NGRAM
+    ex = (
+        pl.from_arrow(pa.table({"text": texts}))
+        .with_row_index("rid")
+        .select(
+            pl.col("rid").cast(pl.Int64),
+            pl.col("text").str.extract_all(r"[A-Za-z0-9]+").alias("tk"),
+        )
+        .explode("tk")
+        .drop_nulls("tk")
+    )
+    if ex.height == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    g = (
+        ex.with_columns(
+            *[pl.col("tk").shift(-i).alias(f"w{i}") for i in range(1, n)],
+            pl.col("rid").shift(-(n - 1)).alias("rid_end"),
+        )
+        .filter(pl.col("rid") == pl.col("rid_end"))
+        .select(
+            pl.col("rid"),
+            pl.concat_str(
+                [pl.col("tk"), *[pl.col(f"w{i}") for i in range(1, n)]],
+                separator=" ",
+            ).hash(seed=42).alias("h"),
+        )
+    )
+    rid = g["rid"].to_numpy().astype(np.int64)
+    h = (g["h"].to_numpy() >> np.uint64(1)).astype(np.int64)
+    return rid, h
+
+
+def _membership_hits(rid: np.ndarray, h: np.ndarray, bench_sorted: np.ndarray,
+                     num_rows: int) -> np.ndarray:
+    """Per-row bool: does any of the row's gram hashes appear in the
+    SORTED bench array (searchsorted membership — no Python set)."""
+    hit = np.zeros(num_rows, dtype=bool)
+    if h.size and bench_sorted.size:
+        idx = np.searchsorted(bench_sorted, h)
+        m = (idx < bench_sorted.size) & (
+            bench_sorted[np.minimum(idx, bench_sorted.size - 1)] == h
+        )
+        hit[rid[m]] = True
+    return hit
+
+
 def q_decontaminate_ngrams(sf_dir: str):
     """Benchmark DECONTAMINATION (the train/eval-overlap filter every
     LLM data pipeline needs): drop any training document sharing an
     8-gram with the benchmark slice. The benchmark's n-gram hash set is
     computed distributed, collected once (benchmark-bounded — eval sets
-    are small by definition) and broadcast via ``ray.put``; the corpus
+    are small by definition) and broadcast via ``ray.put`` as a SORTED
+    int64 array (searchsorted membership, no Python set); the corpus
     then streams through a vectorized anti-filter. Only benchmark
     grams ever leave their tasks — the training corpus is never
-    shuffled. Gram hashing is 64-bit blake2b (collision odds ~2^-61
-    per pair; the oracle compares gram STRINGS)."""
+    shuffled. Gram hashing is the vectorized 64-bit kernel
+    ``_gram_hashes_batch`` (the oracle compares gram STRINGS)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     bench_max = _decon_bench_max(sf_dir)
 
     def bench_grams(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("doc_id"), bench_max))
-        hashes: set[int] = set()
-        for x in t.column("text").to_pylist():
-            hashes.update(_gram_hash_list(x))
-        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+        _, h = _gram_hashes_batch(t.column("text"))
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
 
-    bench_set: set[int] = set()
-    for b in ds.map_batches(
-        bench_grams, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
-        bench_set.update(b.column("h").to_pylist())
-    bench_ref = ray.put(bench_set)
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    bench_arr = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    bench_ref = ray.put(bench_arr)
 
     def anti(t: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
         t = t.filter(
             pc.greater_equal(t.column("doc_id"), bench_max)
         )
-        keep = [
-            not any(h in bench for h in _gram_hash_list(x))
-            for x in t.column("text").to_pylist()
-        ]
-        return t.filter(pa.array(keep, pa.bool_())).select(["doc_id", "lang"])
+        rid, h = _gram_hashes_batch(t.column("text"))
+        hit = _membership_hits(rid, h, bench, t.num_rows)
+        return t.filter(pa.array(~hit)).select(["doc_id", "lang"])
 
     return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1829,10 +1886,8 @@ def q_decontaminate_bloom(sf_dir: str):
 
     def bench_grams(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("doc_id"), bench_max))
-        hashes: set[int] = set()
-        for x in t.column("text").to_pylist():
-            hashes.update(_gram_hash_list(x))
-        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+        _, h = _gram_hashes_batch(t.column("text"))
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
 
     grams = ds.map_batches(
         bench_grams, batch_format="pyarrow", zero_copy_batch=True
@@ -1847,28 +1902,69 @@ def q_decontaminate_bloom(sf_dir: str):
     def candidates(t: pa.Table) -> pa.Table:
         bloom = ray.get(bloom_ref)
         t = t.filter(pc.greater_equal(t.column("doc_id"), bench_max))
-        ids = t.column("doc_id").to_pylist()
-        all_h: list[int] = []
-        counts: list[int] = []
-        for x in t.column("text").to_pylist():
-            g = _gram_hash_list(x)
-            all_h.extend(g)
-            counts.append(len(g))
-        if not all_h:
+        rid, h = _gram_hashes_batch(t.column("text"))
+        if h.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "h": pa.array([], pa.int64())})
-        h_arr = np.asarray(all_h, dtype=np.int64)
-        hit = bloom_contains(bloom, h_arr.astype(np.uint64))
-        did = np.repeat(np.asarray(ids, np.int64), counts)
-        return pa.table({"doc_id": pa.array(did[hit], pa.int64()),
-                         "h": pa.array(h_arr[hit], pa.int64())})
+        hit = bloom_contains(bloom, h.astype(np.uint64))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[rid[hit]]
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "h": pa.array(h[hit], pa.int64())})
 
     cand = ds.map_batches(
         candidates, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()  # (doc_id, h) ints only; volume = hits + ~1% FP tail
 
-    # tagged union + bucketed co-group = semi-join on h (no Dataset.join:
-    # its empty hash partitions emit schema-less blocks)
+    # MEASURED-size dispatch (the dedup PAIR_DRIVER_THRESHOLD pattern):
+    # candidate rows are bloom-hit grams only; below the threshold the
+    # semi-join is a driver-side searchsorted over the materialized
+    # bench-gram stream (no shuffle, ~ms); above it (a 100-TB corpus'
+    # FP tail), the bucketed co-group below scales it out. count() on a
+    # materialized Dataset is free metadata.
+    if cand.count() <= DECON_CAND_DRIVER_THRESHOLD:
+        ct = pa.concat_tables(
+            [b for b in cand.iter_batches(batch_format="pyarrow")]
+            or [pa.table({"doc_id": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64())})]
+        )
+        c_h = ct.column("h").to_numpy(zero_copy_only=False)
+        c_id = ct.column("doc_id").to_numpy(zero_copy_only=False)
+        bad_np: set[int] = set()
+        for b in grams.iter_batches(batch_format="pyarrow"):
+            bh = np.sort(b.column("h").to_numpy(zero_copy_only=False))
+            hit = _membership_hits(
+                np.arange(c_h.size), c_h, bh, c_h.size
+            )
+            bad_np.update(c_id[hit].tolist())
+        bad = bad_np
+    else:
+        bad = _decon_semijoin_matched(sf_dir, cand, grams)
+    bad_arr = pa.array(sorted(bad), pa.int64())
+
+    final = _read(sf_dir, "documents", ["doc_id", "lang"])  # text-free
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("doc_id"), bench_max),
+            pc.invert(pc.is_in(t.column("doc_id"), value_set=bad_arr)),
+        )
+        return t.filter(keep)
+
+    return final.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: Above this many candidate (doc_id, gram) rows the bloom semi-join
+#: runs as a distributed co-group instead of a driver searchsorted pass
+#: (5M rows = ~80 MB of int64 pairs — measured safe driver residency).
+DECON_CAND_DRIVER_THRESHOLD = 5_000_000
+
+
+def _decon_semijoin_matched(sf_dir: str, cand, grams) -> set[int]:
+    """Distributed semi-join: tagged union + bucketed co-group on the
+    gram hash (no ``Dataset.join``: its empty hash partitions emit
+    schema-less blocks). Returns matched doc_ids — bounded by
+    truly-contaminated docs, safe to collect."""
+
     def tag_cand(t: pa.Table) -> pa.Table:
         return t.append_column(
             "_src", pa.array(np.zeros(t.num_rows, np.int8))
@@ -1901,23 +1997,11 @@ def q_decontaminate_bloom(sf_dir: str):
         both, "h", match_bucket,
         num_buckets=_buckets_for(sf_dir, "documents", rows_per_bucket=50_000),
     )
-    bad = {
+    return {
         r
         for b in matched.iter_batches(batch_format="pyarrow")
         for r in b.column("doc_id").to_pylist()
     }
-    bad_arr = pa.array(sorted(bad), pa.int64())
-
-    final = _read(sf_dir, "documents", ["doc_id", "lang"])  # text-free
-
-    def anti(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater_equal(t.column("doc_id"), bench_max),
-            pc.invert(pc.is_in(t.column("doc_id"), value_set=bad_arr)),
-        )
-        return t.filter(keep)
-
-    return final.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
 #: Per-language sampling rates (threshold on the same multiplicative
@@ -2001,25 +2085,25 @@ def q_prepare_training_corpus(sf_dir: str):
     # -- 2. decontaminate (bench grams from the FULL documents table)
     def bench_grams(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("doc_id"), bench_max))
-        hashes: set[int] = set()
-        for x in t.column("text").to_pylist():
-            hashes.update(_gram_hash_list(x))
-        return pa.table({"h": pa.array(sorted(hashes), pa.int64())})
+        _, h = _gram_hashes_batch(t.column("text"))
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
 
-    bench_set: set[int] = set()
-    for b in ds.map_batches(
-        bench_grams, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
-        bench_set.update(b.column("h").to_pylist())
-    bench_ref = ray.put(bench_set)
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    bench_arr = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    bench_ref = ray.put(bench_arr)
 
     def anti(t: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
-        keep = [
-            not any(h in bench for h in _gram_hash_list(x))
-            for x in t.column("text").to_pylist()
-        ]
-        return t.filter(pa.array(keep, pa.bool_()))
+        rid, h = _gram_hashes_batch(t.column("text"))
+        hit = _membership_hits(rid, h, bench, t.num_rows)
+        return t.filter(pa.array(~hit))
 
     decon = gated.map_batches(
         anti, batch_format="pyarrow", zero_copy_batch=True

@@ -242,3 +242,19 @@ def test_decontaminate_bloom_equals_exact_sibling():
         "doc_id", ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_decontaminate_bloom_distributed_semijoin_path(monkeypatch):
+    """Force the distributed co-group semi-join (the 100-TB path) by
+    zeroing the driver threshold; the result must not change."""
+    import data_hub_ejp_xml_pipeline_ray.pipelines.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    expected = Q.q_decontaminate_ngrams(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    monkeypatch.setattr(Q, "DECON_CAND_DRIVER_THRESHOLD", 0)
+    got = Q.q_decontaminate_bloom(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got.equals(expected)

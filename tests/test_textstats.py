@@ -69,3 +69,34 @@ def test_fingerprint_deterministic_and_order_sensitive():
     assert a != c
     assert ts.fingerprint_text(None) is None
     assert ts.fingerprint_text("") == 0
+
+
+def test_gram_hash_batch_matches_python_reference_structure():
+    """The vectorized gram kernel (polars shift-concat) produces exactly
+    the python reference's gram boundaries: same gram COUNT per row and
+    same duplicate structure (hash values differ by design — membership
+    only ever compares hashes from the same kernel)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        _gram_hash_list,
+        _gram_hashes_batch,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short text",                       # < 8 tokens: zero grams
+        None,                               # null text
+        "",                                 # empty
+        "a b c d e f g h i j k l m n o p",  # clean run
+        "x! y? z. a b c d e f g h",         # punctuation splits
+        "dup dup dup dup dup dup dup dup dup dup",  # repeated gram
+    ]
+    rid, h = _gram_hashes_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        ref = _gram_hash_list(t)
+        mine = h[rid == i]
+        assert len(mine) == len(ref), (i, len(mine), len(ref))
+        # duplicate structure: same multiset size after dedup
+        assert len(np.unique(mine)) == len(set(ref)), i
