@@ -831,7 +831,8 @@ def q_revenue_by_nation(sf_dir: str):
         })
 
     lineitem = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
+        rows_per_block=20_000,
     ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=20_000
