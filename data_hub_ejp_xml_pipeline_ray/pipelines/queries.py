@@ -2908,6 +2908,149 @@ def q_weighted_sample_docs(sf_dir: str):
     return df.drop("_k").to_arrow()
 
 
+def q_moving_avg_value_per_user(sf_dir: str):
+    """4-row MOVING AVERAGE over the ordered per-user log. Hash-exact
+    float strategy (the ``orders_left_join`` trick, windowed): each
+    value snaps to the 1e-4 grid as BIGINT first, the 4-term window
+    sum is INTEGER (order-independent), and the final
+    int/count/10000.0 double divisions are IEEE-exact identical on
+    both sides — no rounding epsilon anywhere. One vectorized
+    shift-sum kernel per bucket of complete users."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20_000)
+
+    def mov_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        v = (pl.col("value") * 10000).round(0).cast(pl.Int64)
+        terms = [
+            v.shift(i).over("user_id").fill_null(0) for i in range(4)
+        ]
+        present = [
+            v.shift(i).over("user_id").is_not_null().cast(pl.Int64)
+            for i in range(4)
+        ]
+        s = terms[0]
+        for x in terms[1:]:
+            s = s + x
+        c = present[0]
+        for x in present[1:]:
+            c = c + x
+        out = df.with_columns(s.alias("_s"), c.alias("_c")).select(
+            ["event_id", "user_id", "_s", "_c"]
+        ).to_arrow()
+        # numpy does the two IEEE divisions literally — polars'
+        # expression engine rewrites /constant into *reciprocal
+        # (65500/10000.0 != 65500*1e-4 in the last ulp), which breaks
+        # hash parity with the SQL's real division
+        mov = (
+            out.column("_s").to_numpy(zero_copy_only=False).astype(np.float64)
+            / out.column("_c").to_numpy(zero_copy_only=False).astype(np.float64)
+            / 10000.0
+        )
+        return pa.table({
+            "event_id": out.column("event_id").cast(pa.int64()),
+            "user_id": out.column("user_id").cast(pa.int64()),
+            "mov_avg": pa.array(mov, pa.float64()),
+        })
+
+    return _bucketed_groups(
+        ds, "user_id", mov_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
+def q_next_event_gap(sf_dir: str):
+    """LEAD window op: microseconds to each user's next event (NULL on
+    the last) — integer-exact timestamp arithmetic, one vectorized
+    shift per bucket of complete users."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"],
+               rows_per_block=20_000)
+
+    def gap_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            (
+                pl.col("ts").shift(-1).over("user_id").cast(pl.Int64)
+                - pl.col("ts").cast(pl.Int64)
+            ).alias("gap_us")
+        ).select(["event_id", "user_id", "gap_us"])
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]))
+
+    return _bucketed_groups(
+        ds, "user_id", gap_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
+def q_events_above_type_p90(sf_dir: str):
+    """Quantile-gated filter (outlier selection): events strictly above
+    their type's p90 — composes the bit-exact distributed quantile
+    machinery (3-pass selection, quantile_cont interpolation) with a
+    broadcast threshold filter; the comparison is against the SAME
+    float the SQL window computes, so the row set is hash-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               rows_per_block=20_000)
+    p90 = {
+        g: qs[0.9]
+        for g, qs in grouped_quantiles_distributed(
+            ds, "event_type", "value", [0.9]
+        ).items()
+    }
+
+    def gate(t: pa.Table) -> pa.Table:
+        cut = np.fromiter(
+            (p90[g] for g in t.column("event_type").to_pylist()),
+            dtype=np.float64, count=t.num_rows,
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > cut))
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE with deterministic tiebreak (most-frequent event
+    type per user; ties -> lexicographically first): per-batch
+    (user, type) count combiner, grouped sum, then one vectorized
+    arg-max kernel per bucket of complete users."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("user_id", "event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow().cast(pa.schema([
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("n", pa.int64()),
+            ]))
+        )
+
+    counts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["user_id", "event_type"]).aggregate(Sum("n", alias_name="n"))
+
+    def mode_bucket(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["user_id", "n", "event_type"],
+                  descending=[False, True, False])
+            .unique(subset=["user_id"], keep="first", maintain_order=True)
+            .rename({"event_type": "mode_type"})
+            .select(["user_id", "mode_type", "n"])
+        )
+        return df.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("mode_type", pa.string()),
+            ("n", pa.int64()),
+        ]))
+
+    return _bucketed_groups(
+        counts, "user_id", mode_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2982,6 +3125,10 @@ QUERIES = {
     "bigram_counts": q_bigram_counts,
     "value_moments_by_type": q_value_moments_by_type,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "moving_avg_value_per_user": q_moving_avg_value_per_user,
+    "next_event_gap": q_next_event_gap,
+    "events_above_type_p90": q_events_above_type_p90,
+    "mode_event_type_per_user": q_mode_event_type_per_user,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -3841,6 +3988,42 @@ ORACLE_SQL["value_moments_by_type"] = """
            round(avg(value), 4) AS mean_value,
            round(stddev_samp(value), 4) AS std_value
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["moving_avg_value_per_user"] = """
+    -- per-term snap to the 1e-4 grid -> INTEGER window sum (order-
+    -- independent) -> IEEE-exact divisions: hash-stable, no epsilon
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) / 10000.0 AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["next_event_gap"] = """
+    SELECT event_id, user_id,
+           date_diff('microsecond', ts,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS gap_us
+    FROM events
+"""
+
+ORACLE_SQL["events_above_type_p90"] = """
+    SELECT event_id, event_type, value FROM (
+      SELECT event_id, event_type, value,
+             quantile_cont(value, 0.9)
+               OVER (PARTITION BY event_type) AS p90
+      FROM events) WHERE value > p90
+"""
+
+ORACLE_SQL["mode_event_type_per_user"] = """
+    SELECT user_id, mode_type, n FROM (
+      SELECT user_id, event_type AS mode_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC)
+               AS rn
+      FROM events GROUP BY user_id, event_type) WHERE rn = 1
 """
 
 ORACLE_SQL["weighted_sample_docs"] = """
