@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -286,11 +287,44 @@ def split_overflowing(lake_dir: str, max_partition_bytes: int) -> dict:
     results = [split_partition(lake_dir, part) for part in sorted(over)]
     return {"splits": len(results), "parents": [r["parent"] for r in results]}
 
+def _zorder_indices(table: pa.Table, keys: list[str]) -> pa.Array:
+    """Sort order for MULTI-DIMENSIONAL clustering: dense-rank each key
+    column (any dtype, vectorized), normalize ranks onto a shared
+    ``64 // k``-bit budget, interleave the bits (Morton code) and sort
+    by the resulting z-value. Unlike lexicographic multi-key sort —
+    which prunes perfectly on the FIRST key and barely on later ones —
+    z-order keeps row-group min/max stats selective for EVERY
+    clustering column (Delta's OPTIMIZE ZORDER BY semantics). Nulls
+    rank lowest."""
+    import polars as pl
+
+    n = table.num_rows
+    bits = 64 // len(keys)
+    z = np.zeros(n, dtype=np.uint64)
+    ranks = (
+        pl.from_arrow(table.select(keys))
+        .select([
+            pl.col(k).rank("dense").fill_null(0).alias(k) for k in keys
+        ])
+    )
+    for j, k in enumerate(keys):
+        r = ranks[k].to_numpy().astype(np.uint64)
+        hi = max(int(r.max()), 1)
+        # scale dense ranks onto the per-column bit budget
+        v = (r * (((np.uint64(1) << np.uint64(bits)) - np.uint64(1)))) // np.uint64(hi)
+        for b in range(bits):
+            z |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                b * len(keys) + j
+            )
+    return pa.array(np.argsort(z, kind="stable").astype(np.int64))
+
+
 def cluster_lake(
     lake_dir: str,
     sort_by: "list[str] | str" = "url",
     *,
     row_group_rows: int = 64_000,
+    method: str = "linear",
 ) -> dict:
     """Rewrite every partition file SORTED by ``sort_by`` with bounded
     row groups — the single-sort-key analog of Delta's ``OPTIMIZE
@@ -308,6 +342,8 @@ def cluster_lake(
     analog — its store is append-only JSONL into BigQuery).
     """
     keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    if method not in ("linear", "zorder"):
+        raise ValueError(f"unknown cluster method {method!r}")
     with writer_lock(lake_dir) as lock_token:
         manifest = load_manifest(lake_dir)
         if manifest is None:
@@ -331,9 +367,12 @@ def cluster_lake(
                 batch.column("part").to_pylist(), batch.column("rel").to_pylist()
             ):
                 table = pq.read_table(os.path.join(lake_dir, rel))
-                idx = pc.sort_indices(
-                    table, sort_keys=[(k, "ascending") for k in keys]
-                )
+                if method == "zorder" and len(keys) > 1:
+                    idx = _zorder_indices(table, keys)
+                else:
+                    idx = pc.sort_indices(
+                        table, sort_keys=[(k, "ascending") for k in keys]
+                    )
                 table = table.take(idx)
                 new_rel = os.path.join("data", f"part-{part:05d}-{token}.parquet")
                 out_path = os.path.join(lake_dir, new_rel)
@@ -380,6 +419,7 @@ def cluster_lake(
                 "committed_at": utcnow_iso(),
                 "op": "cluster",
                 "sort_by": keys,
+                "method": method,
                 "partitions_rewritten": len(stats),
             }],
             counters=manifest.counters,
@@ -391,4 +431,7 @@ def cluster_lake(
         )
         verify_lock(lake_dir, lock_token)  # fencing before deletes
         gc_unreferenced(lake_dir, new_manifest, previous=manifest)
-    return {"partitions_rewritten": len(stats), "sort_by": keys}
+    return {
+        "partitions_rewritten": len(stats), "sort_by": keys,
+        "method": method,
+    }

@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sp, lake_only=True)
     sp.add_argument("--sort-by", default="url",
                     help="comma-separated sort key columns (default url)")
+    sp.add_argument("--method", default="linear",
+                    choices=["linear", "zorder"],
+                    help="linear = lexicographic multi-key sort; zorder = "
+                         "Morton-interleaved clustering (row-group stats "
+                         "stay selective for EVERY key)")
     sp = sub.add_parser("show", help="print committed manifest summary")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
@@ -343,7 +348,8 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import cluster_lake
 
             print(json.dumps(
-                cluster_lake(args.lake_dir, args.sort_by.split(","))
+                cluster_lake(args.lake_dir, args.sort_by.split(","),
+                             method=args.method)
             ))
         elif args.cmd == "split":
             from .pipelines.maintenance import split_overflowing, split_partition

@@ -285,3 +285,65 @@ def test_cluster_then_ingest_converges(tmp_path):
     b = lake_snapshot(clean.lake_dir)
     assert a.num_rows == b.num_rows
     assert a.sort_by("url").equals(b.sort_by("url"))
+
+
+def test_cluster_lake_zorder_prunes_on_every_key(tmp_path):
+    """Z-ORDER clustering: logical state unchanged, and row-group
+    min/max stats stay selective for EVERY clustering column — vs
+    lexicographic sort, which leaves the non-leading column
+    unprunable (its per-row-group range covers everything)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import cluster_lake
+
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=31, n_urls=2000, n_events=6000,
+        n_segments=2,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=1, extract_concurrency=2)
+    run_ingest(cfg)
+    before = lake_snapshot(cfg.lake_dir)
+    langs = sorted(set(before.column("lang").to_pylist()))
+    assert len(langs) >= 3
+
+    def coverage(rel, col_name, needle):
+        f = pq.ParquetFile(os.path.join(cfg.lake_dir, rel))
+        md = f.metadata
+        col = f.schema_arrow.names.index(col_name)
+        hit = sum(
+            1 for g in range(md.num_row_groups)
+            if md.row_group(g).column(col).statistics.min <= needle
+            <= md.row_group(g).column(col).statistics.max
+        )
+        return hit / md.num_row_groups, md.num_row_groups
+
+    # -- baseline: LINEAR sort by url -> lang stats cover everything
+    cluster_lake(cfg.lake_dir, "url", row_group_rows=16)
+    m1 = load_manifest(cfg.lake_dir)
+    rel = next(iter(m1.partitions.values()))
+    lang_cov_linear, n_groups = coverage(rel, "lang", langs[1])
+    assert n_groups > 20
+    assert lang_cov_linear >= 0.9  # unprunable on the non-sort column
+
+    # -- Z-ORDER by (lang, url): both columns stay selective
+    out = cluster_lake(
+        cfg.lake_dir, ["lang", "url"], row_group_rows=16, method="zorder"
+    )
+    assert out["method"] == "zorder"
+    m2 = load_manifest(cfg.lake_dir)
+    assert lake_snapshot(cfg.lake_dir).equals(before)  # layout-only
+    assert changes_between(cfg.lake_dir, m1.version, m2.version).count() == 0
+    rel = next(iter(m2.partitions.values()))
+    lang_cov_z, _ = coverage(rel, "lang", langs[1])
+    url_needle = before.column("url")[before.num_rows // 2].as_py()
+    url_cov_z, _ = coverage(rel, "url", url_needle)
+    assert lang_cov_z <= 0.6, lang_cov_z   # prunes on lang now
+    assert url_cov_z <= 0.5, url_cov_z     # AND still prunes on url
+    assert lang_cov_z < lang_cov_linear
+
+    # unknown method rejected before any rewrite
+    import pytest
+    with pytest.raises(ValueError):
+        cluster_lake(cfg.lake_dir, ["lang", "url"], method="hilbert")
