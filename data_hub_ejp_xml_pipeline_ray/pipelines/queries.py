@@ -3051,6 +3051,109 @@ def q_mode_event_type_per_user(sf_dir: str):
     )
 
 
+#: Columns the documents profile covers (string + numeric mix).
+_PROFILE_COLS = ["lang", "source", "n_chars"]
+
+
+def q_profile_documents(sf_dir: str):
+    """Data PROFILING (the ANALYZE / DESCRIBE-statistics operator): one
+    streaming pass emits per-column row/null counts and typed min/max
+    as per-batch partials (one row per column per block — the shuffle
+    sees blocks x columns rows), plus an exact distinct count per
+    column via a DISTINCT-pair combiner. Numeric columns min/max
+    numerically then render to string, so the profile table has one
+    uniform schema. Per-column distinct-value volume here is bounded
+    by small domains; a high-NDV column would ride the hash-bucket
+    count-distinct machinery instead (documented bound)."""
+    ds = _read(sf_dir, "documents", _PROFILE_COLS, rows_per_block=20_000)
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows = []
+        for col in _PROFILE_COLS:
+            c = t.column(col)
+            mm = pc.min_max(c)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            rows.append({
+                "col": col, "n": t.num_rows, "nulls": c.null_count,
+                "min_s": None if lo is None else str(lo),
+                "max_s": None if hi is None else str(hi),
+                "is_num": pa.types.is_integer(c.type)
+                or pa.types.is_floating(c.type),
+            })
+        return pa.Table.from_pylist(rows).cast(pa.schema([
+            ("col", pa.string()), ("n", pa.int64()), ("nulls", pa.int64()),
+            ("min_s", pa.string()), ("max_s", pa.string()),
+            ("is_num", pa.bool_()),
+        ]))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        frames = []
+        for col in _PROFILE_COLS:
+            vals = pc.drop_null(t.column(col)).unique()
+            frames.append(pa.table({
+                "col": pa.array([col] * len(vals), pa.string()),
+                "v": vals.cast(pa.string()),
+            }))
+        return pa.concat_tables(frames)
+
+    stats = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array([g.column("col")[0].as_py()], pa.string()),
+            "n_distinct": pa.array(
+                [len(g.column("v").unique())], pa.int64()
+            ),
+        })
+
+    ndv: dict[str, int] = {}
+    for b in pairs.groupby("col").map_groups(
+        count_distinct, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for c, d in zip(
+            b.column("col").to_pylist(), b.column("n_distinct").to_pylist()
+        ):
+            ndv[c] = d
+
+    # merge the per-block partials (columns x blocks rows — tiny)
+    df = pl.from_arrow(
+        pa.concat_tables(
+            b for b in stats.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        )
+    )
+    out_rows = []
+    for col in _PROFILE_COLS:
+        sub = df.filter(pl.col("col") == col)
+        is_num = bool(sub["is_num"][0])
+        mins = [x for x in sub["min_s"].to_list() if x is not None]
+        maxs = [x for x in sub["max_s"].to_list() if x is not None]
+        if is_num:
+            lo = str(min((int(x) for x in mins), default=None))
+            hi = str(max((int(x) for x in maxs), default=None))
+        else:
+            lo = min(mins, default=None)
+            hi = max(maxs, default=None)
+        out_rows.append({
+            "col": col,
+            "n": int(sub["n"].sum()),
+            "nulls": int(sub["nulls"].sum()),
+            "n_distinct": int(ndv.get(col, 0)),
+            "min_s": lo,
+            "max_s": hi,
+        })
+    return pa.Table.from_pylist(out_rows).cast(pa.schema([
+        ("col", pa.string()), ("n", pa.int64()), ("nulls", pa.int64()),
+        ("n_distinct", pa.int64()), ("min_s", pa.string()),
+        ("max_s", pa.string()),
+    ]))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3129,6 +3232,7 @@ QUERIES = {
     "next_event_gap": q_next_event_gap,
     "events_above_type_p90": q_events_above_type_p90,
     "mode_event_type_per_user": q_mode_event_type_per_user,
+    "profile_documents": q_profile_documents,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -3988,6 +4092,28 @@ ORACLE_SQL["value_moments_by_type"] = """
            round(avg(value), 4) AS mean_value,
            round(stddev_samp(value), 4) AS std_value
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["profile_documents"] = """
+    SELECT 'lang' AS col, count(*) AS n,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nulls,
+           count(DISTINCT lang) AS n_distinct,
+           CAST(min(lang) AS VARCHAR) AS min_s,
+           CAST(max(lang) AS VARCHAR) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
 """
 
 ORACLE_SQL["moving_avg_value_per_user"] = """
