@@ -353,25 +353,51 @@ def refresh_live_extrema(
     full build. The view itself is O(distinct keys) driver-side, the
     same documented bound as :func:`refresh_live_stats`. A vacuumed
     feed gap triggers a full rebuild, same as the stats view."""
+    return _refresh_affected_key(
+        lake_dir, view_dir, key,
+        cols=list(dict.fromkeys([key, *max_cols, *min_cols])),
+        agg_fn=lambda ds: _aggregate_extrema(ds, key, max_cols, min_cols),
+        state_file=EXTREMA_STATE,
+        fname_prefix="extrema",
+        signature={
+            "key": key, "max_cols": list(max_cols),
+            "min_cols": list(min_cols),
+        },
+        at_version=at_version,
+    )
+
+
+def _refresh_affected_key(
+    lake_dir: str, view_dir: str, key: str, *,
+    cols: "list[str]",
+    agg_fn: "Callable[[ray.data.Dataset], pa.Table]",
+    state_file: str,
+    fname_prefix: str,
+    signature: dict,
+    at_version: int | None,
+) -> dict:
+    """Shared AFFECTED-KEY RECOMPUTE skeleton for non-invertible views
+    (extrema, count-distinct): load + validate view state, name the
+    affected keys from the pre-image feed, recompute ONLY those keys
+    from a column-pruned ``key IN (affected)`` lake read, splice, and
+    swap atomically. ``signature`` is the view's definition — a refresh
+    with a different definition is refused (never silently rebuilt)."""
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     target = manifest.version if at_version is None else int(at_version)
-    spath = os.path.join(view_dir, EXTREMA_STATE)
+    spath = os.path.join(view_dir, state_file)
     state = None
     if os.path.exists(spath):
         with open(spath, "r", encoding="utf-8") as f:
             state = json.load(f)
-    if state is not None and (
-        state.get("key") != key
-        or state.get("max_cols") != list(max_cols)
-        or state.get("min_cols", []) != list(min_cols)
+    if state is not None and any(
+        state.get(k) != v for k, v in signature.items()
     ):
         raise ValueError(
-            f"extrema view maintains key={state.get('key')} "
-            f"max_cols={state.get('max_cols')} "
-            f"min_cols={state.get('min_cols', [])}, refresh asked for "
-            f"{key}/{list(max_cols)}/{list(min_cols)}"
+            f"view at {view_dir} maintains "
+            f"{ {k: state.get(k) for k in signature} }, refresh asked "
+            f"for {signature}"
         )
     if state is not None and state["lake_version"] == target:
         return {"refreshed": False, "mode": "noop", "lake_version": target}
@@ -385,13 +411,9 @@ def refresh_live_extrema(
     ):
         state = None  # lagged past retention: rebuild
 
-    cols = list(dict.fromkeys([key, *max_cols, *min_cols]))
     prev_file = state["file"] if state is not None else None
     if state is None:
-        view = _aggregate_extrema(
-            read_lake(lake_dir, version=target, columns=cols),
-            key, max_cols, min_cols,
-        )
+        view = agg_fn(read_lake(lake_dir, version=target, columns=cols))
         mode = "full"
         recomputed = view.num_rows
     else:
@@ -416,13 +438,10 @@ def refresh_live_extrema(
             affected = pc.unique(
                 pa.concat_tables(affected_blocks).column(key).combine_chunks()
             )
-            fresh = _aggregate_extrema(
-                read_lake(
-                    lake_dir, version=target, columns=cols,
-                    filter=pc.field(key).isin(affected),
-                ),
-                key, max_cols, min_cols,
-            )
+            fresh = agg_fn(read_lake(
+                lake_dir, version=target, columns=cols,
+                filter=pc.field(key).isin(affected),
+            ))
             kept = old_tab.filter(
                 ~pl.col(key).is_in(affected.to_pylist())
             )
@@ -433,7 +452,7 @@ def refresh_live_extrema(
             recomputed = len(affected)
 
     os.makedirs(view_dir, exist_ok=True)
-    fname = f"extrema-v{target:06d}.parquet"
+    fname = f"{fname_prefix}-v{target:06d}.parquet"
     import pyarrow.parquet as pq
 
     pq.write_table(
@@ -444,8 +463,7 @@ def refresh_live_extrema(
     LOCAL_STORE.put_atomic(
         spath,
         json.dumps({
-            "lake_version": target, "file": fname, "key": key,
-            "max_cols": list(max_cols), "min_cols": list(min_cols),
+            "lake_version": target, "file": fname, **signature,
         }).encode("utf-8"),
     )
     if prev_file is not None and prev_file != fname:
@@ -457,6 +475,87 @@ def refresh_live_extrema(
         "refreshed": True, "mode": mode, "lake_version": target,
         "keys": view.num_rows, "keys_recomputed": recomputed,
     }
+
+
+DISTINCT_STATE = "_distinct.json"
+
+
+def _aggregate_distinct(
+    ds: ray.data.Dataset, key: str, distinct_col: str
+) -> pa.Table:
+    """Per-key exact count-distinct: per-batch DISTINCT-pair combiner
+    (one polars call per block), driver fold over the distinct-pair
+    set. Driver residency is O(keys x per-key distinct values) — the
+    documented view bound; a column whose per-key value domain is
+    unbounded belongs on the hash-bucketed ``grouped_count_distinct``
+    query machinery, not in a driver-sized view."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        df = pl.from_arrow(batch).filter(pl.col(key).is_not_null())
+        return df.select([key, distinct_col]).unique().to_arrow()
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    out_schema = pa.schema([
+        (key, parts.schema().base_schema.field(key).type),
+        (f"n_distinct_{distinct_col}", pa.int64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    out = (
+        pl.from_arrow(pa.concat_tables(
+            b.select([key, distinct_col]) for b in blocks
+        ))
+        .unique()
+        .group_by(key)
+        .agg(
+            pl.col(distinct_col).n_unique().cast(pl.Int64)
+            .alias(f"n_distinct_{distinct_col}")
+        )
+    )
+    return out.to_arrow().cast(out_schema)
+
+
+def refresh_live_distinct(
+    lake_dir: str, view_dir: str, key: str = "lang",
+    distinct_col: str = "_src_segment",
+    *,
+    at_version: int | None = None,
+) -> dict:
+    """Per-``key`` COUNT(DISTINCT ``distinct_col``) view — the second
+    NON-INVERTIBLE aggregate case: deleting one contributor row cannot
+    tell the feed whether the value still has other contributors, so
+    (like MAX, unlike count/sum) retraction arithmetic can't maintain
+    it. Same affected-key recompute as :func:`refresh_live_extrema`:
+    the pre-image feed names every key whose row set changed; only
+    those keys re-aggregate from a pruned ``key IN (affected)`` lake
+    read. Cost O(lake rows in affected keys); vacuumed gap -> rebuild."""
+    return _refresh_affected_key(
+        lake_dir, view_dir, key,
+        cols=list(dict.fromkeys([key, distinct_col])),
+        agg_fn=lambda ds: _aggregate_distinct(ds, key, distinct_col),
+        state_file=DISTINCT_STATE,
+        fname_prefix="distinct",
+        signature={"key": key, "distinct_col": distinct_col},
+        at_version=at_version,
+    )
+
+
+def read_distinct_view(view_dir: str) -> pa.Table:
+    """The committed count-distinct view as an Arrow table."""
+    spath = os.path.join(view_dir, DISTINCT_STATE)
+    if not os.path.exists(spath):
+        raise FileNotFoundError(f"no committed distinct view at {view_dir}")
+    with open(spath, "r", encoding="utf-8") as f:
+        state = json.load(f)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(view_dir, state["file"]))
 
 
 def read_extrema_view(view_dir: str) -> pa.Table:

@@ -388,3 +388,53 @@ def test_extrema_view_min_and_max_columns(lake, tmp_path):
         refresh_live_extrema(
             lake.lake_dir, view, key="lang", max_cols=("warc_ts", "seq"),
         )
+
+
+def _recount_distinct_at(lake_dir, version, col="_src_segment"):
+    out = {}
+    for r in lake_snapshot(lake_dir, version=version).to_pylist():
+        k = r["lang"]
+        if k is None:
+            continue
+        out.setdefault(k, set()).add(r[col])
+    return {k: len(v) for k, v in out.items()}
+
+
+def _distinct_dict(view_dir):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_distinct_view,
+    )
+
+    t = read_distinct_view(view_dir)
+    return {
+        r["lang"]: r["n_distinct__src_segment"] for r in t.to_pylist()
+    }
+
+
+def test_distinct_view_stepwise_matches_recount(lake, tmp_path):
+    """The second non-invertible aggregate (COUNT DISTINCT): deleting
+    one contributor can't tell the feed whether the value survives
+    elsewhere — affected-key recompute must land on the recount at
+    every version, and stepwise == one-shot."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        refresh_live_distinct,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+    view = str(tmp_path / "dview")
+    top = load_manifest(lake.lake_dir).version
+    assert top >= 3
+    r = refresh_live_distinct(lake.lake_dir, view, at_version=1)
+    assert r["mode"] == "full"
+    assert _distinct_dict(view) == _recount_distinct_at(lake.lake_dir, 1)
+    for v in range(2, top + 1):
+        r = refresh_live_distinct(lake.lake_dir, view, at_version=v)
+        assert r["refreshed"] and r["mode"] == "incremental"
+        assert _distinct_dict(view) == _recount_distinct_at(lake.lake_dir, v)
+    assert refresh_live_distinct(lake.lake_dir, view)["mode"] == "noop"
+    view2 = str(tmp_path / "dview2")
+    refresh_live_distinct(lake.lake_dir, view2)
+    assert _distinct_dict(view2) == _distinct_dict(view)
+    # definition contract enforced
+    with pytest.raises(ValueError):
+        refresh_live_distinct(lake.lake_dir, view, distinct_col="url")
