@@ -2651,6 +2651,49 @@ def q_incremental_lang_segment_counts(sf_dir: str):
     return read_view(view_dir)
 
 
+def q_incremental_lang_distinct_segments(sf_dir: str):
+    """NON-INVERTIBLE incremental view, DRIVER-ORACLE-CHECKED: exact
+    COUNT(DISTINCT _src_segment) per lang — retraction arithmetic
+    cannot maintain a distinct count (a deleted contributor says
+    nothing about survivors), so the refresh runs the affected-key
+    recompute path (`refresh_live_distinct`): build at v1, refresh to
+    v2 recomputing ONLY the langs the pre-image feed names. The oracle
+    recomputes the winners' distinct segment buckets from scratch in
+    SQL."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, run_ingest
+    from ..pipelines.incremental import (
+        read_distinct_view,
+        refresh_live_distinct,
+    )
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "mdist")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+    view_dir = os.path.join(work, "view")
+    r1 = refresh_live_distinct(
+        cfg.lake_dir, view_dir, key="lang", distinct_col="_src_segment",
+        at_version=1,
+    )
+    r2 = refresh_live_distinct(
+        cfg.lake_dir, view_dir, key="lang", distinct_col="_src_segment"
+    )
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    return read_distinct_view(view_dir)
+
+
 def q_replica_purchase_pages(sf_dir: str):
     """Feed-driven filtered replica, DRIVER-ORACLE-CHECKED: ingest the
     derived WAL in two commits, sync a replica of lang=='purchase'
@@ -3218,6 +3261,7 @@ QUERIES = {
     "incremental_lang_counts": q_incremental_lang_counts,
     "incremental_lang_stats": q_incremental_lang_stats,
     "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
+    "incremental_lang_distinct_segments": q_incremental_lang_distinct_segments,
     "replica_purchase_pages": q_replica_purchase_pages,
     "rollup_doc_counts": q_rollup_doc_counts,
     "orders_left_join_recent_revenue": q_orders_left_join_recent_revenue,
@@ -3820,6 +3864,30 @@ ORACLE_SQL = {
                count(*) AS n
         FROM win
         GROUP BY 1, 2
+    """,
+    # Non-invertible distinct view: winners' distinct segment buckets
+    # per lang, recomputed from scratch (the Ray side maintained it by
+    # affected-key recompute off the pre-image feed).
+    "incremental_lang_distinct_segments": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS total
+          FROM events
+        ), win AS (
+          SELECT event_type AS lang, rk, total FROM (
+            SELECT event_type, rk, total,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1 AND NOT is_del
+        )
+        SELECT lang,
+               count(DISTINCT CAST(
+                   floor((rk - 1) / ceil(total / 8.0)) AS BIGINT
+               )) AS n_distinct__src_segment
+        FROM win
+        GROUP BY lang
     """,
     # Filtered replica: the final replica == the LWW-live state
     # restricted to lang='purchase' (the Ray side converged to it by
