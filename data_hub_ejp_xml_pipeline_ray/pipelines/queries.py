@@ -2005,6 +2005,95 @@ def _decon_semijoin_matched(sf_dir: str, cand, grams) -> set[int]:
     }
 
 
+def q_contamination_pairs(sf_dir: str):
+    """Contamination ATTRIBUTION (the report behind the filter): every
+    (train doc, benchmark doc) pair sharing an 8-gram — so a data
+    audit can say WHICH eval set a dropped document collided with.
+    Both sides stream to distinct (doc, gram-hash) pairs, co-grouped
+    on the hash via the bucketed executor (one polars join per bucket
+    of complete hash groups); cross-bucket duplicate pairs (docs
+    sharing grams in different buckets) collapse driver-side — the
+    collected set is bounded by TRUE contamination volume, the same
+    bound as the decontamination drop set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_max = _decon_bench_max(sf_dir)
+
+    def doc_grams(t: pa.Table) -> pa.Table:
+        rid, h = _gram_hashes_batch(t.column("text"))
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[rid]
+        pairs = np.unique(np.stack([did, h]), axis=1)
+        return pa.table({
+            "doc_id": pa.array(pairs[0], pa.int64()),
+            "h": pa.array(pairs[1], pa.int64()),
+        })
+
+    grams = ds.map_batches(
+        doc_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def match_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        bench = df.filter(pl.col("doc_id") < bench_max).rename(
+            {"doc_id": "bench_doc_id"}
+        )
+        train = df.filter(pl.col("doc_id") >= bench_max).rename(
+            {"doc_id": "train_doc_id"}
+        )
+        out = (
+            train.join(bench, on="h", how="inner")
+            .select(["train_doc_id", "bench_doc_id"]).unique()
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("train_doc_id", pa.int64()), ("bench_doc_id", pa.int64()),
+        ]))
+
+    matched = _bucketed_groups(
+        grams, "h", match_bucket,
+        num_buckets=_buckets_for(sf_dir, "documents", rows_per_bucket=50_000),
+    )
+    blocks = [
+        b for b in matched.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    schema = pa.schema([
+        ("train_doc_id", pa.int64()), ("bench_doc_id", pa.int64()),
+    ])
+    if not blocks:
+        return schema.empty_table()
+    both = pa.concat_tables(b.cast(schema) for b in blocks)
+    u = np.unique(
+        np.stack([
+            both.column("train_doc_id").to_numpy(zero_copy_only=False),
+            both.column("bench_doc_id").to_numpy(zero_copy_only=False),
+        ]),
+        axis=1,
+    )
+    return pa.table({
+        "train_doc_id": pa.array(u[0], pa.int64()),
+        "bench_doc_id": pa.array(u[1], pa.int64()),
+    })
+
+
+#: Histogram bin width for the length distribution (chars).
+_LEN_BIN = 50
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Length-distribution histogram (the corpus-shape diagnostic every
+    data pipeline plots): fixed-width bins over n_chars, per-batch
+    count combiner, tiny grouped sum."""
+    ds = _read(sf_dir, "documents", ["n_chars"], rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column("n_chars"), _LEN_BIN)
+        out = pa.table({"bin": b}).group_by("bin").aggregate([("bin", "count")])
+        return out.rename_columns(["bin", "n"]).cast(
+            pa.schema([("bin", pa.int64()), ("n", pa.int64())])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
 #: Per-language sampling rates (threshold on the same multiplicative
 #: hash sample_documents uses): up-sample low-resource languages,
 #: down-sample the head — the data-mixture rebalancing primitive.
@@ -3277,6 +3366,8 @@ QUERIES = {
     "events_above_type_p90": q_events_above_type_p90,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "profile_documents": q_profile_documents,
+    "contamination_pairs": q_contamination_pairs,
+    "doc_length_histogram": q_doc_length_histogram,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -4160,6 +4251,34 @@ ORACLE_SQL["value_moments_by_type"] = """
            round(avg(value), 4) AS mean_value,
            round(stddev_samp(value), 4) AS std_value
     FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["contamination_pairs"] = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(tk[i:i+{_DECON_NGRAM - 1}], ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(tk) - {_DECON_NGRAM - 1}, 0)))
+             AS g(i)
+    ),
+    bench AS (
+      SELECT DISTINCT doc_id, gram FROM grams
+      WHERE doc_id < {_DECON_BENCH_SQL}
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, gram FROM grams
+      WHERE doc_id >= {_DECON_BENCH_SQL}
+    )
+    SELECT DISTINCT t.doc_id AS train_doc_id, b.doc_id AS bench_doc_id
+    FROM train t JOIN bench b USING (gram)
+"""
+
+ORACLE_SQL["doc_length_histogram"] = f"""
+    SELECT n_chars // {_LEN_BIN} AS bin, count(*) AS n
+    FROM documents GROUP BY 1
 """
 
 ORACLE_SQL["profile_documents"] = """
