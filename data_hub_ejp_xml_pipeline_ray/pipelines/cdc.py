@@ -171,6 +171,7 @@ def _gc_stale_staging(staging_root: str) -> None:
 def _ingest_one_batch(
     cfg: CdcConfig, manifest: LakeManifest, segments: list[wal_source.SegmentMeta],
     *, spill_cls=None, lake_schema_fn=None, reduce_fn=None,
+    watermark_override: str | None = None, lineage_extra: dict | None = None,
 ) -> tuple[LakeManifest, dict[str, int]]:
     """Process one micro-batch of segments and commit. Pure function of
     (committed lake state, segment set) — a crashed batch rewrites the
@@ -313,7 +314,13 @@ def _ingest_one_batch(
     new_manifest = LakeManifest(
         num_partitions=manifest.num_partitions,
         version=manifest.version + 1,
-        watermark=segments[-1].name,
+        # a redrive replays synthetic segments and must NOT advance the
+        # tailer watermark past real WAL names (watermark_override
+        # pins it to the pre-redrive value)
+        watermark=(
+            watermark_override if watermark_override is not None
+            else segments[-1].name
+        ),
         schema=new_lake_schema,
         partitions=new_partitions,
         partition_meta=new_meta,
@@ -341,6 +348,7 @@ def _ingest_one_batch(
                 "rows_per_partition": {
                     str(int(r["part"])): int(r["rows"]) for r in stats
                 },
+                **(lineage_extra or {}),
             }
         ],
         counters=counters,
@@ -914,12 +922,120 @@ def read_errors(lake_dir: str) -> pa.Table:
 
     from ..stages.merge import ERRORS_SCHEMA
 
-    files = sorted(_glob.glob(os.path.join(lake_dir, ERRORS_DIR, "*.parquet")))
+    files = sorted(
+        f for f in _glob.glob(os.path.join(lake_dir, ERRORS_DIR, "*.parquet"))
+        if not f.endswith(".raw.parquet")  # raw siblings are redrive input
+    )
     if not files:
         return ERRORS_SCHEMA.empty_table()
     import pyarrow.parquet as pq
 
     return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def redrive_errors(cfg: CdcConfig, fixer=None) -> dict:
+    """DLQ REDRIVE: replay quarantined rows through the NORMAL ingest
+    path after a fix — the dead-letter queue's second half (quarantine
+    alone is a roach motel; real pipelines re-drive once the parser or
+    producer is repaired).
+
+    Mechanics:
+
+    1. every ``errors-<h>.raw.parquet`` (the offending rows in their
+       original wire schema) is MOVED to a transient sidecar dir — so
+       rows that STILL fail re-quarantine as fresh files without
+       colliding with the consumed ones;
+    2. ``fixer(table) -> table`` (optional) repairs each raw table —
+       e.g. re-decode mojibake html, fill a null key from a sister
+       column; no fixer = plain retry (for transient-defect queues);
+    3. the repaired tables replay as synthetic ``redrive-*`` segments
+       through ``_ingest_one_batch`` — same conform / quarantine / LWW
+       merge / CAS commit as live traffic, one commit, with the
+       tailer WATERMARK PINNED to its pre-redrive value (a synthetic
+       segment name must never make the tailer skip real WAL);
+    4. on success the consumed tagged+raw files are deleted with the
+       sidecar; on failure they are restored.
+
+    LWW makes redrive idempotent and safe out-of-order: replayed rows
+    merge by (warc_ts, seq) exactly as if they had never failed.
+    Returns counters incl. ``still_bad`` (rows the redrive
+    re-quarantined)."""
+    import glob as _glob
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    errors_dir = os.path.join(cfg.lake_dir, ERRORS_DIR)
+    # crash recovery: a sidecar left by a dead redrive is restored into
+    # the queue — re-replaying rows whose commit DID land is harmless
+    # (LWW merges them to the identical state), so restore-then-retry
+    # always converges
+    for orphan in _glob.glob(os.path.join(errors_dir, ".redrive-*")):
+        for f in _glob.glob(os.path.join(orphan, "*.parquet")):
+            os.replace(f, os.path.join(errors_dir, os.path.basename(f)))
+        _shutil.rmtree(orphan, ignore_errors=True)
+    raw_files = sorted(
+        f for f in _glob.glob(os.path.join(errors_dir, "*.raw.parquet"))
+    )
+    if not raw_files:
+        return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
+    manifest = load_manifest(cfg.lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {cfg.lake_dir}")
+
+    sidecar = os.path.join(errors_dir, f".redrive-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(sidecar)
+    moved: list[tuple[str, str]] = []
+    for rf in raw_files:
+        for f in (rf, rf[: -len(".raw.parquet")] + ".parquet"):
+            if os.path.exists(f):
+                dst = os.path.join(sidecar, os.path.basename(f))
+                os.replace(f, dst)
+                moved.append((f, dst))
+    try:
+        seg_dir = os.path.join(sidecar, "segments")
+        os.makedirs(seg_dir)
+        segments = []
+        redriven_rows = 0
+        for rf in raw_files:
+            t = _pq.read_table(os.path.join(sidecar, os.path.basename(rf)))
+            if fixer is not None:
+                t = fixer(t)
+            if t.num_rows == 0:
+                continue
+            redriven_rows += t.num_rows
+            name = "redrive-" + os.path.basename(rf).replace(
+                ".raw.parquet", ".parquet"
+            )
+            path = os.path.join(seg_dir, name)
+            _pq.write_table(t, path)
+            segments.append(wal_source.SegmentMeta(
+                name=name, path=path, size_bytes=os.path.getsize(path)
+            ))
+        if not segments:
+            for orig, dst in moved:
+                os.replace(dst, orig)
+            return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
+        new_manifest, _ = _ingest_one_batch(
+            cfg, manifest, segments,
+            watermark_override=manifest.watermark,
+            lineage_extra={"op": "redrive"},
+        )
+        still_bad = int(new_manifest.lineage[-1].get("error_rows", 0))
+    except BaseException:
+        for orig, dst in moved:
+            try:
+                os.replace(dst, orig)
+            except FileNotFoundError:
+                pass
+        _shutil.rmtree(sidecar, ignore_errors=True)
+        raise
+    _shutil.rmtree(sidecar, ignore_errors=True)
+    return {
+        "redriven_rows": redriven_rows, "commits": 1,
+        "still_bad": still_bad,
+    }
 
 
 def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:

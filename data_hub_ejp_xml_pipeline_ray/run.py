@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("errors", help="print quarantined dead-letter rows")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
+        "redrive",
+        help="replay quarantined rows through the normal ingest path "
+             "(plain retry; pass a fixer via the redrive_errors API)")
+    add_common(sp, lake_only=True)
+    sp = sub.add_parser(
         "versions", help="list retained snapshot versions (time travel)")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
@@ -171,6 +176,14 @@ def main(argv: list[str] | None = None) -> int:
                 for k in set(errs.column("error").to_pylist())
             },
         }))
+        return 0
+    if args.cmd == "redrive":
+        from .pipelines.cdc import CdcConfig, redrive_errors
+
+        # partition count / wal_dir are unused: the redrive replays its
+        # synthetic segments against the manifest's own partitioning
+        cfg = CdcConfig(wal_dir="", lake_dir=args.lake_dir)
+        print(json.dumps(redrive_errors(cfg)))
         return 0
     if args.cmd == "versions":
         from .state.checkpoint import (

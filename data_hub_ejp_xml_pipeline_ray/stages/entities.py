@@ -163,9 +163,9 @@ class EntityExtractCombineSpill:
         if self._errors_dir is not None and batch.num_rows:
             from .merge import ERROR_PART, quarantine_bad_rows, write_dead_letters
 
-            batch, err = quarantine_bad_rows(batch)
+            batch, err, raw = quarantine_bad_rows(batch)
             if err is not None:
-                path = write_dead_letters(self._errors_dir, err)
+                path = write_dead_letters(self._errors_dir, err, raw)
                 err_manifest = pa.table(
                     {"part": pa.array([ERROR_PART], pa.int64()),
                      "rows": pa.array([err.num_rows], pa.int64()),
@@ -287,9 +287,9 @@ class NestedExtractCombineSpill:
             batch = batch.drop_columns(["path"]).append_column("_src_segment", src_col)
         err_manifest = None
         if self._errors_dir is not None and batch.num_rows:
-            batch, err = quarantine_bad_rows(batch)
+            batch, err, raw = quarantine_bad_rows(batch)
             if err is not None:
-                path = write_dead_letters(self._errors_dir, err)
+                path = write_dead_letters(self._errors_dir, err, raw)
                 err_manifest = pa.table(
                     {"part": pa.array([ERROR_PART], pa.int64()),
                      "rows": pa.array([err.num_rows], pa.int64()),

@@ -63,8 +63,16 @@ ERRORS_SCHEMA = pa.schema(
 )
 
 
-def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
-    """Split a wire batch into (good rows, dead-letter rows).
+def quarantine_bad_rows(
+    batch: pa.Table,
+) -> tuple[pa.Table, pa.Table | None, pa.Table | None]:
+    """Split a wire batch into (good rows, dead-letter rows, raw rows).
+
+    The third table is the offending rows UNCHANGED in their original
+    wire schema (minus the reader-injected ``_src_segment``) — the DLQ
+    redrive input: after a fix, :func:`pipelines.cdc.redrive_errors`
+    replays these raw rows through the normal ingest path with exact
+    type fidelity (no lossy JSON round-trip).
 
     Quarantined: rows violating the WAL contract (null url / warc_ts /
     seq — unmergeable keys) and rows whose html payload is not valid
@@ -75,7 +83,7 @@ def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
     import pyarrow.compute as pc
 
     if batch.num_rows == 0:
-        return batch, None
+        return batch, None, None
     null_key = pc.is_null(batch.column("url"))
     for key_col in ("warc_ts", "seq"):
         if key_col in batch.column_names:
@@ -105,8 +113,12 @@ def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
             batch = batch.set_column(
                 batch.column_names.index("html"), "html", html_as_string
             )
-        return batch, None
+        return batch, None, None
     bad = batch.filter(pa.array(bad_any))
+    raw = (
+        bad.drop_columns(["_src_segment"])
+        if "_src_segment" in bad.column_names else bad
+    )
     good = batch.filter(pa.array(~bad_any))
     reasons = np.where(
         null_key_np[bad_any], "null_key_field", "invalid_utf8_html"
@@ -130,12 +142,16 @@ def quarantine_bad_rows(batch: pa.Table) -> tuple[pa.Table, pa.Table | None]:
         },
         schema=ERRORS_SCHEMA,
     )
-    return good, err
+    return good, err, raw
 
 
-def write_dead_letters(errors_dir: str, err: pa.Table) -> str:
+def write_dead_letters(
+    errors_dir: str, err: pa.Table, raw: pa.Table | None = None
+) -> str:
     """Persist a quarantine table content-addressed (idempotent on
-    batch retry); returns the file path."""
+    batch retry); returns the tagged-file path. ``raw`` (the offending
+    rows in their ORIGINAL wire schema) lands beside it as
+    ``errors-<h>.raw.parquet`` — the redrive input."""
     import hashlib
 
     os.makedirs(errors_dir, exist_ok=True)
@@ -152,6 +168,11 @@ def write_dead_letters(errors_dir: str, err: pa.Table) -> str:
     tmp = path + ".inprogress"
     pq.write_table(err, tmp)
     os.replace(tmp, path)
+    if raw is not None:
+        raw_path = path[: -len(".parquet")] + ".raw.parquet"
+        tmp = raw_path + ".inprogress"
+        pq.write_table(raw, tmp)
+        os.replace(tmp, raw_path)
     return path
 
 #: Hidden lake column persisting delete markers. Tombstones MUST be
@@ -469,9 +490,9 @@ class ExtractCombineSpill:
             batch = conform_table(batch, self._wire_schema)
         err_rows: list[pa.Table] = []
         if self._errors_dir is not None:
-            batch, err = quarantine_bad_rows(batch)
+            batch, err, raw = quarantine_bad_rows(batch)
             if err is not None:
-                path = write_dead_letters(self._errors_dir, err)
+                path = write_dead_letters(self._errors_dir, err, raw)
                 err_rows.append(pa.table(
                     {"part": pa.array([ERROR_PART], pa.int64()),
                      "rows": pa.array([err.num_rows], pa.int64()),

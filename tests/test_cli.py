@@ -188,3 +188,13 @@ def test_cli_poll_entity_rejects_row_consumers(tmp_path):
     )
     assert p.returncode == 2
     assert "row-lake consumers" in p.stderr
+
+
+def test_cli_redrive_noop_on_clean_lake(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=4, n_urls=10, n_events=60, n_segments=1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4"])
+    r = _run(["redrive", "--lake-dir", lake])
+    assert r == {"redriven_rows": 0, "commits": 0, "still_bad": 0}

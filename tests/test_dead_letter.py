@@ -113,3 +113,97 @@ def test_entity_lake_quarantines_corrupt_rows(tmp_path):
     assert {"https://good.example/", "https://good2.example/"} <= set(
         pages.column("url").to_pylist()
     )
+
+
+def test_redrive_errors_after_fix_converges_to_clean_lake(tmp_path):
+    """DLQ redrive: quarantine mojibake rows, then replay them through
+    the normal ingest path with a fixer (latin-1 -> utf-8 re-encode).
+    The redriven lake must equal the lake from a WAL where those rows
+    were valid all along; the watermark must NOT move; the queue must
+    be empty afterwards."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import redrive_errors
+
+    ts = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+    def seg(path, htmls):
+        n = len(htmls)
+        rows = {
+            "op": ["update"] * n,
+            "url": [f"https://u{i}.example/" for i in range(n)],
+            "warc_ts": [ts] * n,
+            "seq": list(range(1, n + 1)),
+            "html": htmls,
+            "lang": ["en"] * n,
+            "schema_version": [1] * n,
+            "fetch_status": [200] * n,
+        }
+        pq.write_table(pa.Table.from_pydict(rows, schema=EVENTS_SCHEMA_V1), path)
+
+    good = [b"page zero", b"caf\xc3\xa9 two", b"page three"]
+    bad = [b"page zero", "café two".encode("latin-1"), b"page three"]
+
+    # clean-world reference lake
+    clean = str(tmp_path / "clean")
+    os.makedirs(os.path.join(clean, "wal"))
+    seg(os.path.join(clean, "wal", "segment-00000.parquet"), good)
+    ccfg = CdcConfig(wal_dir=os.path.join(clean, "wal"),
+                     lake_dir=os.path.join(clean, "lake"),
+                     num_partitions=4, extract_concurrency=2)
+    run_ingest(ccfg)
+
+    # corrupt world: latin-1 bytes quarantined
+    tmp = str(tmp_path / "dirty")
+    os.makedirs(os.path.join(tmp, "wal"))
+    seg(os.path.join(tmp, "wal", "segment-00000.parquet"), bad)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    assert read_errors(cfg.lake_dir).num_rows == 1
+    wm_before = load_manifest(cfg.lake_dir).watermark
+
+    # no-op fixer first: the row still fails, queue refills, nothing lost
+    r = redrive_errors(cfg)
+    assert r["redriven_rows"] == 1 and r["still_bad"] == 1
+    assert read_errors(cfg.lake_dir).num_rows == 1
+
+    def fix_latin1(t: pa.Table) -> pa.Table:
+        fixed = [
+            None if b is None else (
+                b if _is_utf8(b) else b.decode("latin-1").encode("utf-8")
+            )
+            for b in t.column("html").to_pylist()
+        ]
+        return t.set_column(
+            t.column_names.index("html"), "html", pa.array(fixed, pa.binary())
+        )
+
+    def _is_utf8(b: bytes) -> bool:
+        try:
+            b.decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    r = redrive_errors(cfg, fixer=fix_latin1)
+    assert r["commits"] == 1 and r["redriven_rows"] == 1 and r["still_bad"] == 0
+
+    # queue drained, watermark pinned, lineage records the redrive
+    assert read_errors(cfg.lake_dir).num_rows == 0
+    m = load_manifest(cfg.lake_dir)
+    assert m.watermark == wm_before
+    assert m.lineage[-1]["op"] == "redrive"
+
+    # row-for-row identical to the clean-world lake (ignoring segment
+    # provenance, which truthfully names the redrive segment)
+    a = lake_snapshot(cfg.lake_dir).drop_columns(["_src_segment"])
+    b = lake_snapshot(ccfg.lake_dir).drop_columns(["_src_segment"])
+    assert a.equals(b)
+
+    # idempotent: nothing left to redrive
+    assert redrive_errors(cfg) == {
+        "redriven_rows": 0, "commits": 0, "still_bad": 0
+    }
+
+    # the tailer still sees no new WAL (watermark untouched)
+    assert run_ingest(cfg).commits == 0
