@@ -57,6 +57,58 @@ def vacuum(lake_dir: str, keep: int = 1) -> dict:
     }
 
 
+def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
+    """Controlled BACKFILL: move the tailer high-watermark BACKWARD so
+    the next ingest reprocesses WAL segments after ``to`` (``None`` =
+    from the beginning). Safe by construction: the LWW merge is
+    idempotent, so replaying already-applied segments converges to the
+    identical lake state (the crash/resume tests prove the same law).
+    Moving the watermark FORWARD is refused — that would make the
+    tailer silently skip unprocessed WAL. Commits a new version under
+    the writer lock (op ``rewind``) so the operation is in the
+    lineage, auditable and CAS-protected against concurrent writers."""
+    with writer_lock(lake_dir) as lock_token:
+        manifest = load_manifest(lake_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        if manifest.watermark is None:
+            return {"rewound": False, "watermark": None}
+        if to is not None and to > manifest.watermark:
+            raise ValueError(
+                f"refusing to move the watermark FORWARD "
+                f"({manifest.watermark!r} -> {to!r}): the tailer would "
+                f"skip unprocessed WAL"
+            )
+        new_manifest = LakeManifest(
+            num_partitions=manifest.num_partitions,
+            version=manifest.version + 1,
+            watermark=to,
+            schema=manifest.schema,
+            partitions=dict(manifest.partitions),
+            partition_meta=dict(manifest.partition_meta),
+            splits=list(manifest.splits),
+            lineage=manifest.lineage + [{
+                "version": manifest.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "rewind",
+                "from_watermark": manifest.watermark,
+                "to_watermark": to,
+            }],
+            counters=manifest.counters,
+            retain_versions=manifest.retain_versions,
+            kind=manifest.kind,
+        )
+        commit_manifest(
+            lake_dir, new_manifest, expected_version=manifest.version
+        )
+        verify_lock(lake_dir, lock_token)
+        gc_unreferenced(lake_dir, new_manifest, previous=manifest)
+    return {
+        "rewound": True, "from": manifest.watermark, "to": to,
+        "version": new_manifest.version,
+    }
+
+
 def compact_lake(lake_dir: str) -> dict:
     """Drop persisted tombstones from every partition that has them.
     Returns {"partitions_rewritten": n, "tombstones_dropped": n}.

@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("errors", help="print quarantined dead-letter rows")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
+        "rewind",
+        help="move the tailer watermark BACKWARD for a controlled "
+             "backfill (LWW replay converges); forward moves refused")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--to", default=None,
+                    help="segment name to rewind to (omit = beginning)")
+    sp = sub.add_parser(
         "redrive",
         help="replay quarantined rows through the normal ingest path "
              "(plain retry; pass a fixer via the redrive_errors API)")
@@ -176,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
                 for k in set(errs.column("error").to_pylist())
             },
         }))
+        return 0
+    if args.cmd == "rewind":
+        from .pipelines.maintenance import rewind_watermark
+
+        print(json.dumps(rewind_watermark(args.lake_dir, args.to)))
         return 0
     if args.cmd == "redrive":
         from .pipelines.cdc import CdcConfig, redrive_errors

@@ -347,3 +347,42 @@ def test_cluster_lake_zorder_prunes_on_every_key(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         cluster_lake(cfg.lake_dir, ["lang", "url"], method="hilbert")
+
+
+def test_rewind_watermark_backfill_converges(tmp_path):
+    """Controlled backfill: rewind the watermark to the beginning and
+    re-ingest — LWW replay must converge to the identical lake state;
+    forward moves are refused."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        rewind_watermark,
+    )
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=37, n_urls=60, n_events=600,
+                 n_segments=3, delete_fraction=0.1)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    before = lake_snapshot(cfg.lake_dir)
+    wm = load_manifest(cfg.lake_dir).watermark
+
+    with pytest.raises(ValueError):
+        rewind_watermark(cfg.lake_dir, "segment-99999.parquet")
+
+    r = rewind_watermark(cfg.lake_dir, None)
+    assert r["rewound"] and r["from"] == wm and r["to"] is None
+    m = load_manifest(cfg.lake_dir)
+    assert m.watermark is None and m.lineage[-1]["op"] == "rewind"
+
+    res = run_ingest(cfg)
+    assert res.commits >= 1 and res.watermark == wm
+    assert lake_snapshot(cfg.lake_dir).equals(before)  # replay == state
+
+    # partial rewind: reprocess only the last segment
+    rewind_watermark(cfg.lake_dir, "segment-00001.parquet")
+    res = run_ingest(cfg)
+    assert res.commits == 1 and res.events_applied > 0
+    assert lake_snapshot(cfg.lake_dir).equals(before)
