@@ -207,3 +207,38 @@ def test_redrive_errors_after_fix_converges_to_clean_lake(tmp_path):
 
     # the tailer still sees no new WAL (watermark untouched)
     assert run_ingest(cfg).commits == 0
+
+
+def test_redrive_recovers_orphaned_sidecar(tmp_path):
+    """A redrive that died mid-flight leaves its sidecar; the next
+    redrive restores those files into the queue and proceeds (LWW makes
+    re-replaying committed rows harmless)."""
+    import glob
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import redrive_errors
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=41, n_urls=10, n_events=50, n_segments=1)
+    _corrupt_segment(os.path.join(wal, "segment-00001.parquet"))
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    errors_dir = os.path.join(cfg.lake_dir, "_errors")
+    files = sorted(glob.glob(os.path.join(errors_dir, "errors-*")))
+    raws = [f for f in files if f.endswith(".raw.parquet")]
+    assert raws and len(files) == 2 * len(raws)  # tagged + raw pairs
+
+    # simulate a dead redrive: files moved into a sidecar, process gone
+    sidecar = os.path.join(errors_dir, ".redrive-deadbeef")
+    os.makedirs(sidecar)
+    for f in files:
+        os.replace(f, os.path.join(sidecar, os.path.basename(f)))
+    assert read_errors(cfg.lake_dir).num_rows == 0  # queue looks empty
+
+    # next redrive restores the sidecar and replays (rows still bad ->
+    # re-quarantined, nothing lost)
+    r = redrive_errors(cfg)
+    assert r["redriven_rows"] == 2 and r["still_bad"] == 2
+    assert not os.path.exists(sidecar)
+    assert read_errors(cfg.lake_dir).num_rows == 2
