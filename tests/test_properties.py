@@ -300,9 +300,11 @@ def test_quarantine_partitions_every_row_exactly_once(rows):
             "html": pa.array([h for _, h in rows], pa.binary()),
         }
     )
-    good, err = quarantine_bad_rows(batch)
+    good, err, raw = quarantine_bad_rows(batch)
     n_err = 0 if err is None else err.num_rows
     assert good.num_rows + n_err == batch.num_rows
+    # the raw (redrive) table mirrors the tagged rows one-for-one
+    assert (raw.num_rows if raw is not None else 0) == n_err
 
     def is_bad(u, h):
         if u is None:
