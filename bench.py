@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "bigram_counts",
     "weighted_sample_docs",
     "value_quantiles_tdigest",
+    "contamination_pairs",
+    "moving_avg_value_per_user",
+    "mode_event_type_per_user",
+    "events_above_type_p90",
+    "profile_documents",
 ]
 
 
