@@ -3286,6 +3286,30 @@ def q_profile_documents(sf_dir: str):
     ]))
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means over the embedding corpus (Lloyd's where the
+    vectors never leave the workers: per-block (sum, count, sse)
+    partials, k x d floats per block on the wire; deterministic
+    hash-seeded init; deterministic fold order). Rows-only — iterative
+    clustering has no SQL oracle; `tests/test_ann.py` bounds it against
+    the single-node reference and asserts monotone inertia +
+    determinism."""
+    from ..stages.ann import distributed_kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=20_000)
+    cent, counts, inertia = distributed_kmeans(
+        ds, "embedding", n_clusters=8, iters=8
+    )
+    return pa.table({
+        "cluster": pa.array(np.arange(len(counts)), pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+        "final_inertia": pa.array(
+            np.full(len(counts), round(inertia[-1], 4)), pa.float64()
+        ),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3368,6 +3392,7 @@ QUERIES = {
     "profile_documents": q_profile_documents,
     "contamination_pairs": q_contamination_pairs,
     "doc_length_histogram": q_doc_length_histogram,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"

@@ -455,3 +455,125 @@ def ivf_index_probed_fraction(index_dir: str, query_vecs: np.ndarray,
     if total == 0:
         return 0.0
     return sum(dir_bytes(c) for c in probed) / total
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's over the FULL dataset)
+# ---------------------------------------------------------------------------
+
+def distributed_kmeans(
+    ds, column: str, n_clusters: int, *, id_column: str = "vec_id",
+    iters: int = 10,
+):
+    """Lloyd's k-means where the corpus NEVER leaves the workers — the
+    canonical iterative algorithm on a Dataset:
+
+    * init: deterministic hash-seeded — each block proposes its
+      ``n_clusters`` smallest ``hash(id)`` rows (a keep-k combiner),
+      the driver keeps the global k smallest, so the seeds are
+      IDENTICAL under any repartitioning (unlike sample-based init);
+    * iterate: centroids broadcast via ``ray.put``; each block folds to
+      per-centroid (sum_vec, count, sse) partials — k x d floats per
+      block, the only thing that crosses the wire; the driver reduce is
+      a k-row fold. An emptied cluster keeps its previous centroid.
+
+    Returns ``(centroids, counts, inertia_per_iter)``; inertia is
+    non-increasing by construction (each step is the exact Lloyd
+    update, mergeable-partial arithmetic notwithstanding).
+    Materializes a pruned (id, vector) projection once so the k
+    iterations re-read blocks, not the parquet."""
+    import ray
+    import ray.data  # noqa: F401
+
+    proj = ds.map_batches(
+        lambda t: pa.table({
+            id_column: t.column(id_column), column: t.column(column)
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * mult) >> np.uint64(32)
+        order = np.argsort(h, kind="stable")[:n_clusters]
+        keep = np.sort(order)
+        return pa.table({
+            "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+            "v": t.column(column).take(pa.array(keep)),
+        })
+
+    cand = [
+        b for b in proj.map_batches(
+            seed_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    seeds = pa.concat_tables(cand)
+    order = np.argsort(
+        seeds.column("h").to_numpy(zero_copy_only=False), kind="stable"
+    )[:n_clusters]
+    cent = _as_matrix(seeds.column("v").take(pa.array(np.sort(order))))
+
+    inertia_per_iter: list[float] = []
+    counts = np.zeros(n_clusters, dtype=np.int64)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            v = _as_matrix(t.column(column))
+            # |v-c|^2 = |v|^2 - 2 v.c + |c|^2, vectorized assignment
+            d = (
+                (v ** 2).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c ** 2).sum(axis=1)[None, :]
+            )
+            assign = d.argmin(axis=1)
+            sse = d[np.arange(len(v)), assign].sum()
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, v)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            blk = int(
+                t.column(id_column).to_numpy(zero_copy_only=False).min()
+            ) if t.num_rows else -1
+            return pa.table({
+                "blk": pa.array(np.full(len(c), blk), pa.int64()),
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "sse": pa.array(
+                    np.full(len(c), sse / len(c)), pa.float64()
+                ),
+                "sums": pa.array(list(sums.astype(np.float64))),
+            })
+
+        sums = np.zeros_like(cent)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        sse_total = 0.0
+        got = [
+            b for b in proj.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        # fold in a DETERMINISTIC order (by each block's min id, then
+        # cluster): float summation order no longer depends on task
+        # arrival, so repeated runs give bit-identical centroids
+        allp = pa.concat_tables(got).sort_by(
+            [("blk", "ascending"), ("cluster", "ascending")]
+        ) if got else None
+        if allp is not None:
+            cl = allp.column("cluster").to_numpy(zero_copy_only=False)
+            cn = allp.column("cnt").to_numpy(zero_copy_only=False)
+            mats = [np.asarray(x) for x in allp.column("sums").to_pylist()]
+            for i in range(len(cl)):
+                counts[cl[i]] += cn[i]
+                sums[cl[i]] += mats[i]
+            sse_total = float(
+                allp.column("sse").to_numpy(zero_copy_only=False).sum()
+            )
+        nonzero = counts > 0
+        cent = np.where(
+            nonzero[:, None], sums / np.maximum(counts, 1)[:, None], cent
+        )
+        inertia_per_iter.append(sse_total)
+    return cent, counts, inertia_per_iter

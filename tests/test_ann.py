@@ -152,3 +152,47 @@ def test_ivf_index_staleness_rebuild(tmp_path):
     assert not ivf_index_is_current(
         os.path.join(tempfile.gettempdir(), f"ivf_index_q_{tok2}"), tok1
     )
+
+
+def test_distributed_kmeans_matches_lloyd_reference():
+    """Distributed Lloyd's: monotone inertia, all rows assigned,
+    deterministic across runs, and final inertia within 10% of the
+    single-node reference run from the same seeds' neighborhood."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from data_hub_ejp_xml_pipeline_ray.stages.ann import (
+        _as_matrix,
+        _kmeans,
+        distributed_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, counts, inertia = distributed_kmeans(
+        ds, "embedding", n_clusters=6, iters=8
+    )
+    tab = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    n_rows = tab.num_rows
+    assert counts.sum() == n_rows
+    assert all(
+        b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])
+    ), inertia  # monotone non-increasing
+
+    # determinism: a second run lands bit-identically
+    cent2, counts2, inertia2 = distributed_kmeans(
+        ds, "embedding", n_clusters=6, iters=8
+    )
+    assert (counts == counts2).all()
+    assert inertia == inertia2
+    assert np.array_equal(cent, cent2)
+
+    # quality: comparable to the single-node sample k-means baseline
+    mat = _as_matrix(tab.column("embedding"))
+    ref_cent = _kmeans(mat, 6, iters=8)
+    d = ((mat[:, None, :] - ref_cent[None, :, :]) ** 2).sum(axis=2)
+    ref_inertia = d.min(axis=1).sum()
+    assert inertia[-1] <= ref_inertia * 1.10
