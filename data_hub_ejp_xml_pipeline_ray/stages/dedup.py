@@ -193,6 +193,82 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+def _bucket_pairs_bulk(group: pa.Table) -> pa.Table:
+    """Candidate pairs for a HASH-BUCKET of complete (band, key) LSH
+    groups — the scale shape of :func:`_bucket_pairs`: grouping by the
+    raw composite key costs one Python ``map_groups`` call per LSH
+    bucket (docs x bands calls, almost all singletons — the measured
+    composite-key explosion); here ONE vectorized kernel per hash
+    bucket finds group boundaries with numpy and only the rare
+    multi-member groups (bounded by the true collision rate) run the
+    pair loop. Cap semantics and the LOUD marker row are identical."""
+    t = group
+    if "_bucket" in t.column_names:
+        t = t.drop_columns(["_bucket"])
+    band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, key, band))
+    band, key, doc = band[order], key[order], doc[order]
+    dup = np.zeros(len(doc), dtype=bool)
+    dup[1:] = (
+        (band[1:] == band[:-1]) & (key[1:] == key[:-1]) & (doc[1:] == doc[:-1])
+    )
+    band, key, doc = band[~dup], key[~dup], doc[~dup]
+    new_grp = np.ones(len(doc), dtype=bool)
+    new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], len(doc))
+    sizes = ends - starts
+    multi = sizes >= 2
+    pairs_a: list[int] = []
+    pairs_b: list[int] = []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids = doc[s:e]
+        m = len(ids)
+        total = m * (m - 1) // 2
+        emitted = 0
+        for i in range(m):
+            if emitted >= PAIRS_PER_BUCKET_CAP:
+                break
+            for j in range(i + 1, m):
+                pairs_a.append(int(ids[i]))
+                pairs_b.append(int(ids[j]))
+                emitted += 1
+                if emitted >= PAIRS_PER_BUCKET_CAP:
+                    break
+        if total > emitted:
+            pairs_a.append(CAP_MARKER)
+            pairs_b.append(total - emitted)
+    return pa.table(
+        {"id_a": pa.array(pairs_a, type=pa.int64()),
+         "id_b": pa.array(pairs_b, type=pa.int64())}
+    )
+
+
+def _grouped_candidate_pairs(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    """(band, key, doc_id) signature stream -> candidate-pair Dataset
+    via hash-bucketed co-grouping (bucket count volume-scaled from the
+    materialized signature row count — ints only, cheap)."""
+    sigs = sigs.materialize()
+    nb = max(32, sigs.count() // 500_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (
+            (key ^ (band * np.uint64(_PAIR_MULT_A)))
+            * np.uint64(_PAIR_MULT_B)
+        ) >> np.uint64(32)
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    return sigs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_bucket").map_groups(_bucket_pairs_bulk, batch_format="pyarrow")
+
+
 _PAIR_MULT_A = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multipliers
 _PAIR_MULT_B = 0xC2B2AE3D27D4EB4F
 
@@ -266,9 +342,7 @@ def candidate_pairs_from_buckets(
     """Driver-side convenience wrapper (SMALL inputs only — the scale
     path keeps the pair stream a Dataset via :func:`distinct_pairs`):
     distinct candidate pairs + the capped-pair count."""
-    raw = buckets.groupby(["band", "key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
+    raw = _grouped_candidate_pairs(buckets)
     return _collect_pairs_and_capped(raw)
 
 
@@ -320,9 +394,7 @@ def minhash_dedup(
         concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
-    raw = sigs.groupby(["band", "key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    ).materialize()
+    raw = _grouped_candidate_pairs(sigs).materialize()
     return _near_dup_tail(
         ds, raw, threshold=threshold, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col, trigram_strings=False,
