@@ -1134,37 +1134,74 @@ def simhash_dedup(
         num_cpus=1,
     )
 
-    def verify_bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        raw = group.column("sig").to_pylist()
-        sig = {
-            i: s & ((1 << 64) - 1) for i, s in zip(ids, raw)
-        }  # two's-complement back to uint64 semantics
-        ms = sorted(set(ids))
-        n = len(ms)
-        total = n * (n - 1) // 2
-        out_a, out_b = [], []
-        checked = 0
-        for i in range(n):
-            if checked >= PAIRS_PER_BUCKET_CAP:
-                break
-            for j in range(i + 1, n):
-                checked += 1
-                if hamming64(sig[ms[i]], sig[ms[j]]) <= max_hamming:
-                    out_a.append(ms[i])
-                    out_b.append(ms[j])
+    def verify_bulk(group: pa.Table) -> pa.Table:
+        """Hamming-verify all (band, key) groups inside one HASH BUCKET
+        — same bucketed shape as ``_bucket_pairs_bulk`` (no Python call
+        per LSH bucket): numpy group boundaries, pair loop only over
+        the rare multi-member groups. Cap semantics identical."""
+        t = group
+        if "_bucket" in t.column_names:
+            t = t.drop_columns(["_bucket"])
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = t.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sig = band[order], key[order], doc[order], sig[order]
+        dup = np.zeros(len(doc), dtype=bool)
+        dup[1:] = (
+            (band[1:] == band[:-1]) & (key[1:] == key[:-1])
+            & (doc[1:] == doc[:-1])
+        )
+        band, key, doc, sig = band[~dup], key[~dup], doc[~dup], sig[~dup]
+        new_grp = np.ones(len(doc), dtype=bool)
+        new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], len(doc))
+        multi = (ends - starts) >= 2
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, e in zip(starts[multi], ends[multi]):
+            ids, sg = doc[s:e], sig[s:e]
+            n = e - s
+            total = n * (n - 1) // 2
+            checked = 0
+            for i in range(n):
                 if checked >= PAIRS_PER_BUCKET_CAP:
                     break
-        if total > checked:  # degenerate bucket: LOUD truncation marker
-            out_a.append(CAP_MARKER)
-            out_b.append(total - checked)
+                for j in range(i + 1, n):
+                    checked += 1
+                    if hamming64(int(sg[i]), int(sg[j])) <= max_hamming:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                    if checked >= PAIRS_PER_BUCKET_CAP:
+                        break
+            if total > checked:  # degenerate bucket: LOUD marker
+                out_a.append(CAP_MARKER)
+                out_b.append(total - checked)
         return pa.table(
             {"id_a": pa.array(out_a, pa.int64()),
              "id_b": pa.array(out_b, pa.int64())}
         )
 
-    raw = sigs.groupby(["band", "key"]).map_groups(
-        verify_bucket, batch_format="pyarrow"
+    sigs = sigs.materialize()
+    nb = max(32, sigs.count() // 500_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (
+            (key ^ (band * np.uint64(_PAIR_MULT_A)))
+            * np.uint64(_PAIR_MULT_B)
+        ) >> np.uint64(32)
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    raw = sigs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_bucket").map_groups(
+        verify_bulk, batch_format="pyarrow"
     ).materialize()
     return _preverified_tail(ds, raw, id_col)
 
