@@ -242,3 +242,61 @@ def test_redrive_recovers_orphaned_sidecar(tmp_path):
     assert r["redriven_rows"] == 2 and r["still_bad"] == 2
     assert not os.path.exists(sidecar)
     assert read_errors(cfg.lake_dir).num_rows == 2
+
+
+def test_redrive_carries_schema_evolution(tmp_path):
+    """Redriving a quarantined V2 wire row (adds content_type, widens
+    fetch_status) into a lake built from V1 traffic must flow through
+    the SAME schema-evolution conform as live ingest: the lake schema
+    evolves at the redrive commit and the repaired row lands with its
+    v2 fields."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import redrive_errors
+    from data_hub_ejp_xml_pipeline_ray.schemas import EVENTS_SCHEMA_V2
+
+    ts = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=43, n_urls=10, n_events=50, n_segments=1)
+
+    # a V2 segment with one mojibake row (quarantined) + one good row
+    rows = {
+        "op": ["update", "update"],
+        "url": ["https://v2-bad.example/", "https://v2-good.example/"],
+        "warc_ts": [ts, ts],
+        "seq": [7, 8],
+        "html": ["página dos".encode("latin-1"), b"pagina tres"],
+        "lang": ["es", "es"],
+        "schema_version": [2, 2],
+        "fetch_status": [200, 200],
+        "content_type": ["text/html", "text/html"],
+    }
+    pq.write_table(
+        pa.Table.from_pydict(rows, schema=EVENTS_SCHEMA_V2),
+        os.path.join(wal, "segment-00001.parquet"),
+    )
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    assert read_errors(cfg.lake_dir).num_rows == 1
+
+    def fix(t: pa.Table) -> pa.Table:
+        fixed = [
+            b.decode("latin-1").encode("utf-8")
+            for b in t.column("html").to_pylist()
+        ]
+        return t.set_column(
+            t.column_names.index("html"), "html", pa.array(fixed, pa.binary())
+        )
+
+    r = redrive_errors(cfg, fixer=fix)
+    assert r["still_bad"] == 0 and r["redriven_rows"] == 1
+    snap = lake_snapshot(cfg.lake_dir)
+    row = {
+        u: (txt, ct) for u, txt, ct in zip(
+            snap.column("url").to_pylist(),
+            snap.column("text").to_pylist(),
+            snap.column("content_type").to_pylist(),
+        )
+    }
+    assert row["https://v2-bad.example/"] == ("página dos", "text/html")
+    assert row["https://v2-good.example/"][1] == "text/html"
