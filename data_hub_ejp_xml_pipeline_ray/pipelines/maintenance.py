@@ -57,6 +57,48 @@ def vacuum(lake_dir: str, keep: int = 1) -> dict:
     }
 
 
+def auto_maintain(
+    lake_dir: str,
+    *,
+    tombstone_ratio: float = 0.2,
+    max_partition_bytes: int = 1 << 30,
+    vacuum_keep: int | None = None,
+) -> dict:
+    """One-call MAINTENANCE POLICY (the cron entry point): decide from
+    MANIFEST STATS ONLY — never a data scan — and run what's due:
+
+    * compact when persisted tombstones exceed ``tombstone_ratio`` of
+      live+tombstone rows (reclaims space, speeds every read);
+    * split any partition above ``max_partition_bytes`` (one level per
+      call, same fixpoint contract as :func:`split_overflowing`);
+    * optionally vacuum history down to ``vacuum_keep`` snapshots.
+
+    Each action is the existing lock+CAS-protected op; a concurrent
+    ingest either waits on the lock or this call fails fast. Returns
+    what ran and why."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    meta = manifest.partition_meta
+    tombs = sum(m.get("tombstones", 0) for m in meta.values())
+    rows = sum(m.get("rows", 0) for m in meta.values())
+    actions: dict = {
+        "tombstones": tombs, "rows": rows,
+        "compacted": False, "splits": 0, "vacuumed": False,
+    }
+    if tombs and rows and tombs / rows >= tombstone_ratio:
+        r = compact_lake(lake_dir)
+        actions["compacted"] = True
+        actions["tombstones_dropped"] = r["tombstones_dropped"]
+    r = split_overflowing(lake_dir, max_partition_bytes)
+    actions["splits"] = r.get("partitions_split", r.get("splits", 0))
+    if vacuum_keep is not None:
+        v = vacuum(lake_dir, keep=vacuum_keep)
+        actions["vacuumed"] = True
+        actions["files_removed"] = v["files_removed"]
+    return actions
+
+
 def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
     """Controlled BACKFILL: move the tailer high-watermark BACKWARD so
     the next ingest reprocesses WAL segments after ``to`` (``None`` =

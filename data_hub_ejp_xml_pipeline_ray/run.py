@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("errors", help="print quarantined dead-letter rows")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
+        "maintain",
+        help="stat-driven maintenance policy: compact over a tombstone "
+             "ratio, split overflowing partitions, optional vacuum")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--tombstone-ratio", type=float, default=0.2)
+    sp.add_argument("--max-partition-bytes", type=int, default=1 << 30)
+    sp.add_argument("--vacuum-keep", type=int, default=None)
+    sp = sub.add_parser(
         "rewind",
         help="move the tailer watermark BACKWARD for a controlled "
              "backfill (LWW replay converges); forward moves refused")
@@ -183,6 +191,16 @@ def main(argv: list[str] | None = None) -> int:
                 for k in set(errs.column("error").to_pylist())
             },
         }))
+        return 0
+    if args.cmd == "maintain":
+        from .pipelines.maintenance import auto_maintain
+
+        print(json.dumps(auto_maintain(
+            args.lake_dir,
+            tombstone_ratio=args.tombstone_ratio,
+            max_partition_bytes=args.max_partition_bytes,
+            vacuum_keep=args.vacuum_keep,
+        )))
         return 0
     if args.cmd == "rewind":
         from .pipelines.maintenance import rewind_watermark

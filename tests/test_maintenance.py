@@ -386,3 +386,39 @@ def test_rewind_watermark_backfill_converges(tmp_path):
     res = run_ingest(cfg)
     assert res.commits == 1 and res.events_applied > 0
     assert lake_snapshot(cfg.lake_dir).equals(before)
+
+
+def test_auto_maintain_policy_runs_due_actions(tmp_path):
+    """Policy runner: decisions come from manifest stats only; each
+    due action runs through the existing lock+CAS ops and the state
+    stays equal to the pre-maintenance live rows."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        auto_maintain,
+    )
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=47, n_urls=60, n_events=800,
+                 n_segments=2, delete_fraction=0.3)
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    before = lake_snapshot(cfg.lake_dir)
+
+    # high thresholds: nothing due
+    a = auto_maintain(cfg.lake_dir, tombstone_ratio=0.99,
+                      max_partition_bytes=1 << 40)
+    assert not a["compacted"] and a["splits"] == 0 and not a["vacuumed"]
+    assert a["tombstones"] > 0  # the stats were read
+
+    # aggressive thresholds: compact + split + vacuum all fire
+    a = auto_maintain(cfg.lake_dir, tombstone_ratio=0.0,
+                      max_partition_bytes=1, vacuum_keep=1)
+    assert a["compacted"] and a["tombstones_dropped"] > 0
+    assert a["splits"] > 0 and a["vacuumed"]
+    assert lake_snapshot(cfg.lake_dir).equals(before)  # live state intact
+
+    # idempotent second pass: tombstones gone -> no compact
+    a = auto_maintain(cfg.lake_dir, tombstone_ratio=0.0,
+                      max_partition_bytes=1 << 40)
+    assert not a["compacted"] and a["tombstones"] == 0
