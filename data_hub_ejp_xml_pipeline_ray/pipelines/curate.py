@@ -115,3 +115,122 @@ def curate(
         out.write_parquet(output_dir, partition_cols=["bucket"])
         return ray.data.read_parquet(output_dir)
     return out
+
+
+def write_training_shards(
+    sf_dir: str, out_dir: str, *, budget: int | None = None
+) -> dict:
+    """RESUMABLE shard writer for the packed training corpus: the
+    materialized output of the sequence-packing operator
+    (``queries.q_pack_token_shards``'s assignment, carried WITH the
+    text) laid out as ``shard=<k>/range-<rb>.parquet``.
+
+    Scale shape: shard assignment needs a global ordered prefix sum,
+    but ranges are CONTIGUOUS doc-id slices — so after the (text-free)
+    per-range token-sum pass computes the offset table, each range
+    task independently packs ITS docs and writes its per-shard files;
+    the corpus text moves exactly once, straight from the read to the
+    writer task, no join and no shuffle.
+
+    Resumability (the partitioned-output rule): each range commits a
+    ``_range-<rb>.done.json`` marker AFTER its files; a re-run skips
+    finished ranges entirely (crash mid-run = rewrite only the ranges
+    without markers; filenames are deterministic so a half-written
+    file is simply overwritten)."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .queries import (
+        PACK_SHARD_TOKENS,
+        _pack_range_docs,
+        _read,
+    )
+
+    budget = budget or PACK_SHARD_TOKENS
+    total_rows = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    range_docs = _pack_range_docs(total_rows)
+
+    # pass 1 (text-free): per-range token sums -> offset table
+    from ray.data.aggregate import Sum
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"],
+                   rows_per_block=2_000).map_batches(
+        lambda t: (lambda ann: pa.table({
+            "_rb": pc.cast(
+                pc.divide(ann.column("doc_id"), range_docs), pa.int64()
+            ),
+            "n_tokens": ann.column("n_tokens"),
+        }))(annotate_text_stats(t)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    sums = counts.groupby("_rb").aggregate(
+        Sum("n_tokens", alias_name="_s")
+    ).take_all()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(sums, key=lambda x: x["_rb"]):
+        offsets[r["_rb"]] = run
+        run += int(r["_s"])
+    os.makedirs(out_dir, exist_ok=True)
+
+    done_marker = lambda rb: os.path.join(out_dir, f"_range-{rb:06d}.done.json")  # noqa: E731
+    todo = [rb for rb in offsets if not os.path.exists(done_marker(rb))]
+    skipped = len(offsets) - len(todo)
+    offsets_ref = ray.put(offsets)
+
+    def write_range(group: pa.Table) -> pa.Table:
+        rb = int(group.column("_rb")[0].as_py())
+        if os.path.exists(done_marker(rb)):  # resumed run: already done
+            return pa.table({"rb": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        offs = ray.get(offsets_ref)
+        idx = pc.sort_indices(group.column("doc_id"))
+        g = group.take(idx)
+        ann = annotate_text_stats(g.select(["doc_id", "text"]))
+        nt = ann.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum_before = np.cumsum(nt) - nt + offs[rb]
+        shard = (cum_before // budget).astype(np.int64)
+        g = g.append_column("shard_id", pa.array(shard)).append_column(
+            "n_tokens", pc.cast(ann.column("n_tokens"), pa.int64())
+        )
+        written = []
+        for s in np.unique(shard):
+            sub = g.filter(pa.array(shard == s)).drop_columns(["_rb"])
+            sdir = os.path.join(out_dir, f"shard={int(s)}")
+            os.makedirs(sdir, exist_ok=True)
+            path = os.path.join(sdir, f"range-{rb:06d}.parquet")
+            tmp = path + ".inprogress"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, path)
+            written.append(path)
+        with open(done_marker(rb) + ".tmp", "w", encoding="utf-8") as f:
+            json.dump({"rb": rb, "rows": g.num_rows,
+                       "files": [os.path.basename(p) for p in written]}, f)
+        os.replace(done_marker(rb) + ".tmp", done_marker(rb))
+        return pa.table({"rb": pa.array([rb], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               rows_per_block=2_000).map_batches(
+        lambda t: t.append_column("_rb", pc.cast(
+            pc.divide(t.column("doc_id"), range_docs), pa.int64()
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    stats = [
+        r for b in ds.groupby("_rb").map_groups(
+            write_range, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    return {
+        "ranges_written": len(stats),
+        "ranges_skipped": skipped,
+        "rows_written": int(sum(r["rows"] for r in stats)),
+        "budget": budget,
+        "out_dir": out_dir,
+    }

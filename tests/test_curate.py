@@ -71,3 +71,65 @@ def test_curate_end_to_end(tmp_path):
     assert 1 not in kept and 5 not in kept and 3 not in kept and 6 not in kept
     # partitioned layout on disk
     assert any(name.startswith("bucket=") for name in os.listdir(out_dir))
+
+
+def test_write_training_shards_resumable_and_matches_assignments(
+    tmp_path, monkeypatch
+):
+    """The shard writer lays out shard=<k>/range-<rb>.parquet with
+    every doc exactly once, shard assignment identical to the packing
+    operator, and a re-run after deleting one range's marker rewrites
+    ONLY that range."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.curate import (
+        write_training_shards,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        q_pack_token_shards,
+    )
+
+    import data_hub_ejp_xml_pipeline_ray.pipelines.queries as Q
+
+    # shrink the range size so the smoke tier spans MULTIPLE ranges
+    # (shard assignment is independent of the bucketing, so the writer
+    # and the assignment operator stay consistent under the patch)
+    monkeypatch.setattr(Q, "PACK_RANGE_DOCS", 20)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    r = write_training_shards(sf, out)
+    assert r["ranges_skipped"] == 0 and r["rows_written"] > 0
+    assert r["ranges_written"] >= 3  # multi-range resume is exercised
+
+    files = sorted(glob.glob(os.path.join(out, "shard=*", "*.parquet")))
+    assert files
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    expect = q_pack_token_shards(sf).to_pandas().set_index("doc_id")
+    assert got.num_rows == len(expect)  # every doc exactly once
+    for did, sid, nt in zip(
+        got.column("doc_id").to_pylist(),
+        got.column("shard_id").to_pylist(),
+        got.column("n_tokens").to_pylist(),
+    ):
+        assert expect.loc[did, "shard_id"] == sid
+        assert expect.loc[did, "n_tokens"] == nt
+
+    # idempotent full skip
+    r2 = write_training_shards(sf, out)
+    assert r2["ranges_written"] == 0 and r2["ranges_skipped"] > 0
+
+    # resume: drop one range's marker -> exactly that range rewrites
+    markers = sorted(glob.glob(os.path.join(out, "_range-*.done.json")))
+    os.remove(markers[0])
+    before_mtimes = {
+        f: os.path.getmtime(f)
+        for f in files if "range-000000" not in f
+    }
+    r3 = write_training_shards(sf, out)
+    assert r3["ranges_written"] == 1
+    for f, m in before_mtimes.items():
+        assert os.path.getmtime(f) == m  # untouched ranges not rewritten
