@@ -495,12 +495,12 @@ def distributed_kmeans(
     mult = np.uint64(0x9E3779B97F4A7C15)
 
     def seed_partial(t: pa.Table) -> pa.Table:
-        ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * mult) >> np.uint64(32)
-        order = np.argsort(h, kind="stable")[:n_clusters]
-        keep = np.sort(order)
+        raw_ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        h = (raw_ids.astype(np.uint64) * mult) >> np.uint64(32)
+        keep = np.lexsort((raw_ids, h))[:n_clusters]
         return pa.table({
             "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+            "i": pa.array(raw_ids[keep].astype(np.int64), pa.int64()),
             "v": t.column(column).take(pa.array(keep)),
         })
 
@@ -510,10 +510,15 @@ def distributed_kmeans(
         ).iter_batches(batch_format="pyarrow") if b.num_rows
     ]
     seeds = pa.concat_tables(cand)
-    order = np.argsort(
-        seeds.column("h").to_numpy(zero_copy_only=False), kind="stable"
-    )[:n_clusters]
-    cent = _as_matrix(seeds.column("v").take(pa.array(np.sort(order))))
+    # global k smallest by (h, id) — the TAKE order is the (h, id) sort
+    # order itself, never the block-arrival position, so centroid
+    # LABELS are identical across runs (a positional take here permuted
+    # labels run-to-run: same clusters, shuffled ids)
+    order = np.lexsort((
+        seeds.column("i").to_numpy(zero_copy_only=False),
+        seeds.column("h").to_numpy(zero_copy_only=False),
+    ))[:n_clusters]
+    cent = _as_matrix(seeds.column("v").take(pa.array(order)))
 
     inertia_per_iter: list[float] = []
     counts = np.zeros(n_clusters, dtype=np.int64)
