@@ -11,10 +11,13 @@ The driver initialises Ray BEFORE importing this module; nothing here
   ``data_hub_ejp_xml_pipeline_ray/pipelines/queries.py``.
 * ``oracle_sql()`` — matching DuckDB SQL per query where SQL can
   express the semantics (including the flagship CDC lakes, whose WAL
-  is derived from the ``events`` table, and the fingerprint /
-  jaccard-dedup operators); only genuinely probabilistic ops (LSH
-  dedup families, IVF ANN, the LSH-based curate_corpus) are absent ->
-  rows-only.
+  is derived from the ``events`` table, the change-feed / incremental
+  -view / replica consumers, and the fingerprint / jaccard-dedup /
+  bloom-decontamination operators); only genuinely probabilistic or
+  iterative ops are absent -> rows-only, each next to an
+  oracle-checked exact sibling or a pytest reference bound (LSH dedup
+  families, IVF ANN, LSH curate_corpus, HLL / CMS / t-digest
+  sketches, distributed k-means).
 """
 
 from __future__ import annotations
