@@ -966,76 +966,129 @@ def redrive_errors(cfg: CdcConfig, fixer=None) -> dict:
 
     import pyarrow.parquet as _pq
 
+    from ..state.checkpoint import writer_lock
+
     errors_dir = os.path.join(cfg.lake_dir, ERRORS_DIR)
-    # crash recovery: a sidecar left by a dead redrive is restored into
-    # the queue — re-replaying rows whose commit DID land is harmless
-    # (LWW merges them to the identical state), so restore-then-retry
-    # always converges
-    for orphan in _glob.glob(os.path.join(errors_dir, ".redrive-*")):
-        for f in _glob.glob(os.path.join(orphan, "*.parquet")):
-            os.replace(f, os.path.join(errors_dir, os.path.basename(f)))
-        _shutil.rmtree(orphan, ignore_errors=True)
-    raw_files = sorted(
-        f for f in _glob.glob(os.path.join(errors_dir, "*.raw.parquet"))
-    )
-    if not raw_files:
-        return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
     manifest = load_manifest(cfg.lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {cfg.lake_dir}")
-
-    sidecar = os.path.join(errors_dir, f".redrive-{_uuid.uuid4().hex[:8]}")
-    os.makedirs(sidecar)
-    moved: list[tuple[str, str]] = []
-    for rf in raw_files:
-        for f in (rf, rf[: -len(".raw.parquet")] + ".parquet"):
-            if os.path.exists(f):
-                dst = os.path.join(sidecar, os.path.basename(f))
-                os.replace(f, dst)
-                moved.append((f, dst))
-    try:
-        seg_dir = os.path.join(sidecar, "segments")
-        os.makedirs(seg_dir)
-        segments = []
-        redriven_rows = 0
-        for rf in raw_files:
-            t = _pq.read_table(os.path.join(sidecar, os.path.basename(rf)))
-            if fixer is not None:
-                t = fixer(t)
-            if t.num_rows == 0:
-                continue
-            redriven_rows += t.num_rows
-            name = "redrive-" + os.path.basename(rf).replace(
-                ".raw.parquet", ".parquet"
-            )
-            path = os.path.join(seg_dir, name)
-            _pq.write_table(t, path)
-            segments.append(wal_source.SegmentMeta(
-                name=name, path=path, size_bytes=os.path.getsize(path)
-            ))
-        if not segments:
-            for orig, dst in moved:
-                os.replace(dst, orig)
-            return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
-        new_manifest, _ = _ingest_one_batch(
-            cfg, manifest, segments,
-            watermark_override=manifest.watermark,
-            lineage_extra={"op": "redrive"},
+    # kind dispatch: replay MUST run the lake's own pipeline classes —
+    # page-lake defaults into a group lake would collapse each url's
+    # row-set under row-LWW (every other consumer carries this guard)
+    if manifest.kind == "group":
+        from ..stages.entities import (
+            EntityExtractCombineSpill,
+            entity_lake_schema,
         )
-        still_bad = int(new_manifest.lineage[-1].get("error_rows", 0))
-    except BaseException:
-        for orig, dst in moved:
-            try:
-                os.replace(dst, orig)
-            except FileNotFoundError:
-                pass
+        from ..stages.merge import lww_winner_rows
+
+        pipeline_kw = dict(
+            spill_cls=EntityExtractCombineSpill,
+            lake_schema_fn=entity_lake_schema,
+            reduce_fn=lww_winner_rows,
+        )
+    else:
+        if manifest.schema is not None and any(
+            pa.types.is_list(f.type) and pa.types.is_struct(f.type.value_type)
+            for f in manifest.schema
+        ):
+            raise ValueError(
+                "redrive of a nested-entity lake is not supported (its "
+                "struct_version is not recorded in the manifest); use "
+                "rewind_watermark + run_nested_ingest to replay instead"
+            )
+        pipeline_kw = {}
+
+    # the WHOLE file shuffle (orphan recovery, sidecar move, replay,
+    # cleanup) runs under a dedicated lease lock: a concurrent redrive
+    # must not treat OUR live sidecar as an orphan; the inner commit
+    # still takes the main writer lock (different lock file)
+    with writer_lock(cfg.lake_dir, lock_name=REDRIVE_LOCK_NAME):
+        # crash recovery: a sidecar left by a DEAD redrive (its lease
+        # expired, letting us in) is restored into the queue —
+        # re-replaying rows whose commit DID land is harmless (LWW
+        # merges them to the identical state)
+        for orphan in _glob.glob(os.path.join(errors_dir, ".redrive-*")):
+            for f in _glob.glob(os.path.join(orphan, "*.parquet")):
+                os.replace(f, os.path.join(errors_dir, os.path.basename(f)))
+            _shutil.rmtree(orphan, ignore_errors=True)
+        raw_files = sorted(
+            f for f in _glob.glob(os.path.join(errors_dir, "*.raw.parquet"))
+        )
+        if not raw_files:
+            return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
+
+        sidecar = os.path.join(errors_dir, f".redrive-{_uuid.uuid4().hex[:8]}")
+        os.makedirs(sidecar)
+        moved: list[tuple[str, str]] = []
+        for rf in raw_files:
+            for f in (rf, rf[: -len(".raw.parquet")] + ".parquet"):
+                if os.path.exists(f):
+                    dst = os.path.join(sidecar, os.path.basename(f))
+                    os.replace(f, dst)
+                    moved.append((f, dst))
+        pre_attempt = set(os.listdir(errors_dir))
+        try:
+            seg_dir = os.path.join(sidecar, "segments")
+            os.makedirs(seg_dir)
+            segments = []
+            redriven_rows = 0
+            for rf in raw_files:
+                t = _pq.read_table(os.path.join(sidecar, os.path.basename(rf)))
+                if fixer is not None:
+                    t = fixer(t)
+                if t.num_rows == 0:
+                    continue
+                redriven_rows += t.num_rows
+                name = "redrive-" + os.path.basename(rf).replace(
+                    ".raw.parquet", ".parquet"
+                )
+                path = os.path.join(seg_dir, name)
+                _pq.write_table(t, path)
+                segments.append(wal_source.SegmentMeta(
+                    name=name, path=path, size_bytes=os.path.getsize(path)
+                ))
+            if not segments:
+                for orig, dst in moved:
+                    os.replace(dst, orig)
+                _shutil.rmtree(sidecar, ignore_errors=True)
+                return {"redriven_rows": 0, "commits": 0, "still_bad": 0}
+            new_manifest, _ = _ingest_one_batch(
+                cfg, manifest, segments,
+                watermark_override=manifest.watermark,
+                lineage_extra={"op": "redrive"},
+                **pipeline_kw,
+            )
+            still_bad = int(new_manifest.lineage[-1].get("error_rows", 0))
+        except BaseException:
+            # a failed attempt may already have RE-quarantined its
+            # still-bad rows (phase-1 spill writes dead letters before
+            # the commit): drop those fresh files first, or restoring
+            # the originals would leave every such row queued TWICE
+            for name in set(os.listdir(errors_dir)) - pre_attempt:
+                if name.startswith("errors-"):
+                    try:
+                        os.remove(os.path.join(errors_dir, name))
+                    except FileNotFoundError:
+                        pass
+            for orig, dst in moved:
+                try:
+                    os.replace(dst, orig)
+                except FileNotFoundError:
+                    pass
+            _shutil.rmtree(sidecar, ignore_errors=True)
+            raise
         _shutil.rmtree(sidecar, ignore_errors=True)
-        raise
-    _shutil.rmtree(sidecar, ignore_errors=True)
     return {
         "redriven_rows": redriven_rows, "commits": 1,
         "still_bad": still_bad,
     }
+
+
+#: Lease lock scoping the redrive's DLQ file shuffle (sidecar move +
+#: replay + cleanup) — independent of the main writer lock, which the
+#: inner commit still takes.
+REDRIVE_LOCK_NAME = "_redrive.lock.json"
 
 
 def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:

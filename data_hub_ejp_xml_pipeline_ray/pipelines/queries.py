@@ -1815,6 +1815,26 @@ def _membership_hits(rid: np.ndarray, h: np.ndarray, bench_sorted: np.ndarray,
     return hit
 
 
+def _bench_gram_array(ds: ray.data.Dataset, bench_max: int) -> np.ndarray:
+    """SORTED distinct gram-hash array of the benchmark slice
+    (doc_id < bench_max) — the broadcast side of every decontamination
+    variant: distinct-per-batch int64 partials, one driver
+    ``np.unique`` fold (benchmark-bounded by definition)."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), bench_max))
+        _, h = _gram_hashes_batch(t.column("text"))
+        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
+
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
 def q_decontaminate_ngrams(sf_dir: str):
     """Benchmark DECONTAMINATION (the train/eval-overlap filter every
     LLM data pipeline needs): drop any training document sharing an
@@ -1828,22 +1848,7 @@ def q_decontaminate_ngrams(sf_dir: str):
     ``_gram_hashes_batch`` (the oracle compares gram STRINGS)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     bench_max = _decon_bench_max(sf_dir)
-
-    def bench_grams(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t.column("doc_id"), bench_max))
-        _, h = _gram_hashes_batch(t.column("text"))
-        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
-
-    parts = [
-        b.column("h").to_numpy(zero_copy_only=False)
-        for b in ds.map_batches(
-            bench_grams, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    bench_arr = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
-    bench_ref = ray.put(bench_arr)
+    bench_ref = ray.put(_bench_gram_array(ds, bench_max))
 
     def anti(t: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
@@ -2173,21 +2178,7 @@ def q_prepare_training_corpus(sf_dir: str):
     gated = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
     # -- 2. decontaminate (bench grams from the FULL documents table)
-    def bench_grams(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t.column("doc_id"), bench_max))
-        _, h = _gram_hashes_batch(t.column("text"))
-        return pa.table({"h": pa.array(np.unique(h), pa.int64())})
-
-    parts = [
-        b.column("h").to_numpy(zero_copy_only=False)
-        for b in ds.map_batches(
-            bench_grams, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow")
-    ]
-    bench_arr = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
-    bench_ref = ray.put(bench_arr)
+    bench_ref = ray.put(_bench_gram_array(ds, bench_max))
 
     def anti(t: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
@@ -2960,38 +2951,47 @@ def q_value_moments_by_type(sf_dir: str):
             ("s1", pa.float64()), ("s2", pa.float64()),
         ]))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = parts.groupby("event_type").aggregate(
-        Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
-        Sum("s2", alias_name="s2"),
-    )
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
+    # DETERMINISTIC driver fold over the tiny partials (blocks x groups
+    # rows), sorted by (event_type, n, s1): Ray's distributed float Sum
+    # folds in task-arrival order, which could flip the 4th decimal on
+    # a knife-edge value run-to-run; the cross-engine gap vs DuckDB's
+    # own order remains bridged by the scale-4 rounding.
+    blocks = [
+        b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
     out_schema = pa.schema([
         ("event_type", pa.string()), ("n", pa.int64()),
         ("mean_value", pa.float64()), ("std_value", pa.float64()),
     ])
-
-    def finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # Ray hash-agg emits 0-col empty blocks
-            return out_schema.empty_table()
-        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        s1 = t.column("s1").to_numpy(zero_copy_only=False)
-        s2 = t.column("s2").to_numpy(zero_copy_only=False)
-        mean = s1 / n
-        var = np.maximum(s2 - s1 * s1 / n, 0.0) / np.maximum(n - 1, 1.0)
-        return pa.table({
-            "event_type": t.column("event_type"),
-            "n": t.column("n"),
-            "mean_value": pa.array(
-                [_round4_half_away(x) for x in mean], pa.float64()),
-            "std_value": pa.array(
-                [_round4_half_away(x) for x in np.sqrt(var)], pa.float64()),
-        })
-
-    # per-group rows are final after the aggregate -> finish is row-local
-    return agg.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
+    if not blocks:
+        return out_schema.empty_table()
+    df = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .sort(["event_type", "n", "s1"])
+        .group_by("event_type", maintain_order=True)
+        .agg(pl.col("n").sum(), pl.col("s1").sum(), pl.col("s2").sum())
+        .sort("event_type")
     )
+    n = df["n"].to_numpy().astype(np.float64)
+    s1 = df["s1"].to_numpy()
+    s2 = df["s2"].to_numpy()
+    mean = s1 / n
+    var = np.maximum(s2 - s1 * s1 / n, 0.0) / np.maximum(n - 1, 1.0)
+    std = [
+        None if cnt < 2 else _round4_half_away(x)  # stddev_samp(1 row)=NULL
+        for cnt, x in zip(n, np.sqrt(var))
+    ]
+    return pa.table({
+        "event_type": pa.array(df["event_type"].to_list(), pa.string()),
+        "n": pa.array(df["n"].to_list(), pa.int64()),
+        "mean_value": pa.array(
+            [_round4_half_away(x) for x in mean], pa.float64()),
+        "std_value": pa.array(std, pa.float64()),
+    })
 
 
 #: Weighted-sample size (priority sampling: rank by hash/weight — the
@@ -3014,14 +3014,15 @@ def q_weighted_sample_docs(sf_dir: str):
     def local_topk(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy(zero_copy_only=False)
         w = t.column("n_chars").to_numpy(zero_copy_only=False)
-        mask = w > 0
-        h = (did * _SAMPLE_MULT) % _SAMPLE_MOD
-        key = np.where(mask, h / np.maximum(w, 1), np.inf)
-        order = np.lexsort((did, key))[:k]
-        out = t.take(pa.array(np.sort(order)))
-        return out.append_column(
-            "_k", pa.array(key[np.sort(order)], pa.float64())
-        )
+        # ineligible rows (w <= 0) are FILTERED, not inf-keyed: an inf
+        # placeholder would pad the result when fewer than k eligible
+        # docs exist corpus-wide, where the SQL's WHERE clause doesn't
+        elig = np.flatnonzero(w > 0)
+        h = (did[elig] * _SAMPLE_MULT) % _SAMPLE_MOD
+        key = h / w[elig]
+        sel = np.lexsort((did[elig], key))[:k]
+        out = t.take(pa.array(elig[sel]))
+        return out.append_column("_k", pa.array(key[sel], pa.float64()))
 
     parts = ds.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True
@@ -3265,9 +3266,11 @@ def q_profile_documents(sf_dir: str):
         is_num = bool(sub["is_num"][0])
         mins = [x for x in sub["min_s"].to_list() if x is not None]
         maxs = [x for x in sub["max_s"].to_list() if x is not None]
-        if is_num:
-            lo = str(min((int(x) for x in mins), default=None))
-            hi = str(max((int(x) for x in maxs), default=None))
+        if is_num and mins:
+            lo = str(min(int(x) for x in mins))
+            hi = str(max(int(x) for x in maxs))
+        elif is_num:
+            lo = hi = None  # all-null numeric column: NULL, not 'None'
         else:
             lo = min(mins, default=None)
             hi = max(maxs, default=None)

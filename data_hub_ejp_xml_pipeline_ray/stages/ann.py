@@ -519,6 +519,12 @@ def distributed_kmeans(
         seeds.column("h").to_numpy(zero_copy_only=False),
     ))[:n_clusters]
     cent = _as_matrix(seeds.column("v").take(pa.array(order)))
+    if len(cent) < n_clusters:
+        # fewer rows than clusters: clamp k (every point its own
+        # cluster) instead of a broadcast-shape crash in the update
+        n_clusters = len(cent)
+        if n_clusters == 0:
+            raise ValueError("distributed_kmeans: dataset has no rows")
 
     inertia_per_iter: list[float] = []
     counts = np.zeros(n_clusters, dtype=np.int64)

@@ -246,10 +246,13 @@ def _bucket_pairs_bulk(group: pa.Table) -> pa.Table:
     )
 
 
-def _grouped_candidate_pairs(sigs: ray.data.Dataset) -> ray.data.Dataset:
-    """(band, key, doc_id) signature stream -> candidate-pair Dataset
-    via hash-bucketed co-grouping (bucket count volume-scaled from the
-    materialized signature row count — ints only, cheap)."""
+def _hash_bucketed_sigs(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize a (band, key, ...) signature stream and attach a
+    volume-scaled ``_bucket`` hash of the composite LSH key — the
+    shared front half of every bucketed pair/verify kernel (minhash
+    pair generation, simhash hamming verify). One definition so the
+    bucket hash and the rows-per-bucket knob can never diverge
+    between the LSH paths."""
     sigs = sigs.materialize()
     nb = max(32, sigs.count() // 500_000)
 
@@ -266,7 +269,15 @@ def _grouped_candidate_pairs(sigs: ray.data.Dataset) -> ray.data.Dataset:
 
     return sigs.map_batches(
         add_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("_bucket").map_groups(_bucket_pairs_bulk, batch_format="pyarrow")
+    )
+
+
+def _grouped_candidate_pairs(sigs: ray.data.Dataset) -> ray.data.Dataset:
+    """(band, key, doc_id) signature stream -> candidate-pair Dataset
+    via hash-bucketed co-grouping."""
+    return _hash_bucketed_sigs(sigs).groupby("_bucket").map_groups(
+        _bucket_pairs_bulk, batch_format="pyarrow"
+    )
 
 
 _PAIR_MULT_A = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multipliers
@@ -1184,23 +1195,7 @@ def simhash_dedup(
              "id_b": pa.array(out_b, pa.int64())}
         )
 
-    sigs = sigs.materialize()
-    nb = max(32, sigs.count() // 500_000)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (
-            (key ^ (band * np.uint64(_PAIR_MULT_A)))
-            * np.uint64(_PAIR_MULT_B)
-        ) >> np.uint64(32)
-        return t.append_column(
-            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32))
-        )
-
-    raw = sigs.map_batches(
-        add_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("_bucket").map_groups(
+    raw = _hash_bucketed_sigs(sigs).groupby("_bucket").map_groups(
         verify_bulk, batch_format="pyarrow"
     ).materialize()
     return _preverified_tail(ds, raw, id_col)

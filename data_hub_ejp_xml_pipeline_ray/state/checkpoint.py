@@ -245,6 +245,7 @@ def writer_lock(
     *,
     lease_seconds: float = DEFAULT_LEASE_SECONDS,
     owner: str | None = None,
+    lock_name: str | None = None,
 ) -> Iterator[str]:
     """Exclusive per-lake writer lock (O_EXCL lock file with pid +
     lease expiry). A live lock raises :class:`ConcurrentWriterError`
@@ -253,7 +254,11 @@ def writer_lock(
     crashed without releasing (leases bound the outage a dead writer
     can cause on shared storage, where no advisory flock exists)."""
     os.makedirs(lake_dir, exist_ok=True)
-    path = os.path.join(lake_dir, LOCK_NAME)
+    # lock_name scopes INDEPENDENT critical sections (e.g. the DLQ
+    # redrive serializes its file shuffle under its own lease while the
+    # inner commit still takes the main writer lock — different files,
+    # no self-deadlock)
+    path = os.path.join(lake_dir, lock_name or LOCK_NAME)
     token = f"{owner or f'pid-{os.getpid()}'}-{uuid.uuid4().hex[:8]}"
     while True:
         try:

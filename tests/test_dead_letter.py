@@ -300,3 +300,95 @@ def test_redrive_carries_schema_evolution(tmp_path):
     }
     assert row["https://v2-bad.example/"] == ("página dos", "text/html")
     assert row["https://v2-good.example/"][1] == "text/html"
+
+
+def test_redrive_entity_lake_uses_entity_pipeline(tmp_path):
+    """Redriving a group-valued (entity) lake's DLQ must replay through
+    the ENTITY pipeline: the repaired row fans out to its entity row
+    set, not a single page row."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        redrive_errors,
+        run_entity_ingest,
+    )
+
+    ts = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=53, n_urls=8, n_events=40, n_segments=1,
+                 rich_pages=True)
+    html = (
+        "<html><head><title>Tít</title></head>"
+        "<body><h1>H</h1></body></html>"
+    )
+    rows = {
+        "op": ["update"],
+        "url": ["https://fixme.example/"],
+        "warc_ts": [ts],
+        "seq": [9],
+        "html": [html.encode("latin-1")],  # é -> latin-1: quarantined
+        "lang": ["es"],
+        "schema_version": [1],
+        "fetch_status": [200],
+    }
+    pq.write_table(
+        pa.Table.from_pydict(rows, schema=EVENTS_SCHEMA_V1),
+        os.path.join(wal, "segment-00001.parquet"),
+    )
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_entity_ingest(cfg)
+    assert read_errors(cfg.lake_dir).num_rows == 1
+
+    def fix(t: pa.Table) -> pa.Table:
+        fixed = [
+            b.decode("latin-1").encode("utf-8")
+            for b in t.column("html").to_pylist()
+        ]
+        return t.set_column(
+            t.column_names.index("html"), "html", pa.array(fixed, pa.binary())
+        )
+
+    r = redrive_errors(cfg, fixer=fix)
+    assert r["still_bad"] == 0 and r["redriven_rows"] == 1
+    snap = lake_snapshot(cfg.lake_dir)
+    mine = snap.filter(
+        pa.compute.equal(snap.column("url"), "https://fixme.example/")
+    )
+    # entity fan-out: page row + title heading rows, with the repaired
+    # accent intact
+    kinds = set(mine.column("entity_type").to_pylist())
+    assert "page" in kinds and len(kinds) >= 2, kinds
+    titles = mine.filter(
+        pa.compute.equal(mine.column("entity_type"), "page")
+    ).column("title").to_pylist()
+    assert titles == ["Tít"]
+
+
+def test_redrive_is_serialized_by_its_own_lease(tmp_path):
+    """A second redrive while one holds the redrive lease fails fast
+    (ConcurrentWriterError) instead of treating the live sidecar as an
+    orphan."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        REDRIVE_LOCK_NAME,
+        redrive_errors,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        ConcurrentWriterError,
+        writer_lock,
+    )
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    generate_wal(wal, seed=59, n_urls=10, n_events=50, n_segments=1)
+    _corrupt_segment(os.path.join(wal, "segment-00001.parquet"))
+    cfg = CdcConfig(wal_dir=wal, lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=4, extract_concurrency=2)
+    run_ingest(cfg)
+    with writer_lock(cfg.lake_dir, lock_name=REDRIVE_LOCK_NAME):
+        with pytest.raises(ConcurrentWriterError):
+            redrive_errors(cfg)
+    # lease released: the redrive proceeds normally afterwards
+    r = redrive_errors(cfg)
+    assert r["redriven_rows"] == 2
