@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "mode_event_type_per_user",
     "events_above_type_p90",
     "profile_documents",
+    "doc_repetition_stats",
+    "props_value_stats",
+    "rarest_term_per_doc",
 ]
 
 

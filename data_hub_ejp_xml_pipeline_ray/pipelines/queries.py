@@ -3313,6 +3313,193 @@ def q_kmeans_embeddings(sf_dir: str):
     })
 
 
+def q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style per-document repetition gate (quality filtering for
+    training corpora): top-word fraction <= 0.3 AND duplicate-bigram
+    fraction <= 0.2, computed entirely with INTEGER comparisons
+    (``top*10 <= n_tokens*3``) so the hash contract can't wobble on
+    float division. Per-row semantics = embarrassingly parallel: one
+    vectorized polars kernel per batch (tokenize -> explode -> two
+    group_bys), zero shuffle. Reference analog: the per-record quality
+    normalizers of §2.2 (M14), widened to corpus-curation semantics."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=20_000)
+
+    _SCHEMA = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("top_word_count", pa.int64()), ("n_bigrams", pa.int64()),
+        ("dup_bigram_count", pa.int64()), ("rep_ok", pa.bool_()),
+    ])
+
+    def rep_stats(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]+").alias("tk"),
+        ).explode("tk").drop_nulls()
+        wc = ex.group_by("doc_id", "tk").agg(pl.len().alias("c"))
+        wagg = wc.group_by("doc_id").agg(
+            pl.col("c").sum().cast(pl.Int64).alias("n_tokens"),
+            pl.col("c").max().cast(pl.Int64).alias("top_word_count"),
+        )
+        # adjacent-token bigrams: explode preserves per-doc order and
+        # doc_ids are unique per row, so a shift+same-doc filter pairs
+        # only within-document neighbours
+        bg = ex.with_columns(
+            b=pl.col("tk") + " " + pl.col("tk").shift(-1),
+            d2=pl.col("doc_id").shift(-1),
+        ).filter(pl.col("doc_id") == pl.col("d2"))
+        bstat = bg.group_by("doc_id").agg(
+            pl.len().cast(pl.Int64).alias("n_bigrams"),
+            pl.col("b").n_unique().cast(pl.Int64).alias("nd"),
+        )
+        out = (
+            df.select("doc_id")
+            .join(wagg, on="doc_id", how="left")
+            .join(bstat, on="doc_id", how="left")
+            .fill_null(0)
+            .with_columns(
+                dup_bigram_count=pl.col("n_bigrams") - pl.col("nd")
+            )
+            .with_columns(
+                rep_ok=(
+                    pl.col("top_word_count") * 10 <= pl.col("n_tokens") * 3
+                ) & (
+                    pl.col("dup_bigram_count") * 10 <= pl.col("n_bigrams") * 2
+                )
+            )
+            .select([
+                "doc_id", "n_tokens", "top_word_count",
+                "n_bigrams", "dup_bigram_count", "rep_ok",
+            ])
+        )
+        return out.to_arrow().cast(_SCHEMA)
+
+    return ds.map_batches(rep_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured JSON extraction (the reference's sparse-dict
+    records, §1.2, as a payload column): parse ``events.props`` JSON
+    per batch (vectorized ``json_path_match``), aggregate the extracted
+    integer per event_type via per-block partials + a tiny global
+    groupby — the shuffle sees blocks x types rows, never the JSON."""
+    ds = _read(sf_dir, "events", ["event_type", "props"],
+               rows_per_block=20_000)
+
+    _SCHEMA = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("sum_k", pa.int64()), ("min_k", pa.int64()), ("max_k", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            k=pl.col("props").str.json_path_match("$.k").cast(pl.Int64)
+        )
+        out = df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("k").sum().alias("sum_k"),
+            pl.col("k").min().alias("min_k"),
+            pl.col("k").max().alias("max_k"),
+        )
+        return out.to_arrow().cast(_SCHEMA)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return parts.groupby("event_type").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_k", alias_name="sum_k"),
+        Min("min_k", alias_name="min_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+
+def q_rarest_term_per_doc(sf_dir: str):
+    """TF-IDF-shaped corpus annotation with integer-exact semantics:
+    for every document, the term with the LOWEST global document
+    frequency (tie-break lexicographic). Two-phase, both scale-shaped:
+
+    1. distinct (doc_id, term) pairs hash-bucket by TERM; each bucket
+       holds complete term groups, so the in-bucket count IS the global
+       df — every pair is annotated in the same task that counted it
+       (no separate df table, no broadcast: vocabulary at web scale is
+       NOT a small side). Each bucket then emits only its per-doc
+       minimum candidate, collapsing the stage-2 input to <= one row
+       per (bucket, doc).
+    2. per-doc global min via the per-block ``_keep_extreme`` combiner
+       + the bucketed executor on doc_id.
+
+    Shuffle volume: stage 1 moves the distinct token pairs once (the
+    exact-df lower bound); stage 2 moves bucket-minima only."""
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _PAIR = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("th", pa.int64()),
+    ])
+    _OUT = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("df", pa.int64()),
+    ])
+
+    def token_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term"),
+            )
+            .explode("term").drop_nulls()
+            # docs are whole rows: per-block unique == global unique
+            .unique(subset=["doc_id", "term"])
+            .with_columns(
+                th=pl.col("term").hash(seed=0).reinterpret(signed=True)
+            )
+        )
+        out = ex.to_arrow().cast(_PAIR)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("th"), num_buckets)
+        )
+
+    def df_and_local_min(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        df = df.with_columns(df=pl.len().over("term").cast(pl.Int64))
+        out = (
+            df.sort(["doc_id", "df", "term"])
+            .unique(subset=["doc_id"], keep="first", maintain_order=True)
+            .select(["doc_id", "term", "df"])
+        )
+        return out.to_arrow().cast(_OUT)
+
+    pairs = ds.map_batches(token_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    candidates = pairs.groupby("_bucket").map_groups(
+        lambda g: df_and_local_min(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    combined = candidates.map_batches(
+        _keep_extreme,
+        fn_kwargs={"key_cols": ["doc_id"], "order_cols": ["df", "term"],
+                   "keep": "first"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def min_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(["doc_id", "df", "term"])
+            .unique(subset=["doc_id"], keep="first", maintain_order=True)
+            .select(["doc_id", "term", "df"])
+        )
+        return out.to_arrow().cast(_OUT)
+
+    return _bucketed_groups(
+        combined, "doc_id", min_bucket,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3396,6 +3583,9 @@ QUERIES = {
     "contamination_pairs": q_contamination_pairs,
     "doc_length_histogram": q_doc_length_histogram,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "props_value_stats": q_props_value_stats,
+    "rarest_term_per_doc": q_rarest_term_per_doc,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -4365,6 +4555,67 @@ ORACLE_SQL["mode_event_type_per_user"] = """
                                 ORDER BY count(*) DESC, event_type ASC)
                AS rn
       FROM events GROUP BY user_id, event_type) WHERE rn = 1
+"""
+
+ORACLE_SQL["doc_repetition_stats"] = """
+    -- integer-exact Gopher-style repetition gate; the two unnests in
+    -- bg zip positionally (same idiom as bigram_counts)
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2
+    ), wagg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_word_count
+      FROM wc GROUP BY 1
+    ), arr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(a[1:len(a) - 1]) || ' ' || unnest(a[2:len(a)]) AS b
+      FROM arr
+    ), bstat AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT b) AS BIGINT) AS nd
+      FROM bg GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(top_word_count, 0) AS top_word_count,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_bigrams - nd, 0) AS dup_bigram_count,
+           (coalesce(top_word_count, 0) * 10 <= coalesce(n_tokens, 0) * 3
+            AND coalesce(n_bigrams - nd, 0) * 10
+                <= coalesce(n_bigrams, 0) * 2) AS rep_ok
+    FROM documents d
+    LEFT JOIN wagg USING (doc_id) LEFT JOIN bstat USING (doc_id)
+"""
+
+ORACLE_SQL["props_value_stats"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["rarest_term_per_doc"] = """
+    WITH tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1
+    )
+    SELECT doc_id, w AS term, df FROM (
+      SELECT t.doc_id, t.w, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.w) AS rn
+      FROM tk t JOIN df d USING (w)) WHERE rn = 1
 """
 
 ORACLE_SQL["weighted_sample_docs"] = """
