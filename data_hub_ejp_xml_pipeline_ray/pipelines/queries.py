@@ -3500,6 +3500,316 @@ def q_rarest_term_per_doc(sf_dir: str):
     )
 
 
+def q_corr_value_props_by_type(sf_dir: str):
+    """Cross-column moment aggregates per group: Pearson correlation and
+    sample covariance between ``value`` and ``length(props)`` per
+    event_type, via the classic (n, sx, sy, sxx, syy, sxy) partials —
+    each block collapses to one row per group before the shuffle, the
+    final reduce is a deterministic driver fold over blocks x groups
+    rows (same shape + rounding contract as ``value_moments_by_type``)."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"],
+               rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(
+            pl.col("value").is_not_null() & pl.col("props").is_not_null()
+        ).with_columns(
+            y=pl.col("props").str.len_chars().cast(pl.Float64)
+        )
+        out = df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("value").sum().alias("sx"),
+            pl.col("y").sum().alias("sy"),
+            (pl.col("value") ** 2).sum().alias("sxx"),
+            (pl.col("y") ** 2).sum().alias("syy"),
+            (pl.col("value") * pl.col("y")).sum().alias("sxy"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("sx", pa.float64()), ("sy", pa.float64()),
+            ("sxx", pa.float64()), ("syy", pa.float64()),
+            ("sxy", pa.float64()),
+        ]))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    blocks = [
+        b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("corr_vp", pa.float64()), ("covar_vp", pa.float64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    # deterministic fold order (see value_moments_by_type): distributed
+    # float Sum folds in arrival order and can flip the 4th decimal
+    df = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .sort(["event_type", "n", "sx"])
+        .group_by("event_type", maintain_order=True)
+        .agg(pl.col("n").sum(), pl.col("sx").sum(), pl.col("sy").sum(),
+             pl.col("sxx").sum(), pl.col("syy").sum(), pl.col("sxy").sum())
+        .sort("event_type")
+    )
+    n = df["n"].to_numpy().astype(np.float64)
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, syy, sxy = df["sxx"].to_numpy(), df["syy"].to_numpy(), df["sxy"].to_numpy()
+    cxy = sxy - sx * sy / n                     # n * covar_pop
+    vx = np.maximum(sxx - sx * sx / n, 0.0)
+    vy = np.maximum(syy - sy * sy / n, 0.0)
+    denom = np.sqrt(vx * vy)
+    corr = [
+        None if cnt < 2 or d == 0.0 else _round4_half_away(c / d)
+        for cnt, c, d in zip(n, cxy, denom)
+    ]
+    covar = [
+        None if cnt < 2 else _round4_half_away(c / (cnt - 1.0))
+        for cnt, c in zip(n, cxy)
+    ]
+    return pa.table({
+        "event_type": pa.array(df["event_type"].to_list(), pa.string()),
+        "n": pa.array(df["n"].to_list(), pa.int64()),
+        "corr_vp": pa.array(corr, pa.float64()),
+        "covar_vp": pa.array(covar, pa.float64()),
+    })
+
+
+def q_lang_entropy_by_source(sf_dir: str):
+    """Shannon entropy (nats) of the language mix per source — the
+    diversity metric a crawl-curation dashboard keys on. Scale shape:
+    a per-block (source, lang) count combiner collapses the corpus to
+    at most |sources| x |langs| rows per block before the shuffle; the
+    entropy itself is one vectorized polars/numpy pass over the tiny
+    global count table."""
+    ds = _read(sf_dir, "documents", ["source", "lang"], rows_per_block=20_000)
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        out = pl.from_arrow(t).group_by(["source", "lang"]).agg(
+            pl.len().cast(pl.Int64).alias("n")
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("lang", pa.string()), ("n", pa.int64()),
+        ]))
+
+    counts = ds.map_batches(
+        local_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def entropy(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["source", "lang"])
+        tot = df.group_by("source", maintain_order=True).agg(
+            pl.col("n").sum().alias("tot"),
+            pl.len().cast(pl.Int64).alias("n_langs"),
+        )
+        j = df.join(tot, on="source", how="inner")
+        p = j["n"].to_numpy() / j["tot"].to_numpy()
+        j = j.with_columns(pl.Series("plp", p * np.log(p)))
+        out = (
+            j.group_by("source", maintain_order=True)
+            .agg(pl.col("plp").sum(), pl.col("n_langs").first())
+            .sort("source")
+        )
+        return pa.table({
+            "source": pa.array(out["source"].to_list(), pa.string()),
+            "n_langs": pa.array(out["n_langs"].to_list(), pa.int64()),
+            "lang_entropy": pa.array(
+                [_round4_half_away(x) for x in (-out["plp"].to_numpy())],
+                pa.float64()),
+        })
+
+    # the global count table is |sources| x |langs| — one vectorized call
+    return counts.map_batches(
+        entropy, batch_format="pyarrow", batch_size=None,
+    )
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention analysis: users bucketed by the Monday-start
+    week of their FIRST signup event; for each (cohort week, week
+    offset >= 0) the number of cohort users active in that week. Scale
+    shape: a per-block combiner collapses raw events to distinct
+    (user, week) pairs carrying the block-local min signup ts, so the
+    shuffle moves user-week pairs, never events; each user's rows land
+    in one bucket (complete groups), where one polars kernel derives
+    the cohort and deduped offsets; the final count is a tiny
+    (cohort, offset) groupby over pre-deduped pairs."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               rows_per_block=20_000)
+
+    _PAIR = pa.schema([
+        ("user_id", pa.int64()), ("week", pa.timestamp("us")),
+        ("sig", pa.timestamp("us")),
+    ])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            week=pl.col("ts").dt.truncate("1w")
+        )
+        sig = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id").agg(pl.col("ts").min().alias("sig"))
+        )
+        pairs = (
+            df.select(["user_id", "week"]).unique()
+            .join(sig, on="user_id", how="left")
+        )
+        return pairs.to_arrow().cast(_PAIR)
+
+    pairs = ds.map_batches(
+        local_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _WEEK_US = 7 * 86_400 * 1_000_000
+
+    def cohort_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        cohort = (
+            df.filter(pl.col("sig").is_not_null())
+            .group_by("user_id")
+            .agg(pl.col("sig").min().dt.truncate("1w").alias("cohort_week"))
+        )
+        j = (
+            df.select(["user_id", "week"]).unique()
+            .join(cohort, on="user_id", how="inner")
+            .filter(pl.col("week") >= pl.col("cohort_week"))
+            .with_columns(
+                week_offset=(
+                    (pl.col("week").cast(pl.Int64)
+                     - pl.col("cohort_week").cast(pl.Int64))
+                    // _WEEK_US
+                )
+            )
+        )
+        out = j.group_by(["cohort_week", "week_offset"]).agg(
+            pl.len().cast(pl.Int64).alias("n_users")
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("cohort_week", pa.timestamp("us")),
+            ("week_offset", pa.int64()), ("n_users", pa.int64()),
+        ]))
+
+    per_bucket = _bucketed_groups(
+        pairs, "user_id", cohort_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+    return per_bucket.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+#: Count floor for the LM's unigram AND bigram tables: keeps the
+#: broadcast vocabulary to the Zipf head (bounded regardless of corpus
+#: size) and is SQL-replicable (HAVING + coalesce-to-0 on the join).
+_LM_MIN_COUNT = 5
+
+
+class _LmScorer:
+    """Actor-pool doc scorer: the floored corpus LM tables are fetched
+    from the object store and converted to polars join tables ONCE per
+    actor (``__init__``), not per batch."""
+
+    def __init__(self, lm_ref):
+        uni, big, self._v = ray.get(lm_ref)
+        self._uni = pl.DataFrame(
+            {"w1": uni.column("tk").to_pylist(),
+             "un": uni.column("n").to_pylist()},
+            schema={"w1": pl.String, "un": pl.Int64},
+        )
+        self._big = pl.DataFrame(
+            {"bigram": big.column("bigram").to_pylist(),
+             "bn": big.column("n").to_pylist()},
+            schema={"bigram": pl.String, "bn": pl.Int64},
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_row_index("rid")
+        ex = (
+            df.select(
+                pl.col("rid"), pl.col("doc_id"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("tk"),
+            )
+            .explode("tk").drop_nulls()
+        )
+        ex = ex.with_columns(
+            w2=pl.col("tk").shift(-1), rid2=pl.col("rid").shift(-1),
+        ).filter(pl.col("rid") == pl.col("rid2")).rename({"tk": "w1"})
+        ex = ex.with_columns(
+            bigram=pl.col("w1") + " " + pl.col("w2")
+        ).join(self._big, on="bigram", how="left").join(
+            self._uni, on="w1", how="left"
+        ).with_columns(
+            pl.col("bn").fill_null(0), pl.col("un").fill_null(0),
+        )
+        lp = np.log(
+            (ex["bn"].to_numpy() + 1.0) / (ex["un"].to_numpy() + float(self._v))
+        )
+        out = (
+            ex.with_columns(pl.Series("lp", lp))
+            .group_by("doc_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_bigrams"),
+                 pl.col("lp").mean().alias("m"))
+            .sort("doc_id")
+        )
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_list(), pa.int64()),
+            "n_bigrams": pa.array(out["n_bigrams"].to_list(), pa.int64()),
+            "lm_score": pa.array(
+                [_round4_half_away(x) for x in out["m"].to_list()],
+                pa.float64()),
+        })
+
+
+def q_doc_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring: train a Laplace-smoothed bigram
+    LM on the corpus itself (counts >= floor on BOTH tables, so the
+    broadcast vocabulary is the bounded Zipf head), then score every
+    document by its mean bigram log-probability
+    ``ln((c(bigram)+1) / (c(w1)+V))`` — the perplexity-proxy filter a
+    training-data pipeline gates on. Two passes over the corpus: a
+    distributed count build (local combiner -> small groupby), one
+    ``ray.put`` broadcast, then a streaming actor-pool scoring pass
+    (LM tables converted to join tables once per actor). Docs with no
+    bigram are excluded (no LM evidence), matching the SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def local_unigrams(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .select(pl.col("text").str.to_lowercase()
+                    .str.extract_all(r"[a-z0-9]+").alias("tk"))
+            .explode("tk").drop_nulls()
+            .group_by("tk").agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("tk", pa.string()), ("n", pa.int64())])
+        )
+
+    def _floor(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), _LM_MIN_COUNT))
+
+    uni = (
+        ds.map_batches(local_unigrams, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("tk").aggregate(Sum("n", alias_name="n"))
+        .map_batches(_floor, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    big = q_bigram_counts(sf_dir)  # floored corpus bigram counts
+    uni_t = pa.concat_tables(
+        list(uni.iter_batches(batch_format="pyarrow"))
+    )
+    big_t = pa.concat_tables(
+        list(big.iter_batches(batch_format="pyarrow"))
+    )
+    lm_ref = ray.put((uni_t, big_t, uni_t.num_rows))
+    return ds.map_batches(
+        _LmScorer, fn_constructor_args=(lm_ref,),
+        concurrency=_pool_for(sf_dir, "documents", rows_per_actor=2_000),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3586,6 +3896,10 @@ QUERIES = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "props_value_stats": q_props_value_stats,
     "rarest_term_per_doc": q_rarest_term_per_doc,
+    "corr_value_props_by_type": q_corr_value_props_by_type,
+    "lang_entropy_by_source": q_lang_entropy_by_source,
+    "retention_cohorts": q_retention_cohorts,
+    "doc_lm_score": q_doc_lm_score,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -4626,4 +4940,73 @@ ORACLE_SQL["weighted_sample_docs"] = """
              ((doc_id * 2654435761) % 4294967296) * 1.0 / n_chars AS k
       FROM documents WHERE n_chars > 0
       ORDER BY k ASC, doc_id ASC LIMIT 50)
+"""
+
+ORACLE_SQL["corr_value_props_by_type"] = """
+    SELECT event_type, count(*) AS n,
+           round(corr(value, length(props)), 4) AS corr_vp,
+           round(covar_samp(value, length(props)), 4) AS covar_vp
+    FROM events
+    WHERE value IS NOT NULL AND props IS NOT NULL
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["lang_entropy_by_source"] = """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT source, sum(n) AS tot, CAST(count(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY 1
+    )
+    SELECT t.source, t.n_langs,
+           round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 4)
+             AS lang_entropy
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY t.source, t.n_langs
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+    WITH s AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, s.cohort_week,
+             (date_diff('day', s.cohort_week,
+                        date_trunc('week', e.ts)) // 7) AS week_offset
+      FROM events e JOIN s USING (user_id)
+      WHERE date_trunc('week', e.ts) >= s.cohort_week
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+"""
+
+ORACLE_SQL["doc_lm_score"] = """
+    -- Laplace-smoothed bigram LM self-scoring (floor 5 on both count
+    -- tables = the engine's bounded-broadcast Zipf head)
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ), ucnt AS (
+      SELECT tk, count(*) AS n
+      FROM (SELECT unnest(w) AS tk FROM d)
+      GROUP BY tk HAVING count(*) >= 5
+    ), vocab AS (SELECT count(*) AS v FROM ucnt),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM d
+    ), bcnt AS (
+      SELECT bg, count(*) AS n FROM big GROUP BY bg HAVING count(*) >= 5
+    ), scored AS (
+      SELECT b.doc_id,
+             ln((coalesce(bc.n, 0) + 1.0)
+                / (coalesce(uc.n, 0) + (SELECT v FROM vocab))) AS lp
+      FROM big b
+      LEFT JOIN bcnt bc ON bc.bg = b.bg
+      LEFT JOIN ucnt uc ON uc.tk = split_part(b.bg, ' ', 1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS lm_score
+    FROM scored GROUP BY doc_id
 """
