@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "doc_repetition_stats",
     "props_value_stats",
     "rarest_term_per_doc",
+    "corr_value_props_by_type",
+    "lang_entropy_by_source",
+    "retention_cohorts",
+    "doc_lm_score",
 ]
 
 
