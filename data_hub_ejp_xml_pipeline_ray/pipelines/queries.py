@@ -480,7 +480,7 @@ def q_doc_bpeish_tokens(sf_dir: str):
     count a BPE pre-tokenizer would split into, vectorized with ONE
     RE2 kernel call per batch (``pc.count_substring_regex``) — no
     Python per row."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
 
     def count(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -504,7 +504,7 @@ def q_top_terms_sketch(sf_dir: str):
     never shuffles. Exact sibling: ``top_terms``."""
     from ..functions.sketch import cms_topk_terms
 
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=2_000)
     return cms_topk_terms(ds, "text", k=50)
 
 
@@ -650,7 +650,7 @@ def q_top_terms(sf_dir: str):
     """Corpus term top-k (the canonical map-reduce): per-batch token
     explosion + LOCAL count combiner, tiny global groupby sum, sort +
     limit. Deterministic tiebreak by term."""
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=2_000)
 
     def local_counts(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
@@ -679,7 +679,7 @@ def q_top_terms(sf_dir: str):
 
 def q_exclusion_filter(sf_dir: str):
     """Exclusion-regex anti-filter (M3 analog, ``ejp_zip.py:61-63``)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"], rows_per_block=2_000)
     return ds.map_batches(
         lambda t: t.filter(
             pc.invert(pc.match_substring_regex(t.column("text"), "merge|fox"))
@@ -691,7 +691,7 @@ def q_exclusion_filter(sf_dir: str):
 def q_null_normalize(sf_dir: str):
     """Null normalization (M14 analog): empty-string -> null -> default
     (the engine's inversion of ``remove_key_with_null_value``)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"], rows_per_block=2_000)
 
     def norm(t: pa.Table) -> pa.Table:
         lang = t.column("lang")
@@ -1124,7 +1124,7 @@ def q_distinct_segments(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_doc_token_stats(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     out = ds.map_batches(annotate_text_stats, batch_format="pyarrow",
                          zero_copy_batch=True)
     return out.select_columns(
@@ -1133,7 +1133,7 @@ def q_doc_token_stats(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     return ds.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"), "lang_pred": ts.lang_id(t.column("text"))}
@@ -1156,14 +1156,14 @@ def _observe(name: str, res: dict) -> None:
 
 
 def q_dedup_exact_docs(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     return exact_dedup(ds)
 
 
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprint; the oracle folds the same
     polynomial hash in SQL via nested ``list_reduce`` (HUGEINT)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     return ds.map_batches(
         lambda t: pa.table(
             {"doc_id": t.column("doc_id"),
@@ -1707,7 +1707,7 @@ def q_sample_documents(sf_dir: str):
     reproducible train/val-split primitive (same row set on every run,
     engine and SQL alike; unlike seeded RNG sampling, it is stable
     under repartitioning and expressible in SQL)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"], rows_per_block=2_000)
     thresh = _SAMPLE_MOD // 10
 
     def pick(t: pa.Table) -> pa.Table:
@@ -1846,7 +1846,7 @@ def q_decontaminate_ngrams(sf_dir: str):
     grams ever leave their tasks — the training corpus is never
     shuffled. Gram hashing is the vectorized 64-bit kernel
     ``_gram_hashes_batch`` (the oracle compares gram STRINGS)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"], rows_per_block=2_000)
     bench_max = _decon_bench_max(sf_dir)
     bench_ref = ray.put(_bench_gram_array(ds, bench_max))
 
@@ -1887,7 +1887,7 @@ def q_decontaminate_bloom(sf_dir: str):
         bloom_add, bloom_contains, bloom_empty, bloom_sizes,
     )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"], rows_per_block=2_000)
     bench_max = _decon_bench_max(sf_dir)
 
     def bench_grams(t: pa.Table) -> pa.Table:
@@ -1947,7 +1947,7 @@ def q_decontaminate_bloom(sf_dir: str):
         bad = _decon_semijoin_matched(sf_dir, cand, grams)
     bad_arr = pa.array(sorted(bad), pa.int64())
 
-    final = _read(sf_dir, "documents", ["doc_id", "lang"])  # text-free
+    final = _read(sf_dir, "documents", ["doc_id", "lang"], rows_per_block=2_000)  # text-free
 
     def anti(t: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -2020,7 +2020,7 @@ def q_contamination_pairs(sf_dir: str):
     sharing grams in different buckets) collapse driver-side — the
     collected set is bounded by TRUE contamination volume, the same
     bound as the decontamination drop set."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     bench_max = _decon_bench_max(sf_dir)
 
     def doc_grams(t: pa.Table) -> pa.Table:
@@ -2109,7 +2109,7 @@ def q_stratified_sample_by_lang(sf_dir: str):
     """Deterministic STRATIFIED sample: each language keeps its own
     hash-threshold fraction (reproducible, repartition-stable, and
     SQL-expressible — unlike seeded RNG sampling)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"], rows_per_block=2_000)
     cuts = {
         lang: int(r * _SAMPLE_MOD) for lang, r in _STRAT_RATES.items()
     }
@@ -2890,7 +2890,7 @@ def q_bigram_counts(sf_dir: str):
     each doc, LOCAL count combiner per block, tiny global sum. The
     shuffle moves (bigram, partial_count) rows bounded by per-block
     vocabulary — never the corpus text."""
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read(sf_dir, "documents", ["text"], rows_per_block=2_000)
 
     def local_bigrams(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).with_row_index("rid")
@@ -3433,7 +3433,7 @@ def q_rarest_term_per_doc(sf_dir: str):
     Shuffle volume: stage 1 moves the distinct token pairs once (the
     exact-df lower bound); stage 2 moves bucket-minima only."""
     num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
 
     _PAIR = pa.schema([
         ("doc_id", pa.int64()), ("term", pa.string()), ("th", pa.int64()),
@@ -3772,36 +3772,56 @@ def q_doc_lm_score(sf_dir: str):
     ``ray.put`` broadcast, then a streaming actor-pool scoring pass
     (LM tables converted to join tables once per actor). Docs with no
     bigram are excluded (no LM evidence), matching the SQL oracle."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # footer-sized blocks: the kernels are vectorized, so Ray's default
+    # ~2x-CPU read split pays ~30x its compute in per-task overhead
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               rows_per_block=2_000)
 
-    def local_unigrams(t: pa.Table) -> pa.Table:
-        out = (
-            pl.from_arrow(t)
-            .select(pl.col("text").str.to_lowercase()
-                    .str.extract_all(r"[a-z0-9]+").alias("tk"))
+    # ONE tokenizing pass counts unigrams AND bigrams together (a
+    # bigram key contains a space, a [a-z0-9]+ unigram never does, so
+    # the union splits losslessly after the one global count) — the
+    # corpus text is scanned twice total (count + score), not thrice.
+    def local_grams(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_row_index("rid")
+        ex = (
+            df.select(
+                pl.col("rid"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("tk"),
+            )
             .explode("tk").drop_nulls()
-            .group_by("tk").agg(pl.len().cast(pl.Int64).alias("n"))
         )
-        return out.to_arrow().cast(
-            pa.schema([("tk", pa.string()), ("n", pa.int64())])
+        ex = ex.with_columns(
+            bigram=pl.col("tk") + " " + pl.col("tk").shift(-1),
+            rid2=pl.col("rid").shift(-1),
+        )
+        uni = ex.group_by("tk").agg(
+            pl.len().cast(pl.Int64).alias("n")
+        ).rename({"tk": "gram"})
+        big = (
+            ex.filter(pl.col("rid") == pl.col("rid2"))
+            .group_by("bigram").agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"bigram": "gram"})
+        )
+        return pl.concat([uni, big]).to_arrow().cast(
+            pa.schema([("gram", pa.string()), ("n", pa.int64())])
         )
 
     def _floor(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("n"), _LM_MIN_COUNT))
 
-    uni = (
-        ds.map_batches(local_unigrams, batch_format="pyarrow",
+    grams = (
+        ds.map_batches(local_grams, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("tk").aggregate(Sum("n", alias_name="n"))
+        .groupby("gram").aggregate(Sum("n", alias_name="n"))
         .map_batches(_floor, batch_format="pyarrow", zero_copy_batch=True)
     )
-    big = q_bigram_counts(sf_dir)  # floored corpus bigram counts
-    uni_t = pa.concat_tables(
-        list(uni.iter_batches(batch_format="pyarrow"))
+    gram_t = pa.concat_tables(
+        list(grams.iter_batches(batch_format="pyarrow"))
     )
-    big_t = pa.concat_tables(
-        list(big.iter_batches(batch_format="pyarrow"))
-    )
+    is_big = pc.match_substring(gram_t.column("gram"), " ")
+    big_t = gram_t.filter(is_big).rename_columns(["bigram", "n"])
+    uni_t = gram_t.filter(pc.invert(is_big)).rename_columns(["tk", "n"])
     lm_ref = ray.put((uni_t, big_t, uni_t.num_rows))
     return ds.map_batches(
         _LmScorer, fn_constructor_args=(lm_ref,),
