@@ -3830,6 +3830,151 @@ def q_doc_lm_score(sf_dir: str):
     )
 
 
+#: Fixed x-axis origin for the regression query: a CONSTANT shift keeps
+#: the raw-moment partials combinable across blocks while dropping ~9
+#: digits of catastrophic cancellation vs raw epoch seconds.
+_REGR_EPOCH = datetime(2024, 1, 1)
+
+
+def q_regr_value_vs_time_by_type(sf_dir: str):
+    """Grouped least-squares trend line: per event_type the
+    regr_slope / regr_intercept of ``value`` against time in DAYS since
+    2024-01-01. Same scale shape as the corr/moments family: per-block
+    (n, sx, sy, sxx, sxy) partials (one row per group per block),
+    deterministic driver fold, scale-4 rounding both sides."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"],
+               rows_per_block=20_000)
+    origin_us = int(
+        (_REGR_EPOCH - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("value").is_not_null())
+        df = df.with_columns(
+            x=(pl.col("ts").cast(pl.Int64) - origin_us) / 1_000_000.0
+              / 86_400.0
+        )
+        out = df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("x").sum().alias("sx"),
+            pl.col("value").sum().alias("sy"),
+            (pl.col("x") ** 2).sum().alias("sxx"),
+            (pl.col("x") * pl.col("value")).sum().alias("sxy"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("sx", pa.float64()), ("sy", pa.float64()),
+            ("sxx", pa.float64()), ("sxy", pa.float64()),
+        ]))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    blocks = [
+        b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("slope_per_day", pa.float64()), ("intercept", pa.float64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    df = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .sort(["event_type", "n", "sx"])
+        .group_by("event_type", maintain_order=True)
+        .agg(pl.col("n").sum(), pl.col("sx").sum(), pl.col("sy").sum(),
+             pl.col("sxx").sum(), pl.col("sxy").sum())
+        .sort("event_type")
+    )
+    n = df["n"].to_numpy().astype(np.float64)
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, sxy = df["sxx"].to_numpy(), df["sxy"].to_numpy()
+    vx = sxx - sx * sx / n
+    cxy = sxy - sx * sy / n
+    slope = [
+        None if cnt < 2 or v == 0.0 else _round4_half_away(c / v)
+        for cnt, c, v in zip(n, cxy, vx)
+    ]
+    intercept = [
+        None if s is None else
+        _round4_half_away(yy / cnt - (c / v) * (xx / cnt))
+        for s, cnt, c, v, xx, yy in zip(slope, n, cxy, vx, sx, sy)
+    ]
+    return pa.table({
+        "event_type": pa.array(df["event_type"].to_list(), pa.string()),
+        "n": pa.array(df["n"].to_list(), pa.int64()),
+        "slope_per_day": pa.array(slope, pa.float64()),
+        "intercept": pa.array(intercept, pa.float64()),
+    })
+
+
+#: Value gate for the set-op queries: without it every user holds every
+#: event type at any tested scale and INTERSECT/EXCEPT are degenerate
+#: (all users / empty). 150 keeps both ops selective at every tier.
+_SETOP_MIN_VALUE = 150.0
+
+
+def _users_by_type_setop(sf_dir: str, type_a: str, type_b: str,
+                         require_b: bool) -> ray.data.Dataset:
+    """Shared executor for the INTERSECT / EXCEPT set ops on user-id
+    streams (membership = "has a ``type`` event with value > gate"):
+    per-block distinct (user, flag) pairs (the combiner — raw events
+    never shuffle), then one bucketed vectorized pass per ~N users
+    testing which flags are present for each user. Both predicates are
+    pushed into the parquet read."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+        filter=(
+            pc.field("event_type").isin([type_a, type_b])
+            & (pc.field("value") > _SETOP_MIN_VALUE)
+        ),
+    )
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        out = pl.from_arrow(t).unique()
+        return out.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+        ]))
+
+    pairs = ds.map_batches(
+        local_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def setop_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        flags = df.group_by("user_id").agg(
+            (pl.col("event_type") == type_a).any().alias("has_a"),
+            (pl.col("event_type") == type_b).any().alias("has_b"),
+        )
+        keep = flags.filter(
+            pl.col("has_a") & (pl.col("has_b") == require_b)
+        ).select("user_id")
+        return keep.to_arrow().cast(pa.schema([("user_id", pa.int64())]))
+
+    out = _bucketed_groups(
+        pairs, "user_id", setop_bucket, num_buckets=_buckets_for(sf_dir)
+    ).materialize()
+    if out.count() == 0:
+        # a fully-empty result drops its block schema on conversion —
+        # pin the contract schema explicitly
+        return pa.schema([("user_id", pa.int64())]).empty_table()
+    return out
+
+
+def q_users_signup_and_purchase(sf_dir: str):
+    """Set op INTERSECT (SURVEY §2.8 beyond dedup): users present in
+    BOTH the signup and the purchase event streams."""
+    return _users_by_type_setop(sf_dir, "signup", "purchase", require_b=True)
+
+
+def q_users_view_no_purchase(sf_dir: str):
+    """Set op EXCEPT: users who viewed but never purchased — the
+    anti-membership sibling of the INTERSECT op on the same executor."""
+    return _users_by_type_setop(sf_dir, "view", "purchase", require_b=False)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -3920,6 +4065,9 @@ QUERIES = {
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
     "doc_lm_score": q_doc_lm_score,
+    "regr_value_vs_time_by_type": q_regr_value_vs_time_by_type,
+    "users_signup_and_purchase": q_users_signup_and_purchase,
+    "users_view_no_purchase": q_users_view_no_purchase,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5029,4 +5177,28 @@ ORACLE_SQL["doc_lm_score"] = """
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(lp), 4) AS lm_score
     FROM scored GROUP BY doc_id
+"""
+
+ORACLE_SQL["regr_value_vs_time_by_type"] = """
+    SELECT event_type, count(*) AS n,
+           round(regr_slope(value,
+             date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+               / 1000000.0 / 86400.0), 4) AS slope_per_day,
+           round(regr_intercept(value,
+             date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+               / 1000000.0 / 86400.0), 4) AS intercept
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+"""
+
+ORACLE_SQL["users_signup_and_purchase"] = """
+    SELECT user_id FROM events WHERE event_type = 'signup' AND value > 150
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+"""
+
+ORACLE_SQL["users_view_no_purchase"] = """
+    SELECT user_id FROM events WHERE event_type = 'view' AND value > 150
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
 """
