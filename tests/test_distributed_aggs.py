@@ -198,3 +198,19 @@ def test_buckets_for_grows_with_input_rows(tmp_path):
 
     assert _buckets_for(str(tmp_path), rows_per_bucket=10) == 100
     assert _buckets_for(str(tmp_path), rows_per_bucket=3) == 334  # ceil
+
+
+def test_setop_empty_result_keeps_schema():
+    # EXCEPT can legitimately produce ZERO rows; the empty result must
+    # still carry the contract schema (Ray drops block schema with the
+    # last block) — exercised via the degenerate A-except-A op
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        _users_by_type_setop,
+    )
+
+    out = _users_by_type_setop(
+        "/root/testdata/sf0.001", "signup", "signup", require_b=False
+    )
+    assert isinstance(out, pa.Table)
+    assert out.num_rows == 0
+    assert out.schema == pa.schema([("user_id", pa.int64())])
