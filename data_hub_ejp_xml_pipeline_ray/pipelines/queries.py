@@ -3975,6 +3975,88 @@ def q_users_view_no_purchase(sf_dir: str):
     return _users_by_type_setop(sf_dir, "view", "purchase", require_b=False)
 
 
+def q_embedding_norm_stats_by_label(sf_dir: str):
+    """Vector-column aggregate: per label the count, mean and max L2
+    norm of the embeddings — the profile stats an embedding-quality
+    gate keys on. Per-batch (n, sum_norm, max_norm) partials per label
+    (one numpy pass over the zero-copy matrix), deterministic driver
+    fold; scale-4 rounding bridges numpy's pairwise summation vs
+    DuckDB's left-fold list_sum."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"],
+               rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.ann import _as_matrix
+
+        vecs = _as_matrix(t.column("embedding")).astype(np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        df = pl.DataFrame({
+            "label": pl.Series(
+                t.column("label").to_numpy(zero_copy_only=False)
+            ).cast(pl.Int32),
+            "norm": norms,
+        })
+        out = df.group_by("label").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("norm").sum().alias("s"),
+            pl.col("norm").max().alias("mx"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("label", pa.int32()), ("n", pa.int64()),
+            ("s", pa.float64()), ("mx", pa.float64()),
+        ]))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    blocks = [
+        b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    out_schema = pa.schema([
+        ("label", pa.int32()), ("n", pa.int64()),
+        ("mean_norm", pa.float64()), ("max_norm", pa.float64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    df = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .sort(["label", "n", "s"])
+        .group_by("label", maintain_order=True)
+        .agg(pl.col("n").sum(), pl.col("s").sum(), pl.col("mx").max())
+        .sort("label")
+    )
+    return pa.table({
+        "label": pa.array(df["label"].to_list(), pa.int32()),
+        "n": pa.array(df["n"].to_list(), pa.int64()),
+        "mean_norm": pa.array(
+            [_round4_half_away(s / n) for s, n in zip(df["s"], df["n"])],
+            pa.float64()),
+        "max_norm": pa.array(
+            [_round4_half_away(x) for x in df["mx"]], pa.float64()),
+    })
+
+
+def q_change_feed_op_counts(sf_dir: str):
+    """Feed observability composition: insert/update/delete counts of
+    the flagship v1->v2 change feed — the per-commit metric a feed
+    consumer alerts on. Rides the full derived-WAL ingest + no-shuffle
+    partition-pairwise diff, then a per-batch count combiner; the
+    groupby sees blocks x 3 rows."""
+    feed = q_cdc_change_feed(sf_dir)
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        out = pl.from_arrow(t.select(["change_op"])).group_by(
+            "change_op"
+        ).agg(pl.len().cast(pl.Int64).alias("n"))
+        return out.to_arrow().cast(pa.schema([
+            ("change_op", pa.string()), ("n", pa.int64()),
+        ]))
+
+    return feed.map_batches(
+        local_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("change_op").aggregate(Sum("n", alias_name="n"))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4068,6 +4150,8 @@ QUERIES = {
     "regr_value_vs_time_by_type": q_regr_value_vs_time_by_type,
     "users_signup_and_purchase": q_users_signup_and_purchase,
     "users_view_no_purchase": q_users_view_no_purchase,
+    "embedding_norm_stats_by_label": q_embedding_norm_stats_by_label,
+    "change_feed_op_counts": q_change_feed_op_counts,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5202,3 +5286,18 @@ ORACLE_SQL["users_view_no_purchase"] = """
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
 """
+
+ORACLE_SQL["embedding_norm_stats_by_label"] = """
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS mean_norm,
+           round(max(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS max_norm
+    FROM embeddings GROUP BY label
+"""
+
+ORACLE_SQL["change_feed_op_counts"] = (
+    "SELECT change_op, CAST(count(*) AS BIGINT) AS n FROM ("
+    + ORACLE_SQL["cdc_change_feed"]
+    + ") GROUP BY change_op"
+)
