@@ -149,6 +149,31 @@ def _settle(load_thresh: float, max_wait_s: float) -> tuple[float, float]:
         waited += 5.0
 
 
+def _cpu_calibration_s() -> float:
+    """Fixed single-core probe (matmul + hash over constant inputs),
+    best-of-3: a box-speed yardstick recorded alongside every run so
+    numbers from different sessions on this shared host can be
+    normalized (round-4 saw a slow-host window inflate every wall time
+    ~1.7x at <2% steal — a hypervisor-level slowdown steal sampling
+    cannot see; 0.072 s was the probe's reading DURING that window).
+    A single-core probe understates slowdowns that only appear under
+    full 32-way load (memory-bandwidth contention), so read it as a
+    lower bound on the slowdown factor."""
+    import hashlib
+
+    import numpy as np
+
+    best = float("inf")
+    a = np.arange(640_000, dtype=np.float64).reshape(800, 800) / 640_000.0
+    blob = b"\xa5" * (64 << 20)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        hashlib.sha256(blob).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _timed(fn) -> tuple[float, object, float]:
     """Run fn() timed, returning (wall, result, steal% during the run)."""
     s0, j0 = _steal_snapshot()
@@ -320,6 +345,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "protocol": {
             "pre_load1": round(pre_load1, 2),
             "settle_wait_s": settle_wait,
+            "cpu_calib_s": _cpu_calibration_s(),
             "cdc_legs": cdc_legs,
             "cdc_auto_retries": len(cdc_legs) - cdc_repeats,
             "query_section_steal_pct": round(
