@@ -41,6 +41,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..dataset_util import arrow_blocks
 from ..state.checkpoint import list_versions, load_manifest
 from .cdc import CHANGE_OP_COL, changes_between, read_lake
 
@@ -130,13 +131,14 @@ def _aggregate(
         *[(k, base.field(k).type) for k in keys],
         *[(m, base.field(m).type) for m in metrics],
     ])
-    blocks = ray.get(
+    # arrow_blocks: one execution (lazy to_arrow_refs re-runs the plan
+    # for a schema fetch) + drops the zero-column blocks Ray's hash
+    # aggregate emits for empty partitions
+    blocks = arrow_blocks(
         partial.groupby(list(keys)).aggregate(
             *[Sum(m, alias_name=m) for m in metrics]
-        ).to_arrow_refs()
+        )
     )
-    # Ray's hash aggregate emits zero-column blocks for empty partitions
-    blocks = [b for b in blocks if b.num_rows > 0]
     if not blocks:
         return arrow_schema.empty_table()
     return pa.concat_tables(
@@ -426,9 +428,7 @@ def _refresh_affected_key(
             lambda t: pa.table({key: pc.unique(pc.drop_null(t.column(key)))}),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         )
-        affected_blocks = [
-            b for b in ray.get(affected_ds.to_arrow_refs()) if b.num_rows
-        ]
+        affected_blocks = arrow_blocks(affected_ds)
         old_tab = pl.read_parquet(os.path.join(view_dir, state["file"]))
         if not affected_blocks:
             view = old_tab.to_arrow()

@@ -28,6 +28,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..dataset_util import arrow_blocks
 from ..functions import textstats as ts
 from ..stages.ann import brute_force_topk, ivf_topk
 from ..stages.dedup import (
@@ -879,7 +880,7 @@ def q_revenue_by_nation(sf_dir: str):
     )
     # final fold: buckets x 25 nation rows — aggregate-sized, collected
     # vectorized (the incremental-view driver-bound contract)
-    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(partials)
     out = (
         pl.from_arrow(pa.concat_tables(
             b.select(["n_name", "revenue"]) for b in blocks
@@ -1633,7 +1634,7 @@ def q_rollup_doc_counts(sf_dir: str):
     agg = ds.groupby(["lang", "source"]).aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
     )
-    blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    blocks = arrow_blocks(agg)
     fine = pl.from_arrow(pa.concat_tables(
         b.select(["lang", "source", "n_docs", "sum_chars"]) for b in blocks
     )).with_columns(
