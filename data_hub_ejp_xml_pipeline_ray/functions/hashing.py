@@ -153,3 +153,199 @@ class UnionFind:
         for x in list(self.parent):
             out.setdefault(self.find(x), []).append(x)
         return out
+
+
+def minhash_band_rows_batch(
+    texts,
+    a: np.ndarray,
+    b: np.ndarray,
+    num_bands: int,
+    shingle_n: int,
+    hash_seed: int = 42,
+    _max_chunk_shingles: int = 500_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized whole-batch MinHash -> LSH band rows.
+
+    Returns ``(band int32, band_key int64 (>>1), row_idx int64)`` —
+    one row per (document, band), exploded for the bucket shuffle.
+
+    Replaces the per-document Python loop (``shingle_hashes`` +
+    ``minhash_signature`` + ``band_keys`` per row — millions of
+    interpreter-level blake2b calls per batch): ONE polars
+    tokenize/shift-concat/hash pass for every shingle of every doc,
+    then a chunked ``np.minimum.reduceat`` for the signatures and a
+    wraparound-polynomial + fmix64 finalizer for the band keys.
+
+    Semantics preserved from the scalar kernels: lowercased
+    ``[a-z0-9]+`` tokens; a document with fewer than ``shingle_n``
+    tokens contributes its whole token sequence as one shingle; an
+    EMPTY document gets the all-MAX signature (so empty docs still
+    bucket together and verify at Jaccard 1.0). Duplicate shingles are
+    harmless under the min-reduce (min over multiset == min over set).
+
+    The shingle hash is polars' 64-bit ``hash`` (seeded): deterministic
+    across worker processes within one engine run / environment, which
+    is all LSH bucketing needs — pair VERIFICATION recomputes exact
+    Jaccard with the permanently-stable blake2b ``shingle_hashes``.
+    LSH recall properties are hash-family-agnostic (any uniform 64-bit
+    hash of the shingle strings yields the same collision analysis).
+    """
+    import polars as pl
+    import pyarrow as pa
+
+    num_perm = len(a)
+    n_rows = len(texts)
+    if n_rows == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+
+    tok = (
+        pl.from_arrow(pa.table({"text": texts}))
+        .with_row_index("rid")
+        .select(
+            pl.col("rid").cast(pl.Int64),
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]+").alias("tk"),
+        )
+    )
+    ex = tok.explode("tk").drop_nulls("tk")
+    frames = []
+    if shingle_n > 1:
+        main = (
+            ex.with_columns(
+                *[pl.col("tk").shift(-i).alias(f"w{i}")
+                  for i in range(1, shingle_n)],
+                pl.col("rid").shift(-(shingle_n - 1)).alias("rid_end"),
+            )
+            .filter(pl.col("rid") == pl.col("rid_end"))
+            .select(
+                pl.col("rid"),
+                pl.concat_str(
+                    [pl.col("tk"),
+                     *[pl.col(f"w{i}") for i in range(1, shingle_n)]],
+                    separator=" ",
+                ).alias("g"),
+            )
+        )
+        frames.append(main)
+        counts = tok.select(
+            pl.col("rid"), pl.col("tk").list.len().alias("c")
+        )
+        short_rids = counts.filter(
+            (pl.col("c") > 0) & (pl.col("c") < shingle_n)
+        )["rid"]
+        if short_rids.len():
+            short = (
+                ex.filter(pl.col("rid").is_in(short_rids))
+                .group_by("rid", maintain_order=True)
+                .agg(pl.col("tk").str.join(" ").alias("g"))
+            )
+            frames.append(short)
+        grams = pl.concat(frames) if len(frames) > 1 else frames[0]
+    else:
+        grams = ex.select(pl.col("rid"), pl.col("tk").alias("g"))
+    hashed = grams.select(
+        pl.col("rid"), pl.col("g").hash(seed=hash_seed).alias("h")
+    )
+    rid = hashed["rid"].to_numpy().astype(np.int64)
+    h = hashed["h"].to_numpy().astype(np.uint64)
+    order = np.argsort(rid, kind="stable")
+    rid, h = rid[order], h[order]
+
+    sigs = np.full((n_rows, num_perm), _MAX_U64, dtype=np.uint64)
+    if h.size:
+        uniq, starts = np.unique(rid, return_index=True)
+        ends = np.append(starts[1:], h.size)
+        with np.errstate(over="ignore"):
+            i = 0
+            while i < len(uniq):
+                j = i + 1
+                while (j < len(uniq)
+                       and ends[j - 1] - starts[i] < _max_chunk_shingles):
+                    j += 1
+                lo, hi = starts[i], ends[j - 1]
+                vals = a[:, None] * h[lo:hi][None, :] + b[:, None]
+                mins = np.minimum.reduceat(vals, starts[i:j] - lo, axis=1)
+                sigs[uniq[i:j]] = mins.T
+                i = j
+
+    rows = num_perm // num_bands
+    m = sigs.reshape(n_rows, num_bands, rows)
+    key = np.zeros((n_rows, num_bands), np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            key = key * mult + m[:, :, r]
+        key ^= key >> np.uint64(33)
+        key *= np.uint64(0xFF51AFD7ED558CCD)
+        key ^= key >> np.uint64(33)
+        key *= np.uint64(0xC4CEB9FE1A85EC53)
+        key ^= key >> np.uint64(33)
+
+    band = np.tile(np.arange(num_bands, dtype=np.int32), n_rows)
+    key_i64 = (key.reshape(-1) >> np.uint64(1)).astype(np.int64)
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), num_bands)
+    return band, key_i64, row_idx
+
+
+def simhash_batch(texts, _max_chunk_pairs: int = 500_000) -> np.ndarray:
+    """Vectorized whole-batch :func:`simhash` — BIT-EXACT with the
+    scalar kernel (each distinct token is still blake2b-hashed, but
+    once per BATCH instead of once per document, and the weighted
+    bit accumulation is one chunked ``np.add.reduceat`` instead of a
+    Python loop per (doc, token)). Returns a uint64 signature per row;
+    empty/tokenless rows get 0, matching ``simhash("")``.
+
+    (Tokenization lowercases via polars rather than ``str.lower`` —
+    identical on ASCII, which is all ``TOKEN_RE`` admits.)"""
+    import polars as pl
+    import pyarrow as pa
+
+    n_rows = len(texts)
+    sigs = np.zeros(n_rows, dtype=np.uint64)
+    if n_rows == 0:
+        return sigs
+    ex = (
+        pl.from_arrow(pa.table({"text": texts}))
+        .with_row_index("rid")
+        .select(
+            pl.col("rid").cast(pl.Int64),
+            pl.col("text").str.to_lowercase()
+            .str.extract_all(r"[a-z0-9]+").alias("tk"),
+        )
+        .explode("tk")
+        .drop_nulls("tk")
+    )
+    if ex.height == 0:
+        return sigs
+    cnt = ex.group_by(["rid", "tk"]).len()
+    tok_list = cnt["tk"].unique().to_list()
+    hs = np.fromiter(
+        (stable_hash64(t.encode("utf-8")) for t in tok_list),
+        dtype=np.uint64, count=len(tok_list),
+    )
+    lut = pl.DataFrame(
+        {"tk": tok_list, "ti": np.arange(len(tok_list), dtype=np.int64)}
+    )
+    j = cnt.join(lut, on="tk").sort("rid")
+    rid = j["rid"].to_numpy().astype(np.int64)
+    ti = j["ti"].to_numpy().astype(np.int64)
+    c = j["len"].to_numpy().astype(np.int64)
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(bool)
+    pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    uniq, starts = np.unique(rid, return_index=True)
+    ends = np.append(starts[1:], rid.size)
+    i = 0
+    while i < len(uniq):
+        j_ = i + 1
+        while j_ < len(uniq) and ends[j_ - 1] - starts[i] < _max_chunk_pairs:
+            j_ += 1
+        lo, hi = starts[i], ends[j_ - 1]
+        contrib = np.where(bits[ti[lo:hi]], c[lo:hi, None], -c[lo:hi, None])
+        acc = np.add.reduceat(contrib, starts[i:j_] - lo, axis=0)
+        sigs[uniq[i:j_]] = ((acc > 0) * pow2).sum(axis=1, dtype=np.uint64)
+        i = j_
+    return sigs
