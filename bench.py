@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "lang_entropy_by_source",
     "retention_cohorts",
     "doc_lm_score",
+    "simhash_dedup_docs",
+    "embedding_norm_stats_by_label",
 ]
 
 
