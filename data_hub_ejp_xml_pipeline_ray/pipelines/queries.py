@@ -3117,6 +3117,79 @@ def q_next_event_gap(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov TRANSITION counts over each user's ts-ordered stream
+    (the sequence-mining primitive behind session-flow / funnel-step
+    analytics): global count of (prev_type -> next_type) pairs. One
+    vectorized shift per bucket of complete users emits per-bucket
+    partial counts (|types|^2 rows max), so the final fold sees
+    buckets x 25 rows — aggregate-sized, never the event stream."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=20_000)
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = (
+            df.with_columns(
+                pl.col("event_type").shift(1).over("user_id")
+                .alias("prev_type")
+            )
+            .filter(pl.col("prev_type").is_not_null())
+            .rename({"event_type": "next_type"})
+            .group_by("prev_type", "next_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("prev_type", pa.string()), ("next_type", pa.string()),
+            ("n", pa.int64()),
+        ]))
+
+    partials = _bucketed_groups(
+        ds, "user_id", pairs_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+    # final fold over buckets x |types|^2 partial rows (aggregate-sized)
+    tab = pa.concat_tables(
+        b.select(["prev_type", "next_type", "n"])
+        for b in arrow_blocks(partials)
+    )
+    return (
+        tab.group_by(["prev_type", "next_type"]).aggregate([("n", "sum")])
+        .rename_columns(["prev_type", "next_type", "n"])
+    )
+
+
+def q_debounce_events(sf_dir: str):
+    """DEBOUNCE / burst-dedup (the CDC duplicate-delivery suppressor):
+    drop any event arriving within 60 s of the previous event of the
+    same (user, type) — integer-exact timestamp arithmetic, one
+    vectorized shift per bucket of complete users (a bucket holds
+    whole users, hence whole (user, type) partitions)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=20_000)
+    gap_us = 60_000_000
+
+    def debounce_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "event_type", "ts", "event_id"])
+        gap = (
+            pl.col("ts").cast(pl.Int64)
+            - pl.col("ts").cast(pl.Int64).shift(1)
+            .over(["user_id", "event_type"])
+        )
+        out = (
+            df.filter(gap.is_null() | (gap >= gap_us))
+            .select(["event_id", "user_id", "event_type", "ts"])
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("event_type", pa.string()), ("ts", pa.timestamp("us")),
+        ]))
+
+    return _bucketed_groups(
+        ds, "user_id", debounce_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
 def q_events_above_type_p90(sf_dir: str):
     """Quantile-gated filter (outlier selection): events strictly above
     their type's p90 — composes the bit-exact distributed quantile
@@ -4135,6 +4208,8 @@ QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "moving_avg_value_per_user": q_moving_avg_value_per_user,
     "next_event_gap": q_next_event_gap,
+    "event_transitions": q_event_transitions,
+    "debounce_events": q_debounce_events,
     "events_above_type_p90": q_events_above_type_p90,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "profile_documents": q_profile_documents,
@@ -5105,6 +5180,27 @@ ORACLE_SQL["next_event_gap"] = """
                      lead(ts) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id)) AS gap_us
     FROM events
+"""
+
+ORACLE_SQL["event_transitions"] = """
+    SELECT prev_type, next_type, count(*) AS n FROM (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+"""
+
+ORACLE_SQL["debounce_events"] = """
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    WHERE gap_us IS NULL OR gap_us >= 60000000
 """
 
 ORACLE_SQL["events_above_type_p90"] = """
