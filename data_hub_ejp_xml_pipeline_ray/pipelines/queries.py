@@ -64,6 +64,16 @@ def _read(
     path = os.path.join(sf_dir, f"{table}.parquet")
     if rows_per_block is None:
         return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=_nblocks(path, rows_per_block),
+    )
+
+
+def _nblocks(path: str, rows_per_block: int) -> int:
+    """Footer-sized block count (see ``_read``); shared by the filtered
+    reads, which size from the PRE-filter footer row count — the read-
+    task overhead being amortized is per task, not per surviving row."""
     md_rows = pq.ParquetFile(path).metadata.num_rows
     cpus = (
         int(ray.cluster_resources().get("CPU", 8))
@@ -71,9 +81,7 @@ def _read(
     )
     by_rows = min(max(1, -(-md_rows // rows_per_block)), cpus * 4)
     by_bytes = -(-os.path.getsize(path) // (128 << 20))
-    return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=max(by_rows, by_bytes)
-    )
+    return max(by_rows, by_bytes)
 
 
 def _pool_for(sf_dir: str, table: str, rows_per_actor: int,
@@ -206,10 +214,12 @@ def q_watermark_filter(sf_dir: str):
     read (row-group statistics prune before any bytes move; at 100 TB
     only matching row groups leave storage)."""
     wm = datetime(2024, 1, 15)
+    path = os.path.join(sf_dir, "events.parquet")
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        path,
         columns=["event_id", "ts", "user_id"],
         filter=(pc.field("ts") > wm),
+        override_num_blocks=_nblocks(path, 20_000),
     )
 
 
@@ -997,10 +1007,12 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
             "_bucket": _hash_bucket(batch.column("o_orderkey"), num_buckets),
         })
 
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
     lineitem = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+        li_path,
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pc.field("l_shipdate") >= cutoff),
+        override_num_blocks=_nblocks(li_path, 20_000),
     ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
@@ -1038,13 +1050,15 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
 
 def q_order_priority_count(sf_dir: str):
     """Date-range count — predicate pushed into the parquet read."""
+    o_path = os.path.join(sf_dir, "orders.parquet")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
+        o_path,
         columns=["o_orderpriority"],
         filter=(
             (pc.field("o_orderdate") >= datetime(1996, 1, 1))
             & (pc.field("o_orderdate") < datetime(1998, 1, 1))
         ),
+        override_num_blocks=_nblocks(o_path, 20_000),
     )
     return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
 
@@ -1664,10 +1678,12 @@ def q_funnel_signup_purchase(sf_dir: str):
     polars kernel per ~500k-row bucket of complete user groups; the
     event-type filter is pushed into the parquet read so only funnel
     events leave storage."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        ev_path,
         columns=["ts", "user_id", "event_type"],
         filter=pc.field("event_type").isin(["signup", "purchase"]),
+        override_num_blocks=_nblocks(ev_path, 20_000),
     )
 
     def funnel_bucket(t: pa.Table) -> pa.Table:
@@ -2276,7 +2292,8 @@ def q_embedding_scores(sf_dir: str):
     (score desc, vec_id)."""
     w = _score_weights()
     w_ref = ray.put(w)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=2_500)
 
     class Scorer:
         def __init__(self):
@@ -2286,12 +2303,20 @@ def q_embedding_scores(sf_dir: str):
             from ..stages.ann import _as_matrix
 
             vecs = _as_matrix(batch.column("embedding"))  # zero-copy reshape
-            scores = np.sign(vecs @ self.w) * np.floor(
-                np.abs(vecs @ self.w) * 1e6 + 0.5
+            raw = vecs @ self.w
+            scores = np.sign(raw) * np.floor(
+                np.abs(raw) * 1e6 + 0.5
             ) / 1e6  # round6 half-away (DuckDB round parity)
+            # per-block keep-50 combiner: the final sort sees
+            # 50 x num_blocks rows, never the scored corpus
+            ids = (
+                batch.column("vec_id").combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            keep = np.lexsort((ids, -scores))[:50]
             return pa.table(
-                {"vec_id": batch.column("vec_id"),
-                 "score": pa.array(scores, pa.float64())}
+                {"vec_id": pa.array(ids[keep], pa.int64()),
+                 "score": pa.array(scores[keep], pa.float64())}
             )
 
     scored = ds.map_batches(
@@ -2322,7 +2347,8 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
 
 
 def q_ann_topk(sf_dir: str):
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=2_500)
     return brute_force_topk(
         ds, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10,
         concurrency=_pool_for(sf_dir, "embeddings", 2500),
@@ -2362,7 +2388,8 @@ def q_ann_topk_ivf(sf_dir: str):
     token = _corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_q_{token}")
     if not ivf_index_is_current(index_dir, token):
-        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   rows_per_block=2_500)
         build_ivf_index(ds, index_dir, n_clusters=16, content_token=token)
     return ivf_index_search(
         index_dir, _ANN_QUERY_IDS, _query_vectors(sf_dir), k=10, nprobe=6
@@ -3237,11 +3264,17 @@ def q_mode_event_type_per_user(sf_dir: str):
 
     counts = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(["user_id", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    )
 
+    # ONE shuffle: the bucket holds complete users, so every (user,
+    # type) partial for a user lands in the same bucket — the grouped
+    # sum fuses into the argmax kernel instead of paying a second
+    # full sort-aggregate exchange over the (user, type) pairs.
     def mode_bucket(t: pa.Table) -> pa.Table:
         df = (
             pl.from_arrow(t)
+            .group_by("user_id", "event_type")
+            .agg(pl.col("n").sum())
             .sort(["user_id", "n", "event_type"],
                   descending=[False, True, False])
             .unique(subset=["user_id"], keep="first", maintain_order=True)
@@ -3997,13 +4030,15 @@ def _users_by_type_setop(sf_dir: str, type_a: str, type_b: str,
     never shuffle), then one bucketed vectorized pass per ~N users
     testing which flags are present for each user. Both predicates are
     pushed into the parquet read."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        ev_path,
         columns=["user_id", "event_type"],
         filter=(
             pc.field("event_type").isin([type_a, type_b])
             & (pc.field("value") > _SETOP_MIN_VALUE)
         ),
+        override_num_blocks=_nblocks(ev_path, 20_000),
     )
 
     def local_pairs(t: pa.Table) -> pa.Table:

@@ -90,7 +90,10 @@ class _PartialTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        ids = (
+            batch.column(self.id_col).combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )
         unit = _unit_rows(_as_matrix(batch.column(self.vec_col)))
         sims = _round6_half_away(unit @ self.qmat.T)  # (n, Q); round BEFORE rank
         k = min(self.k, len(ids))
@@ -114,8 +117,13 @@ class _PartialTopK:
 def _final_topk_factory(k: int):
     def final_topk(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
-        ids = np.asarray(group.column("neighbor_id").to_pylist(), dtype=np.int64)
-        sims = np.asarray(group.column("cosine").to_pylist())
+        ids = (
+            group.column("neighbor_id").combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )
+        sims = group.column("cosine").combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
         order = np.lexsort((ids, -sims))[: min(k, len(ids))]
         return pa.table(
             {
