@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "simhash_dedup_docs",
     "embedding_norm_stats_by_label",
+    "event_transitions",
+    "debounce_events",
 ]
 
 
