@@ -23,6 +23,7 @@ import ray.data
 
 from ..stages.merge import DELETED_COL
 from ..state.checkpoint import (
+    DATA_DIR,
     LakeManifest,
     commit_manifest,
     gc_unreferenced,
@@ -529,3 +530,246 @@ def cluster_lake(
         "partitions_rewritten": len(stats), "sort_by": keys,
         "method": method,
     }
+
+
+# ---------------------------------------------------------------------------
+# fsck — read-only lake integrity audit
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _fsck_partition_task(
+    lake_dir: str, rel: str, part: int, num_partitions: int,
+    splits_list: list[list[int]], expect_rows: int | None,
+    expect_tombstones: int | None,
+) -> dict:
+    """Deep check for ONE live partition file: rows / tombstone counts
+    vs the manifest stats, and every url's crc32 route vs the
+    partition actually holding it. Only counters return to the driver
+    — never rows (one task per partition at any lake size)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ..stages.merge import DELETED_COL as _DEL
+    from ..stages.merge import stable_hash_partition as _route
+
+    path = os.path.join(lake_dir, rel)
+    pf = _pq.ParquetFile(path)
+    cols = ["url"] + ([_DEL] if _DEL in pf.schema_arrow.names else [])
+    t = _pq.read_table(path, columns=cols)
+    rows = t.num_rows
+    tombs = (
+        int(_pc.sum(_pc.fill_null(t.column(_DEL), False)).as_py() or 0)
+        if _DEL in t.column_names else 0
+    )
+    routed = _route(
+        t.column("url"), num_partitions,
+        frozenset((int(r), int(m)) for r, m in splits_list),
+    ).to_numpy(zero_copy_only=False)
+    misrouted = int((routed != part).sum())
+    return {
+        "part": part,
+        "rows": rows,
+        "rows_expected": expect_rows,
+        "tombstones": tombs,
+        "tombstones_expected": expect_tombstones,
+        "misrouted": misrouted,
+    }
+
+
+def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
+    """Read-only integrity audit of a committed lake (the operational
+    ``fsck`` every production table format grows; the reference's
+    analog is its post-load BQ row-count verification). Returns
+    ``{"ok", "errors", "warnings", "checked", ["deep"]}`` — never
+    mutates anything, takes no lock (it audits the COMMITTED state;
+    a concurrent commit can only make a just-read manifest stale,
+    which re-running reports correctly).
+
+    Shallow checks are metadata-only (manifest/snapshot JSON, file
+    existence/sizes, parquet FOOTERS — no data bytes move):
+
+    1. the current manifest parses and its ``kind`` is known;
+    2. the current version has a retained snapshot agreeing on
+       (version, watermark, partition map) — the time-travel chain
+       includes the present;
+    3. every retained snapshot parses and every data file it
+       references exists (a missing file breaks time travel / the
+       change feed for that version);
+    4. the CURRENT manifest's per-partition stats match reality:
+       footer ``num_rows`` == ``partition_meta.rows``, file bytes ==
+       ``partition_meta.bytes`` (stat-driven maintenance plans from
+       these — drift means wrong compaction/split decisions);
+    5. the live partitions tile crc32 space EXACTLY under the split
+       map (each stored residue is live, ``(r, m)`` cells unique,
+       ``sum(M / m) == M``) — the invariant url routing rests on;
+    6. the newest lineage entry matches the committed version;
+    7. data files referenced by NO retained snapshot are WARNINGS
+       (legitimate pre-GC grace files), not errors.
+
+    ``deep=True`` additionally re-reads every live partition (one Ray
+    task per partition, counters only back to the driver) and checks
+    row/tombstone counts and per-url routing."""
+    errors: list[str] = []
+    warnings: list[str] = []
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        return {"ok": False, "errors": [f"no committed lake at {lake_dir}"],
+                "warnings": [], "checked": {}}
+    if manifest.kind not in ("row", "group"):
+        errors.append(f"unknown lake kind {manifest.kind!r}")
+
+    P = manifest.num_partitions
+    splits = manifest.split_set()
+
+    # -- version chain ------------------------------------------------
+    versions = list_versions(lake_dir)
+    snapshots: dict[int, LakeManifest] = {}
+    for v in versions:
+        try:
+            snapshots[v] = load_manifest(lake_dir, version=v)
+        except Exception as e:  # torn/corrupt snapshot JSON
+            errors.append(f"snapshot v{v} unreadable: {e!r}")
+    if manifest.version not in snapshots:
+        errors.append(
+            f"current version v{manifest.version} has no retained "
+            f"snapshot (retained: {versions})"
+        )
+    else:
+        snap = snapshots[manifest.version]
+        if (snap.watermark != manifest.watermark
+                or snap.partitions != manifest.partitions):
+            errors.append(
+                f"snapshot v{manifest.version} disagrees with the "
+                "current manifest (watermark or partition map)"
+            )
+
+    # -- data files: existence + current-manifest stat drift -----------
+    files_checked = 0
+    for v, m in sorted(snapshots.items()):
+        for part, rel in sorted(m.partitions.items()):
+            path = os.path.join(lake_dir, rel)
+            if not os.path.exists(path):
+                errors.append(f"v{v} part {part}: missing data file {rel}")
+                continue
+            files_checked += 1
+            if v != manifest.version:
+                continue
+            meta = manifest.partition_meta.get(part)
+            if not meta:
+                warnings.append(f"part {part}: no partition_meta stats")
+                continue
+            actual_bytes = os.path.getsize(path)
+            if "bytes" in meta and int(meta["bytes"]) != actual_bytes:
+                errors.append(
+                    f"part {part}: manifest bytes {meta['bytes']} != "
+                    f"file bytes {actual_bytes} ({rel})"
+                )
+            try:
+                footer_rows = pq.ParquetFile(path).metadata.num_rows
+            except Exception as e:  # torn write / truncation / tail junk
+                errors.append(
+                    f"part {part}: unreadable parquet footer ({rel}): {e!r}"
+                )
+                continue
+            if "rows" in meta and int(meta["rows"]) != footer_rows:
+                errors.append(
+                    f"part {part}: manifest rows {meta['rows']} != "
+                    f"footer rows {footer_rows} ({rel})"
+                )
+
+    # -- partition covering under the split map ------------------------
+    cells: list[tuple[int, int]] = []
+    for r in sorted(manifest.partitions):
+        m = residue_modulus(r, P, splits)
+        if r % m != r or (r, m) in splits:
+            errors.append(
+                f"partition residue {r} is not live under the split map"
+            )
+            continue
+        cells.append((r, m))
+    if len(set(cells)) != len(cells):
+        errors.append("duplicate (residue, modulus) cells in partition map")
+    if cells:
+        big_m = max(m for _, m in cells)
+        covered = sum(big_m // m for _, m in cells)
+        if covered != big_m:
+            errors.append(
+                f"partition map does not tile crc32 space: covers "
+                f"{covered}/{big_m} residue classes (missing or "
+                "overlapping cells)"
+            )
+
+    # -- lineage head ---------------------------------------------------
+    if manifest.lineage:
+        head = manifest.lineage[-1].get("version")
+        if head != manifest.version:
+            errors.append(
+                f"lineage head v{head} != committed version "
+                f"v{manifest.version}"
+            )
+    else:
+        warnings.append("empty lineage")
+
+    # -- orphan data files (pre-GC grace files are legitimate) ----------
+    referenced = {
+        os.path.normpath(rel)
+        for m in list(snapshots.values()) + [manifest]
+        for rel in m.partitions.values()
+    }
+    data_dir = os.path.join(lake_dir, DATA_DIR)
+    orphans = 0
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            if os.path.normpath(os.path.join(DATA_DIR, name)) not in referenced:
+                orphans += 1
+    if orphans:
+        warnings.append(
+            f"{orphans} unreferenced data file(s) awaiting GC"
+        )
+
+    report: dict = {
+        "ok": not errors,
+        "errors": errors,
+        "warnings": warnings,
+        "checked": {
+            "version": manifest.version,
+            "retained_versions": versions,
+            "partitions": len(manifest.partitions),
+            "data_files": files_checked,
+        },
+    }
+
+    if deep and not errors:
+        futs = [
+            _fsck_partition_task.remote(
+                lake_dir, rel, part, P, [list(c) for c in splits],
+                manifest.partition_meta.get(part, {}).get("rows"),
+                manifest.partition_meta.get(part, {}).get("tombstones"),
+            )
+            for part, rel in sorted(manifest.partitions.items())
+        ]
+        deep_errors: list[str] = []
+        for res in ray.get(futs):
+            p = res["part"]
+            if res["rows_expected"] is not None and \
+                    res["rows"] != res["rows_expected"]:
+                deep_errors.append(
+                    f"part {p}: {res['rows']} rows != manifest "
+                    f"{res['rows_expected']}"
+                )
+            if res["tombstones_expected"] is not None and \
+                    res["tombstones"] != res["tombstones_expected"]:
+                deep_errors.append(
+                    f"part {p}: {res['tombstones']} tombstones != "
+                    f"manifest {res['tombstones_expected']}"
+                )
+            if res["misrouted"]:
+                deep_errors.append(
+                    f"part {p}: {res['misrouted']} row(s) whose url "
+                    "routes to a different partition"
+                )
+        report["deep"] = {"partitions_scanned": len(futs)}
+        if deep_errors:
+            report["errors"] = report["errors"] + deep_errors
+            report["ok"] = False
+    return report

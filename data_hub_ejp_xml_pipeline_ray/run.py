@@ -117,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-partition-bytes", type=int, default=1 << 30)
     sp.add_argument("--vacuum-keep", type=int, default=None)
     sp = sub.add_parser(
+        "fsck",
+        help="read-only lake integrity audit: manifest/snapshot chain, "
+             "data-file existence + stat drift, partition-map covering; "
+             "--deep re-reads every partition (counts + url routing)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--deep", action="store_true")
+    sp = sub.add_parser(
         "rewind",
         help="move the tailer watermark BACKWARD for a controlled "
              "backfill (LWW replay converges); forward moves refused")
@@ -383,6 +390,13 @@ def main(argv: list[str] | None = None) -> int:
                     args.columns.split(",") if args.columns else None
                 ),
             )))
+        elif args.cmd == "fsck":
+            from .pipelines.maintenance import fsck_lake
+
+            report = fsck_lake(args.lake_dir, deep=args.deep)
+            print(json.dumps(report))
+            if not report["ok"]:
+                return 1
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

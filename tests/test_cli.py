@@ -198,3 +198,26 @@ def test_cli_redrive_noop_on_clean_lake(tmp_path):
           "--num-partitions", "4"])
     r = _run(["redrive", "--lake-dir", lake])
     assert r == {"redriven_rows": 0, "commits": 0, "still_bad": 0}
+
+
+def test_cli_fsck(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=5, n_urls=20, n_events=200, n_segments=2)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    rep = _run(["fsck", "--lake-dir", lake, "--deep", "--num-cpus", "4"])
+    assert rep["ok"] and rep["deep"]["partitions_scanned"] == 4
+    # corrupt: remove one data file -> nonzero exit + error in report
+    m = json.load(open(os.path.join(lake, "_manifest.json")))
+    victim = sorted(m["partitions"].values())[0]
+    os.remove(os.path.join(lake, victim))
+    p = subprocess.run(
+        [sys.executable, "-m", "data_hub_ejp_xml_pipeline_ray.run",
+         "fsck", "--lake-dir", lake],
+        capture_output=True, text=True,
+        env=dict(os.environ, PYTHONPATH=REPO), cwd=REPO, timeout=300,
+    )
+    assert p.returncode == 1
+    rep2 = json.loads(p.stdout.strip().splitlines()[-1])
+    assert any("missing data file" in e for e in rep2["errors"])

@@ -1,0 +1,130 @@
+"""fsck: the read-only integrity audit — green on a healthy lake
+(shallow AND deep, across compaction/split history), and each
+corruption class is detected: missing data file, stat drift, broken
+partition covering, orphan files (warning only), misrouted rows."""
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import CdcConfig, run_ingest
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+    compact_lake,
+    fsck_lake,
+    split_partition,
+)
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+    load_manifest,
+    manifest_path,
+    snapshot_path,
+)
+
+
+def _mklake(tmp: str, **kw) -> CdcConfig:
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=23, n_urls=60, n_events=600,
+        n_segments=4, delete_fraction=0.1, **kw,
+    )
+    cfg = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake"),
+                    num_partitions=8, extract_concurrency=2)
+    run_ingest(cfg)
+    return cfg
+
+
+def test_fsck_green_on_healthy_lake_and_after_maintenance(tmp_path):
+    cfg = _mklake(str(tmp_path))
+    rep = fsck_lake(cfg.lake_dir, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["checked"]["partitions"] == 8
+    assert rep["deep"]["partitions_scanned"] == 8
+
+    # stays green across partition split + compaction (split map active)
+    split_partition(cfg.lake_dir, 3)
+    compact_lake(cfg.lake_dir)
+    rep2 = fsck_lake(cfg.lake_dir, deep=True)
+    assert rep2["ok"], rep2["errors"]
+    assert rep2["checked"]["partitions"] == 9  # 8 - 1 split parent + 2
+
+
+def test_fsck_detects_missing_data_file(tmp_path):
+    cfg = _mklake(str(tmp_path))
+    m = load_manifest(cfg.lake_dir)
+    victim = sorted(m.partitions.items())[0][1]
+    os.remove(os.path.join(cfg.lake_dir, victim))
+    rep = fsck_lake(cfg.lake_dir)
+    assert not rep["ok"]
+    assert any("missing data file" in e for e in rep["errors"])
+
+
+def test_fsck_detects_stat_drift(tmp_path):
+    cfg = _mklake(str(tmp_path))
+    m = load_manifest(cfg.lake_dir)
+    victim = sorted(m.partitions.items())[0][1]
+    with open(os.path.join(cfg.lake_dir, victim), "ab") as f:
+        f.write(b"garbage-tail")  # bytes drift vs manifest stats
+    rep = fsck_lake(cfg.lake_dir)
+    assert not rep["ok"]
+    assert any("manifest bytes" in e for e in rep["errors"])
+
+
+def test_fsck_detects_broken_covering_and_snapshot_disagreement(tmp_path):
+    cfg = _mklake(str(tmp_path))
+    m = load_manifest(cfg.lake_dir)
+    doc = m.to_json()
+    # drop one partition from the live map: the covering now has a hole
+    # and the retained snapshot disagrees with the manifest
+    dropped = sorted(doc["partitions"])[0]
+    doc["partitions"].pop(dropped)
+    with open(manifest_path(cfg.lake_dir), "w") as f:
+        json.dump(doc, f)
+    rep = fsck_lake(cfg.lake_dir)
+    assert not rep["ok"]
+    assert any("tile crc32 space" in e for e in rep["errors"])
+    assert any("disagrees" in e for e in rep["errors"])
+
+
+def test_fsck_orphan_files_warn_but_pass(tmp_path):
+    cfg = _mklake(str(tmp_path))
+    m = load_manifest(cfg.lake_dir)
+    src = sorted(m.partitions.items())[0][1]
+    shutil.copy(
+        os.path.join(cfg.lake_dir, src),
+        os.path.join(cfg.lake_dir, "data", "part-99999-orphan.parquet"),
+    )
+    rep = fsck_lake(cfg.lake_dir)
+    assert rep["ok"], rep["errors"]
+    assert any("awaiting GC" in w for w in rep["warnings"])
+
+
+def test_fsck_deep_detects_misrouted_rows(tmp_path):
+    """Swap two partitions' data files (updating the manifest stats so
+    every SHALLOW check still passes): only the deep per-url routing
+    audit can see the corruption."""
+    cfg = _mklake(str(tmp_path))
+    m = load_manifest(cfg.lake_dir)
+    (pa_, rel_a), (pb_, rel_b) = sorted(m.partitions.items())[:2]
+    path_a = os.path.join(cfg.lake_dir, rel_a)
+    path_b = os.path.join(cfg.lake_dir, rel_b)
+    tmp_swap = path_a + ".swap"
+    os.rename(path_a, tmp_swap)
+    os.rename(path_b, path_a)
+    os.rename(tmp_swap, path_b)
+
+    doc = m.to_json()
+    for part, path in ((pa_, path_a), (pb_, path_b)):
+        meta = doc["partition_meta"][str(part)]
+        meta["bytes"] = os.path.getsize(path)
+        meta["rows"] = pq.ParquetFile(path).metadata.num_rows
+    body = json.dumps(doc)
+    with open(manifest_path(cfg.lake_dir), "w") as f:
+        f.write(body)
+    with open(snapshot_path(cfg.lake_dir, m.version), "w") as f:
+        f.write(body)
+
+    assert fsck_lake(cfg.lake_dir)["ok"]  # shallow can't see it
+    rep = fsck_lake(cfg.lake_dir, deep=True)
+    assert not rep["ok"]
+    assert any("routes to a different partition" in e for e in rep["errors"])
