@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "embedding_norm_stats_by_label",
     "event_transitions",
     "debounce_events",
+    "purchase_attribution",
 ]
 
 

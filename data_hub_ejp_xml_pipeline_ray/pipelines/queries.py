@@ -3217,6 +3217,54 @@ def q_debounce_events(sf_dir: str):
     )
 
 
+def q_purchase_attribution(sf_dir: str):
+    """LAST-TOUCH ATTRIBUTION (self as-of join within the stream): each
+    purchase event gains the user's most recent strictly-preceding
+    'view' timestamp (NULL when none) — the funnel-credit primitive.
+    Only view/purchase rows leave storage (predicate pushed into the
+    read); one vectorized running-max-shift kernel per bucket of
+    complete users; integer sentinel arithmetic keeps the running max
+    null-free until the final cast back to timestamp."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(
+        ev_path,
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["view", "purchase"]),
+        override_num_blocks=_nblocks(ev_path, 20_000),
+    )
+    sentinel = -(1 << 62)
+
+    def attribute_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        view_ts = (
+            pl.when(pl.col("event_type") == "view")
+            .then(pl.col("ts").cast(pl.Int64))
+            .otherwise(sentinel)
+        )
+        out = (
+            df.with_columns(
+                view_ts.cum_max().shift(1).over("user_id").alias("_lv")
+            )
+            .filter(pl.col("event_type") == "purchase")
+            .with_columns(
+                pl.when(pl.col("_lv") > sentinel)
+                .then(pl.col("_lv"))
+                .otherwise(None)
+                .cast(pl.Datetime("us"))
+                .alias("last_view_ts")
+            )
+            .select(["event_id", "user_id", "ts", "last_view_ts"])
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("last_view_ts", pa.timestamp("us")),
+        ]))
+
+    return _bucketed_groups(
+        ds, "user_id", attribute_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
 def q_events_above_type_p90(sf_dir: str):
     """Quantile-gated filter (outlier selection): events strictly above
     their type's p90 — composes the bit-exact distributed quantile
@@ -4245,6 +4293,7 @@ QUERIES = {
     "next_event_gap": q_next_event_gap,
     "event_transitions": q_event_transitions,
     "debounce_events": q_debounce_events,
+    "purchase_attribution": q_purchase_attribution,
     "events_above_type_p90": q_events_above_type_p90,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "profile_documents": q_profile_documents,
@@ -5236,6 +5285,17 @@ ORACLE_SQL["debounce_events"] = """
                        ts) AS gap_us
       FROM events)
     WHERE gap_us IS NULL OR gap_us >= 60000000
+"""
+
+ORACLE_SQL["purchase_attribution"] = """
+    SELECT event_id, user_id, ts, last_view_ts FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_ts
+      FROM events WHERE event_type IN ('view', 'purchase'))
+    WHERE event_type = 'purchase'
 """
 
 ORACLE_SQL["events_above_type_p90"] = """
