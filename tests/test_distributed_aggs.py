@@ -200,6 +200,22 @@ def test_buckets_for_grows_with_input_rows(tmp_path):
     assert _buckets_for(str(tmp_path), rows_per_bucket=3) == 334  # ceil
 
 
+def test_nblocks_footer_sizing(tmp_path):
+    # filtered reads share _read's footer heuristic: few fat blocks at
+    # small inputs (per-task overhead dominated the r2 regressions),
+    # block count growing with rows, a hard bytes ceiling per block
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import _nblocks
+
+    small = pa.table({"x": pa.array(np.zeros(1000, dtype=np.int64))})
+    pq.write_table(small, tmp_path / "t.parquet")
+    path = str(tmp_path / "t.parquet")
+    assert _nblocks(path, 20_000) == 1  # 1000 rows -> one block
+    assert _nblocks(path, 100) == 10   # grows with rows/rows_per_block
+    assert _nblocks(path, 1) >= 16     # capped at cpus * 4, never rows
+
+
 def test_setop_empty_result_keeps_schema():
     # EXCEPT can legitimately produce ZERO rows; the empty result must
     # still carry the contract schema (Ray drops block schema with the
