@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "event_transitions",
     "debounce_events",
     "purchase_attribution",
+    "user_journeys",
+    "hourly_signup_purchase",
+    "region_top_nations",
+    "minmax_scale_events",
 ]
 
 

@@ -4214,6 +4214,228 @@ def q_change_feed_op_counts(sf_dir: str):
     ).groupby("change_op").aggregate(Sum("n", alias_name="n"))
 
 
+def q_user_journeys(sf_dir: str):
+    """ORDERED STRING_AGG (user-path analysis): each user's first-8-step
+    event-type path as a '>'-joined string, plus their total step
+    count. The prefix cap (8) is the scale bound — journey strings stay
+    O(1) per user at any event volume, instead of an unbounded concat
+    of the whole stream. One vectorized polars kernel per bucket of
+    complete users; strings and counts are exact, so the hash parity
+    with the SQL oracle is unconditional."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"],
+               rows_per_block=20_000)
+
+    def journey_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            rn=pl.int_range(pl.len()).over("user_id") + 1
+        )
+        pre = (
+            df.filter(pl.col("rn") <= 8)
+            .group_by("user_id")
+            .agg(pl.col("event_type").str.join(">").alias("journey_prefix"))
+        )
+        cnt = df.group_by("user_id").agg(
+            pl.len().cast(pl.Int64).alias("n_steps")
+        )
+        out = pre.join(cnt, on="user_id", how="inner")
+        return out.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("journey_prefix", pa.string()),
+            ("n_steps", pa.int64()),
+        ]))
+
+    return _bucketed_groups(
+        ds, "user_id", journey_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
+def q_hourly_signup_purchase(sf_dir: str):
+    """FULL OUTER JOIN of two grouped aggregates (signup vs purchase
+    counts per hour, zero-filled): the funnel-health dashboard shape.
+    Only funnel events leave storage (type filter pushed into the
+    read); per-batch (hour, type) count partials collapse each block
+    to <= hours x 2 rows before any move, and the final pivot folds
+    blocks x partials driver-side — aggregate-sized (hour cardinality
+    is the date range, never the event count)."""
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(
+        ev_path,
+        columns=["ts", "event_type"],
+        filter=pc.field("event_type").isin(["signup", "purchase"]),
+        override_num_blocks=_nblocks(ev_path, 20_000),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .with_columns(hour=pl.col("ts").dt.truncate("1h"))
+            .group_by("hour", "event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("hour", pa.timestamp("us")), ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]))
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocks = [b for b in arrow_blocks(parts) if b.num_rows]
+    schema = pa.schema([
+        ("hour", pa.timestamp("us")), ("n_signups", pa.int64()),
+        ("n_purchases", pa.int64()),
+    ])
+    if not blocks:
+        return schema.empty_table()
+    wide = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .group_by("hour", "event_type").agg(pl.col("n").sum())
+        .pivot(on="event_type", index="hour", values="n")
+        .rename({"signup": "n_signups", "purchase": "n_purchases"},
+                strict=False)
+    )
+    for col in ("n_signups", "n_purchases"):
+        if col not in wide.columns:
+            wide = wide.with_columns(pl.lit(0, pl.Int64).alias(col))
+    wide = wide.with_columns(
+        pl.col("n_signups").fill_null(0), pl.col("n_purchases").fill_null(0)
+    )
+    return wide.select(["hour", "n_signups", "n_purchases"]).to_arrow().cast(
+        schema
+    )
+
+
+def q_revenue_share_by_nation(sf_dir: str):
+    """PERCENT-OF-TOTAL window over the 3-way-join aggregate: each
+    nation's share of global revenue. Rides the full revenue_by_nation
+    pipeline (co-grouped fact join, broadcast dims), then snaps the
+    rounded revenue to INTEGER cents so the total is an
+    order-independent bigint sum — the share division is one IEEE op
+    on exact integers, hash-stable against any SQL summation order."""
+    tab = q_revenue_by_nation(sf_dir)  # 25 aggregate rows, revenue @2dp
+    cents = pc.round(pc.multiply(tab.column("revenue"), 100.0)).cast(pa.int64())
+    total = float(pc.sum(cents).as_py())
+    share = pc.divide(
+        pc.round(
+            pc.multiply(pc.divide(cents.cast(pa.float64()), total), 1e6),
+            ndigits=0, round_mode="half_towards_infinity",
+        ),
+        1e6,
+    )
+    return pa.table({
+        "n_name": tab.column("n_name"),
+        "revenue": tab.column("revenue"),
+        "revenue_share": share,
+    })
+
+
+def q_region_top_nations(sf_dir: str):
+    """DENSE_RANK top-k with ties (top-2 nations per region by customer
+    count): the grouped-ranking shape where ties must all surface —
+    row_number would drop one. Per-batch nationkey count partials
+    collapse blocks before any move; the fold + rank runs over the
+    25-row nation aggregate with the dim names attached driver-side
+    (dims are bounded; the fact table never leaves its blocks)."""
+    ds = _read(sf_dir, "customer", ["c_nationkey"], rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("c_nationkey").aggregate([([], "count_all")])
+            .rename_columns(["c_nationkey", "n"])
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocks = [b for b in arrow_blocks(parts) if b.num_rows]
+    schema = pa.schema([
+        ("r_name", pa.string()), ("n_name", pa.string()),
+        ("n_customers", pa.int64()), ("rnk", pa.int64()),
+    ])
+    if not blocks:
+        return schema.empty_table()
+    counts = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .group_by("c_nationkey").agg(pl.col("n").sum().alias("n_customers"))
+    )
+    nation = pl.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pl.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    out = (
+        counts.join(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .join(region, left_on="n_regionkey", right_on="r_regionkey")
+        .with_columns(
+            rnk=pl.col("n_customers").rank("dense", descending=True)
+            .over("r_name").cast(pl.Int64)
+        )
+        .filter(pl.col("rnk") <= 2)
+        .select(["r_name", "n_name", "n_customers", "rnk"])
+    )
+    return out.to_arrow().cast(schema)
+
+
+def q_minmax_scale_events(sf_dir: str):
+    """MIN-MAX FEATURE SCALING per group (the ML-prep normalizer):
+    value rescaled to [0,1] within its event_type. Two passes — exact
+    per-type min/max partials (order-independent, unlike a mean), then
+    a broadcast-stats vectorized rescale per batch. Every arithmetic
+    step ((v-mn)/(mx-mn)*1e4, half-away round) is the same IEEE op
+    sequence the SQL window computes, so the 1M-row output is
+    hash-exact, not epsilon-close."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               rows_per_block=20_000)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("event_type")
+            .aggregate([("value", "min"), ("value", "max")])
+            .rename_columns(["event_type", "mn", "mx"])
+        )
+
+    parts = [
+        b for b in arrow_blocks(ds.map_batches(
+            mm_partial, batch_format="pyarrow", zero_copy_batch=True
+        )) if b.num_rows
+    ]
+    stats = (
+        pa.concat_tables(parts)
+        .group_by("event_type")
+        .aggregate([("mn", "min"), ("mx", "max")])
+        .rename_columns(["event_type", "mn", "mx"])
+    )
+    types = stats.column("event_type").combine_chunks()
+    mn_v = stats.column("mn").combine_chunks()
+    mx_v = stats.column("mx").combine_chunks()
+
+    def rescale(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), value_set=types)
+        mn = pc.take(mn_v, idx)
+        mx = pc.take(mx_v, idx)
+        scaled = pc.divide(
+            pc.round(
+                pc.multiply(
+                    pc.divide(pc.subtract(t.column("value"), mn),
+                              pc.subtract(mx, mn)),
+                    10000.0,
+                ),
+                ndigits=0, round_mode="half_towards_infinity",
+            ),
+            10000.0,
+        )
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "scaled": scaled,
+        })
+
+    return ds.map_batches(rescale, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4312,6 +4534,11 @@ QUERIES = {
     "users_view_no_purchase": q_users_view_no_purchase,
     "embedding_norm_stats_by_label": q_embedding_norm_stats_by_label,
     "change_feed_op_counts": q_change_feed_op_counts,
+    "user_journeys": q_user_journeys,
+    "hourly_signup_purchase": q_hourly_signup_purchase,
+    "revenue_share_by_nation": q_revenue_share_by_nation,
+    "region_top_nations": q_region_top_nations,
+    "minmax_scale_events": q_minmax_scale_events,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5493,3 +5720,69 @@ ORACLE_SQL["change_feed_op_counts"] = (
     + ORACLE_SQL["cdc_change_feed"]
     + ") GROUP BY change_op"
 )
+
+ORACLE_SQL["user_journeys"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT p.user_id, p.journey_prefix, c.n_steps FROM
+      (SELECT user_id,
+              string_agg(event_type, '>' ORDER BY rn) AS journey_prefix
+       FROM ranked WHERE rn <= 8 GROUP BY user_id) p
+    JOIN
+      (SELECT user_id, count(*) AS n_steps FROM events GROUP BY user_id) c
+    USING (user_id)
+"""
+
+ORACLE_SQL["hourly_signup_purchase"] = """
+    SELECT COALESCE(s.hour, p.hour) AS hour,
+           COALESCE(s.n_signups, 0) AS n_signups,
+           COALESCE(p.n_purchases, 0) AS n_purchases
+    FROM (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_signups
+          FROM events WHERE event_type = 'signup' GROUP BY 1) s
+    FULL OUTER JOIN
+         (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+    ON s.hour = p.hour
+"""
+
+ORACLE_SQL["revenue_share_by_nation"] = """
+    -- integer-cents total: order-independent sum, one IEEE division
+    WITH rev AS (
+      SELECT n_name,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / (SELECT CAST(sum(cents) AS DOUBLE) FROM rev)
+                 * 1000000) / 1000000 AS revenue_share
+    FROM rev
+"""
+
+ORACLE_SQL["region_top_nations"] = """
+    SELECT r_name, n_name, n_customers, rnk FROM (
+      SELECT r_name, n_name, count(*) AS n_customers,
+             dense_rank() OVER (PARTITION BY r_name
+                                ORDER BY count(*) DESC) AS rnk
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name) WHERE rnk <= 2
+"""
+
+ORACLE_SQL["minmax_scale_events"] = """
+    SELECT event_id, event_type,
+           round((value - mn) / (mx - mn) * 10000) / 10000 AS scaled
+    FROM (SELECT event_id, event_type, value,
+                 min(value) OVER (PARTITION BY event_type) AS mn,
+                 max(value) OVER (PARTITION BY event_type) AS mx
+          FROM events)
+"""
