@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "hourly_signup_purchase",
     "region_top_nations",
     "minmax_scale_events",
+    "rolling_hour_value_per_user",
+    "value_ntile_by_type",
 ]
 
 

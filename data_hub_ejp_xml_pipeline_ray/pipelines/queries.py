@@ -4436,6 +4436,165 @@ def q_minmax_scale_events(sf_dir: str):
     return ds.map_batches(rescale, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_rolling_hour_value_per_user(sf_dir: str):
+    """TIME-RANGE rolling window (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW) — the frame is a TIME span, not a row
+    count, so the window widens and narrows with event density: the
+    rate-limiter / anomaly-baseline shape ``moving_avg``'s ROWS frame
+    can't express. Values snap to the 1e-4 grid as BIGINT first so the
+    window sum is integer (order-independent); RANGE tie semantics
+    (all ts-peers in frame) come free from the closed='both' time
+    join. One vectorized rolling kernel per bucket of complete
+    users."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20_000)
+
+    def roll_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            _v=(pl.col("value") * 10000).round(0).cast(pl.Int64),
+            _one=pl.lit(1, pl.Int64),
+        )
+        out = df.with_columns(
+            _s=pl.col("_v").rolling_sum_by(
+                "ts", window_size="1h", closed="both"
+            ).over("user_id"),
+            roll_n=pl.col("_one").rolling_sum_by(
+                "ts", window_size="1h", closed="both"
+            ).over("user_id"),
+        ).select(["event_id", "user_id", "_s", "roll_n"]).to_arrow()
+        # numpy division (see moving_avg: polars rewrites /const into
+        # *reciprocal, off in the last ulp vs the SQL division)
+        s = out.column("_s").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_id": out.column("event_id").cast(pa.int64()),
+            "user_id": out.column("user_id").cast(pa.int64()),
+            "roll_sum": pa.array(s / 10000.0, pa.float64()),
+            "roll_n": out.column("roll_n").cast(pa.int64()),
+        })
+
+    return _bucketed_groups(
+        ds, "user_id", roll_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
+def q_value_ntile_by_type(sf_dir: str):
+    """GLOBAL NTILE(4) within each group, distributed — like
+    percent_rank, a window op per-key bucketing cannot bound (a row's
+    tile needs its whole group ordered). Same histogram-offset
+    machinery: rows shuffle only by (group, value-bucket); each task
+    turns its bucket's offset + a (value, event_id) lexsort into exact
+    global ROW NUMBERS (the ORDER BY is determinized with event_id so
+    both sides agree on tie placement — bare NTILE ties are
+    engine-arbitrary), then SQL's uneven-bucket formula maps row
+    number -> tile. Constant-value groups rank by the id histogram
+    instead, same pass."""
+    B = 512
+    K = 4
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               rows_per_block=20_000)
+    stats = ds.groupby("event_type").aggregate(
+        Count(),
+        Min("value", alias_name="_mn"), Max("value", alias_name="_mx"),
+        Min("event_id", alias_name="_imn"), Max("event_id", alias_name="_imx"),
+    ).take_all()
+    # per group: (n, lo, hi, use_id) — id-ranked when value is constant
+    info = {}
+    for r in stats:
+        use_id = not (r["_mn"] < r["_mx"])
+        lo, hi = (
+            (float(r["_imn"]), float(r["_imx"])) if use_id
+            else (r["_mn"], r["_mx"])
+        )
+        info[r["event_type"]] = (int(r["count()"]), lo, hi, use_id)
+
+    def bucket_of(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        if hi <= lo:  # single-row / fully-degenerate group
+            return np.zeros(len(vals), dtype=np.int64)
+        idx = np.floor((vals - lo) / (hi - lo) * B).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    info_ref = ray.put(info)
+    hist = {g: np.zeros(B, dtype=np.int64) for g in info}
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        inf = ray.get(info_ref)
+        keys = t.column("event_type").combine_chunks()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_g, out_h = [], []
+        for code in range(len(enc.dictionary)):
+            g = enc.dictionary[code].as_py()
+            _, lo, hi, use_id = inf[g]
+            mask = codes == code
+            x = ids[mask].astype(np.float64) if use_id else vals[mask]
+            out_g.append(g)
+            out_h.append(
+                np.bincount(bucket_of(x, lo, hi), minlength=B)
+                .astype(np.int64).tolist()
+            )
+        return pa.table({"g": pa.array(out_g, keys.type),
+                         "h": pa.array(out_h, pa.list_(pa.int64()))})
+
+    for b in ds.map_batches(
+        hist_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for g, h in zip(b.column("g").to_pylist(), b.column("h").to_pylist()):
+            hist[g] += np.asarray(h, dtype=np.int64)
+
+    offsets = {g: np.concatenate(([0], np.cumsum(hist[g])[:-1])) for g in hist}
+    ctx_ref = ray.put({"info": info, "offsets": offsets})
+
+    def route(t: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        keys = t.column("event_type").combine_chunks()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vb = np.zeros(t.num_rows, dtype=np.int64)
+        for code in range(len(enc.dictionary)):
+            g = enc.dictionary[code].as_py()
+            _, lo, hi, use_id = ctx["info"][g]
+            mask = codes == code
+            x = ids[mask].astype(np.float64) if use_id else vals[mask]
+            vb[mask] = bucket_of(x, lo, hi)
+        return pa.table({
+            "event_id": t.column("event_id"), "g": keys,
+            "v": t.column("value"), "_vb": pa.array(vb),
+        })
+
+    def tile_bucket(grp: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        g = grp.column("g")[0].as_py()
+        n, _, _, use_id = ctx["info"][g]
+        base = int(ctx["offsets"][g][grp.column("_vb")[0].as_py()])
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        ids = grp.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids,) if use_id else (ids, v))
+        rn0 = np.empty(len(order), dtype=np.int64)  # 0-based global row#
+        rn0[order] = base + np.arange(len(order))
+        # SQL NTILE with uneven buckets: first n%K tiles get one extra
+        q, r = divmod(n, K)
+        big = r * (q + 1)
+        tile = np.where(
+            rn0 < big,
+            rn0 // (q + 1) + 1,
+            (r + (rn0 - big) // q + 1) if q else 1,
+        )
+        return pa.table({
+            "event_id": grp.column("event_id"),
+            "event_type": grp.column("g"),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    return ds.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["g", "_vb"]).map_groups(tile_bucket, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4539,6 +4698,8 @@ QUERIES = {
     "revenue_share_by_nation": q_revenue_share_by_nation,
     "region_top_nations": q_region_top_nations,
     "minmax_scale_events": q_minmax_scale_events,
+    "rolling_hour_value_per_user": q_rolling_hour_value_per_user,
+    "value_ntile_by_type": q_value_ntile_by_type,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5776,6 +5937,24 @@ ORACLE_SQL["region_top_nations"] = """
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name) WHERE rnk <= 2
+"""
+
+ORACLE_SQL["rolling_hour_value_per_user"] = """
+    -- 1e-4 grid snap -> INTEGER range-window sum (order-independent)
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+             / 10000.0 AS roll_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["value_ntile_by_type"] = """
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS BIGINT) AS tile
+    FROM events
 """
 
 ORACLE_SQL["minmax_scale_events"] = """
