@@ -230,3 +230,93 @@ def test_setop_empty_result_keeps_schema():
     assert isinstance(out, pa.Table)
     assert out.num_rows == 0
     assert out.schema == pa.schema([("user_id", pa.int64())])
+
+
+def _write_events(tmp_path, tbl):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def _duck_events(sf, sql):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'events.parquet')}')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_ntile_tie_heavy_constant_and_tiny_groups(tmp_path):
+    """NTILE edges the sf tables never hit: massive value ties (the id
+    tiebreak decides tile membership), a whole CONSTANT-VALUE group
+    (ranked by the id histogram), and a group with n < K (fewer rows
+    than tiles — every row its own tile, no division by zero in the
+    uneven-bucket formula)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(29)
+    n = 3001
+    vals = np.where(rng.random(n) < 0.6, 4.25, rng.uniform(0, 10, n))
+    types = np.where(np.arange(n) % 3 == 0, "const", "mixed").astype(object)
+    vals[types == "const"] = 9.75          # constant-value group
+    types[:3] = "tiny"                      # n=3 < K=4 tiles
+    tbl = pa.table(
+        {"event_id": pa.array(range(n), pa.int64()),
+         "event_type": pa.array(types.tolist()),
+         "value": pa.array(vals, pa.float64())}
+    )
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["value_ntile_by_type"](sf)
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    exp = _duck_events(sf, q.ORACLE_SQL["value_ntile_by_type"]).sort_values(
+        "event_id", ignore_index=True
+    )
+    assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+    assert set(got[got.event_type == "tiny"]["tile"]) == {1, 2, 3}
+
+
+def test_rolling_hour_boundary_and_ts_peers(tmp_path):
+    """RANGE-frame edges: events exactly 1 h apart (inclusive lower
+    boundary — the 1h-older row IS in frame) and duplicate timestamps
+    (ALL ts-peers in frame, even 'later' rows of the same instant),
+    matching SQL RANGE semantics bit-exactly."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    ts = [
+        base, base + hour,            # exactly 1h apart: both in frame
+        base + 2 * hour, base + 2 * hour, base + 2 * hour,  # peers
+        base + 3 * hour + np.timedelta64(1, "us"),  # just past 1h: alone
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0], pa.float64()),
+    })
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["rolling_hour_value_per_user"](sf)
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    exp = _duck_events(
+        sf, q.ORACLE_SQL["rolling_hour_value_per_user"]
+    ).sort_values("event_id", ignore_index=True)
+    assert (got["roll_sum"].to_numpy() == exp["roll_sum"].to_numpy()).all()
+    assert (
+        got["roll_n"].to_numpy() == exp["roll_n"].to_numpy().astype("int64")
+    ).all()
+    # the three ts-peers each see BOTH other peers + the 1h-old row
+    assert got.loc[2:4, "roll_n"].tolist() == [4, 4, 4]
