@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "minmax_scale_events",
     "rolling_hour_value_per_user",
     "value_ntile_by_type",
+    "chunk_documents",
 ]
 
 

@@ -4595,6 +4595,44 @@ def q_value_ntile_by_type(sf_dir: str):
     ).groupby(["g", "_vb"]).map_groups(tile_bucket, batch_format="pyarrow")
 
 
+def q_chunk_documents(sf_dir: str):
+    """CONTEXT-WINDOW CHUNKING (the RAG / training-sequence prep
+    primitive): every document split into 50-token windows on a
+    40-token stride (10-token overlap), emitted as (doc_id, chunk_idx,
+    chunk_text) rows. Pure per-batch fan-out — tokenize, window-start
+    ranges, explode, slice-join, all in ONE vectorized polars pass; no
+    shuffle, streams at any corpus size (output rows ~ tokens/stride).
+    Empty docs still emit one (empty) chunk so no document silently
+    disappears from the prepared corpus."""
+    W, S = 50, 40
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .with_columns(toks=pl.col("text").str.extract_all(r"[A-Za-z0-9]+"))
+            .with_columns(n=pl.col("toks").list.len())
+            .with_columns(
+                start=pl.int_ranges(0, pl.max_horizontal(pl.col("n"), 1), S)
+            )
+            .explode("start")
+            .with_columns(
+                chunk_idx=(pl.col("start") // S).cast(pl.Int64),
+                chunk_text=pl.col("toks").list.slice(pl.col("start"), W)
+                .list.join(" "),
+            )
+            .select(["doc_id", "chunk_idx", "chunk_text"])
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]))
+
+    return ds.map_batches(
+        chunk_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4700,6 +4738,7 @@ QUERIES = {
     "minmax_scale_events": q_minmax_scale_events,
     "rolling_hour_value_per_user": q_rolling_hour_value_per_user,
     "value_ntile_by_type": q_value_ntile_by_type,
+    "chunk_documents": q_chunk_documents,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5955,6 +5994,20 @@ ORACLE_SQL["value_ntile_by_type"] = """
            CAST(ntile(4) OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS BIGINT) AS tile
     FROM events
+"""
+
+ORACLE_SQL["chunk_documents"] = """
+    -- 1-based inclusive list slicing: toks[s : s+49] is 50 tokens
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+      FROM tk)
+    SELECT doc_id, CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+           array_to_string(toks[start:start + 49], ' ') AS chunk_text
+    FROM s
 """
 
 ORACLE_SQL["minmax_scale_events"] = """
