@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "rolling_hour_value_per_user",
     "value_ntile_by_type",
     "chunk_documents",
+    "robust_stats_by_type",
 ]
 
 

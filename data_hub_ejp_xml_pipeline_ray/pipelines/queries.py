@@ -4633,6 +4633,84 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_robust_stats_by_type(sf_dir: str):
+    """ROBUST STATISTICS per group (median / MAD / 3-MAD outlier
+    count): the outlier-detection triple that survives heavy tails,
+    where mean/stddev would be dragged by the outliers being hunted.
+    COMPOSED distributed order statistics — pass 1: exact grouped
+    median (bit-exact 3-pass selection); pass 2: the SAME machinery
+    over |x - median| (the deviation column is derived per batch, the
+    stream never lands); pass 3: a broadcast-threshold count combiner.
+    No task ever holds a group; medians are identical doubles on both
+    sides so the 3*MAD gate is hash-exact, not epsilon-close."""
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=20_000)
+    med = {
+        g: qs[0.5]
+        for g, qs in grouped_quantiles_distributed(
+            ds, "event_type", "value", [0.5]
+        ).items()
+    }
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = np.fromiter(
+            (med[g] for g in t.column("event_type").to_pylist()),
+            dtype=np.float64, count=t.num_rows,
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": pa.array(np.abs(v - m), pa.float64()),
+        })
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = {
+        g: qs[0.5]
+        for g, qs in grouped_quantiles_distributed(
+            dev, "event_type", "value", [0.5]
+        ).items()
+    }
+
+    def outlier_partial(t: pa.Table) -> pa.Table:
+        m = np.fromiter(
+            (med[g] for g in t.column("event_type").to_pylist()),
+            dtype=np.float64, count=t.num_rows,
+        )
+        cut = np.fromiter(
+            (3.0 * mad[g] for g in t.column("event_type").to_pylist()),
+            dtype=np.float64, count=t.num_rows,
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        flagged = pa.table({
+            "event_type": t.column("event_type"),
+            "hit": pa.array((np.abs(v - m) > cut).astype(np.int64)),
+        })
+        return (
+            flagged.group_by("event_type").aggregate([("hit", "sum")])
+            .rename_columns(["event_type", "n"])
+        )
+
+    parts = [
+        b for b in arrow_blocks(ds.map_batches(
+            outlier_partial, batch_format="pyarrow", zero_copy_batch=True
+        )) if b.num_rows
+    ]
+    counts = {g: 0 for g in med}
+    for b in parts:
+        for g, n in zip(b.column("event_type").to_pylist(),
+                        b.column("n").to_pylist()):
+            counts[g] += int(n)
+    groups = sorted(med)
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "median_value": pa.array(
+            [_round2_half_away(med[g]) for g in groups], pa.float64()),
+        "mad_value": pa.array(
+            [_round2_half_away(mad[g]) for g in groups], pa.float64()),
+        "n_outliers": pa.array([counts[g] for g in groups], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4739,6 +4817,7 @@ QUERIES = {
     "rolling_hour_value_per_user": q_rolling_hour_value_per_user,
     "value_ntile_by_type": q_value_ntile_by_type,
     "chunk_documents": q_chunk_documents,
+    "robust_stats_by_type": q_robust_stats_by_type,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -5994,6 +6073,27 @@ ORACLE_SQL["value_ntile_by_type"] = """
            CAST(ntile(4) OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS BIGINT) AS tile
     FROM events
+"""
+
+ORACLE_SQL["robust_stats_by_type"] = """
+    -- MAD spelled as quantile_cont-of-abs-dev (NOT mad()) so both
+    -- sides share the exact interpolation arithmetic
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(max(d.med) * 100) / 100 AS median_value,
+           round(max(a.mad) * 100) / 100 AS mad_value,
+           CAST(sum(CASE WHEN d.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
 """
 
 ORACLE_SQL["chunk_documents"] = """
