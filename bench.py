@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "value_ntile_by_type",
     "chunk_documents",
     "robust_stats_by_type",
+    "brand_revenue",
+    "supplier_balance_by_nation",
 ]
 
 

@@ -4711,6 +4711,137 @@ def q_robust_stats_by_type(sf_dir: str):
     })
 
 
+def q_brand_revenue(sf_dir: str):
+    """Revenue by part brand: a SECOND fact-fact co-group join, keyed
+    on partkey (revenue_by_nation exercises orderkey) — at TPC-H scale
+    ``part`` grows with SF, so it may NOT be broadcast like a true
+    dimension. Same scale shape: per-batch revenue combiner collapses
+    lineitem to one row per partkey per block, both sides hash-bucket
+    by partkey (footer-scaled count), ONE polars join per bucket emits
+    brand partials, and the driver folds buckets x |brands| rows."""
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        )
+        t = pa.table({"partkey": batch.column("l_partkey"), "revenue": rev})
+        t = t.group_by("partkey").aggregate([("revenue", "sum")]).rename_columns(
+            ["partkey", "revenue"]
+        )
+        return pa.table({
+            "partkey": t.column("partkey"),
+            "revenue": t.column("revenue"),
+            "brand": pa.nulls(t.num_rows, pa.string()),
+            "_bucket": _hash_bucket(t.column("partkey"), num_buckets),
+        })
+
+    def tag_parts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "partkey": batch.column("p_partkey"),
+            "revenue": pa.nulls(batch.num_rows, pa.float64()),
+            "brand": batch.column("p_brand"),
+            "_bucket": _hash_bucket(batch.column("p_partkey"), num_buckets),
+        })
+
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"],
+        rows_per_block=20_000,
+    ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand"], rows_per_block=20_000
+    ).map_batches(tag_parts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cogroup_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rev = (
+            df.filter(pl.col("revenue").is_not_null())
+            .group_by("partkey").agg(pl.col("revenue").sum())
+        )
+        brands = df.filter(pl.col("brand").is_not_null()).select(
+            ["partkey", "brand"]
+        )
+        out = (
+            rev.join(brands, on="partkey", how="inner")
+            .group_by("brand").agg(pl.col("revenue").sum())
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("brand", pa.string()), ("revenue", pa.float64()),
+        ]))
+
+    partials = lineitem.union(part).groupby("_bucket").map_groups(
+        lambda g: cogroup_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    blocks = [b for b in arrow_blocks(partials) if b.num_rows]
+    schema = pa.schema([("p_brand", pa.string()), ("revenue", pa.float64())])
+    if not blocks:
+        return schema.empty_table()
+    out = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .group_by("brand").agg(pl.col("revenue").sum())
+        .rename({"brand": "p_brand"})
+    )
+    tab = out.to_arrow().cast(schema)
+    return tab.set_column(1, "revenue", _round2(tab.column("revenue")))
+
+
+def q_supplier_balance_by_nation(sf_dir: str):
+    """Supplier account-balance rollup per nation (broadcast dim join +
+    integer-cents combiner): acctbal is a 2-decimal money column, so
+    each value snaps EXACTLY to bigint cents — the grouped sum is
+    order-independent integer arithmetic and the /100 output division
+    is one IEEE op, hash-exact by construction (no round-the-float-sum
+    epsilon anywhere)."""
+    nation_ref = _broadcast_dim(
+        sf_dir, "nation", "n_nationkey", ["n_nationkey", "n_name"]
+    )
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"],
+               rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nation = ray.get(nation_ref)
+        name = _dim_lookup(nation, "n_nationkey", "n_name",
+                           t.column("s_nationkey"))
+        cents = pc.round(
+            pc.multiply(t.column("s_acctbal"), 100.0)
+        ).cast(pa.int64())
+        loc = pa.table({
+            "n_name": name, "cents": cents,
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        return (
+            loc.group_by("n_name")
+            .aggregate([("one", "sum"), ("cents", "sum")])
+            .rename_columns(["n_name", "n_suppliers", "cents"])
+        )
+
+    parts = [
+        b for b in arrow_blocks(ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )) if b.num_rows
+    ]
+    schema = pa.schema([
+        ("n_name", pa.string()), ("n_suppliers", pa.int64()),
+        ("total_bal", pa.float64()),
+    ])
+    if not parts:
+        return schema.empty_table()
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("n_name")
+        .aggregate([("n_suppliers", "sum"), ("cents", "sum")])
+        .rename_columns(["n_name", "n_suppliers", "cents"])
+    )
+    bal = pc.divide(agg.column("cents").cast(pa.float64()), 100.0)
+    return pa.table({
+        "n_name": agg.column("n_name"),
+        "n_suppliers": agg.column("n_suppliers"),
+        "total_bal": bal,
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4818,6 +4949,8 @@ QUERIES = {
     "value_ntile_by_type": q_value_ntile_by_type,
     "chunk_documents": q_chunk_documents,
     "robust_stats_by_type": q_robust_stats_by_type,
+    "brand_revenue": q_brand_revenue,
+    "supplier_balance_by_nation": q_supplier_balance_by_nation,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -6073,6 +6206,24 @@ ORACLE_SQL["value_ntile_by_type"] = """
            CAST(ntile(4) OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS BIGINT) AS tile
     FROM events
+"""
+
+ORACLE_SQL["brand_revenue"] = """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)) * 100) / 100
+             AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+"""
+
+ORACLE_SQL["supplier_balance_by_nation"] = """
+    -- 2-decimal money snaps exactly to bigint cents: integer sum,
+    -- one IEEE output division — no float-sum rounding anywhere
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
 """
 
 ORACLE_SQL["robust_stats_by_type"] = """
