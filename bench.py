@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "robust_stats_by_type",
     "brand_revenue",
     "supplier_balance_by_nation",
+    "cube_doc_counts",
 ]
 
 

@@ -4842,6 +4842,43 @@ def q_supplier_balance_by_nation(sf_dir: str):
     })
 
 
+def q_cube_doc_counts(sf_dir: str):
+    """CUBE grouping sets: doc counts + char sums at every subset of
+    (lang, source) — the fourth level ROLLUP lacks is (source) alone.
+    Same scale shape as the rollup: ONE distributed pass computes the
+    finest aggregate, all four levels derive from that
+    |lang| x |source| table — never a second corpus scan per level."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"],
+               rows_per_block=20_000)
+    agg = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+    blocks = arrow_blocks(agg)
+    fine = pl.from_arrow(pa.concat_tables(
+        b.select(["lang", "source", "n_docs", "sum_chars"]) for b in blocks
+    )).with_columns(
+        pl.col("n_docs").cast(pl.Int64), pl.col("sum_chars").cast(pl.Int64)
+    )
+    sums = [pl.col("n_docs").sum(), pl.col("sum_chars").sum()]
+    lang_lvl = fine.group_by("lang").agg(sums).with_columns(
+        pl.lit(None, dtype=pl.String).alias("source")
+    )
+    src_lvl = fine.group_by("source").agg(sums).with_columns(
+        pl.lit(None, dtype=pl.String).alias("lang")
+    )
+    total = fine.select(sums).with_columns(
+        pl.lit(None, dtype=pl.String).alias("lang"),
+        pl.lit(None, dtype=pl.String).alias("source"),
+    )
+    cols = ["lang", "source", "n_docs", "sum_chars"]
+    out = pl.concat([fine.select(cols), lang_lvl.select(cols),
+                     src_lvl.select(cols), total.select(cols)])
+    return out.to_arrow().cast(pa.schema([
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_docs", pa.int64()), ("sum_chars", pa.int64()),
+    ]))
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4951,6 +4988,7 @@ QUERIES = {
     "robust_stats_by_type": q_robust_stats_by_type,
     "brand_revenue": q_brand_revenue,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
+    "cube_doc_counts": q_cube_doc_counts,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -6206,6 +6244,12 @@ ORACLE_SQL["value_ntile_by_type"] = """
            CAST(ntile(4) OVER (PARTITION BY event_type
                                ORDER BY value, event_id) AS BIGINT) AS tile
     FROM events
+"""
+
+ORACLE_SQL["cube_doc_counts"] = """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (lang, source)
 """
 
 ORACLE_SQL["brand_revenue"] = """
