@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "brand_revenue",
     "supplier_balance_by_nation",
     "cube_doc_counts",
+    "tfidf_top_terms",
+    "term_postings",
+    "peak_concurrency_by_type",
+    "unshipped_orders_revenue",
+    "top_terms_per_lang",
 ]
 
 

@@ -1029,14 +1029,19 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
             ["orderkey", "o_orderpriority"]
         )
         out = orders_side.join(rev, on="orderkey", how="left").with_columns(
-            # integer half-up to cents (all revenues positive), then to
-            # float only for display — identical arithmetic in the SQL
-            (((pl.col("revenue") + 50) // 100).cast(pl.Float64) / 100.0)
-            .alias("recent_revenue")
+            # integer half-up to cents (all revenues positive); the /100
+            # happens in arrow below as TRUE IEEE division — polars'
+            # `/ 100.0` reciprocal-multiplies, 1 ulp off DuckDB
+            cents=((pl.col("revenue") + 50) // 100)
         ).rename({"orderkey": "o_orderkey"})
-        return out.select(
-            ["o_orderkey", "o_orderpriority", "recent_revenue"]
-        ).to_arrow().cast(pa.schema([
+        t2 = out.select(["o_orderkey", "o_orderpriority", "cents"]).to_arrow()
+        return pa.table({
+            "o_orderkey": t2.column("o_orderkey"),
+            "o_orderpriority": t2.column("o_orderpriority"),
+            "recent_revenue": pc.divide(
+                pc.cast(t2.column("cents"), pa.float64()), 100.0
+            ),
+        }).cast(pa.schema([
             ("o_orderkey", pa.int64()),
             ("o_orderpriority", pa.string()),
             ("recent_revenue", pa.float64()),
@@ -1046,6 +1051,162 @@ def q_orders_left_join_recent_revenue(sf_dir: str):
         lambda g: left_join_bucket(g.drop_columns(["_bucket"])),
         batch_format="pyarrow",
     )
+
+
+def q_unshipped_orders_revenue(sf_dir: str):
+    """Shipping-priority query (the TPC-H Q3 shape): top-10 not-yet-
+    shipped orders of BUILDING-segment customers by open revenue — a
+    THREE-way fact join composed as two co-group exchanges plus a
+    distributed top-k tail, never a global sort of the joined stream:
+
+    1. custkey exchange: date-filtered orders ⋉ segment-filtered
+       customers (both sides grow with SF — a broadcast would be wrong
+       at scale), one polars semi join per bucket of complete key
+       groups;
+    2. orderkey exchange: per-batch lineitem revenue combiner (snapped
+       to the exact 1e-4 grid — integer partial sums are order-
+       independent) co-grouped with the surviving orders, one inner
+       join per bucket, then per-bucket keep-10;
+    3. final sort sees <= 10 x num_buckets rows. Both date predicates
+       are pushed into the parquet reads."""
+    cutoff = datetime(1998, 6, 1)
+    segment = "BUILDING"
+    nb_cust = _buckets_for(sf_dir, "orders")
+    nb_ord = _buckets_for(sf_dir, "lineitem")
+
+    o_path = os.path.join(sf_dir, "orders.parquet")
+    c_path = os.path.join(sf_dir, "customer.parquet")
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_bucket": _hash_bucket(batch.column("o_custkey"), nb_cust),
+        })
+
+    def tag_custs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "ck": batch.column("c_custkey"),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "_bucket": _hash_bucket(batch.column("c_custkey"), nb_cust),
+        })
+
+    orders = ray.data.read_parquet(
+        o_path,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cutoff),
+        override_num_blocks=_nblocks(o_path, 20_000),
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    custs = ray.data.read_parquet(
+        c_path, columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == segment),
+        override_num_blocks=_nblocks(c_path, 20_000),
+    ).map_batches(tag_custs, batch_format="pyarrow", zero_copy_batch=True)
+
+    _ORD = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+        ("o_orderpriority", pa.string()),
+    ])
+
+    def semi_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        keys = df.filter(pl.col("o_orderkey").is_null()).select("ck")
+        out = (
+            df.filter(pl.col("o_orderkey").is_not_null())
+            .join(keys, on="ck", how="semi")
+            .select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        )
+        return out.to_arrow().cast(_ORD)
+
+    building_orders = orders.union(custs).groupby("_bucket").map_groups(
+        lambda g: semi_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        grid = pc.cast(pc.round(pc.multiply(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        ), 10000.0)), pa.int64())
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "rev4": grid})
+        t = t.group_by("o_orderkey").aggregate([("rev4", "sum")]).rename_columns(
+            ["o_orderkey", "rev4"]
+        )
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "rev4": t.column("rev4"),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "_bucket": _hash_bucket(t.column("o_orderkey"), nb_ord),
+        })
+
+    def tag_building(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "rev4": pa.nulls(batch.num_rows, pa.int64()),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_bucket": _hash_bucket(batch.column("o_orderkey"), nb_ord),
+        })
+
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > cutoff),
+        override_num_blocks=_nblocks(li_path, 20_000),
+    ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = building_orders.map_batches(
+        tag_building, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    _OUT = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+        ("o_orderpriority", pa.string()), ("revenue", pa.float64()),
+    ])
+
+    def join_top_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rev = (
+            df.filter(pl.col("rev4").is_not_null())
+            .group_by("o_orderkey").agg(pl.col("rev4").sum())
+        )
+        ords = df.filter(pl.col("rev4").is_null()).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+        out = (
+            ords.join(rev, on="o_orderkey", how="inner")
+            # integer half-up to cents; sort on the INT cents (exact)
+            .with_columns(cents=((pl.col("rev4") + 50) // 100))
+            .sort(["cents", "o_orderdate", "o_orderkey"],
+                  descending=[True, False, False])
+            .head(10)
+            .select(["o_orderkey", "o_orderdate", "o_orderpriority", "cents"])
+        )
+        t2 = out.to_arrow()
+        # /100 as TRUE IEEE division (pc.divide) — polars' `/ 100.0`
+        # compiles to reciprocal-multiply, 1 ulp off DuckDB's exact
+        # decimal quotient
+        rev_f = pc.divide(pc.cast(t2.column("cents"), pa.float64()), 100.0)
+        return pa.table({
+            "o_orderkey": t2.column("o_orderkey"),
+            "o_orderdate": t2.column("o_orderdate"),
+            "o_orderpriority": t2.column("o_orderpriority"),
+            "revenue": rev_f,
+        }).cast(_OUT)
+
+    return lineitem.union(tagged).groupby("_bucket").map_groups(
+        lambda g: join_top_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    ).sort(
+        ["revenue", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
 
 
 def q_order_priority_count(sf_dir: str):
@@ -3655,6 +3816,362 @@ def q_rarest_term_per_doc(sf_dir: str):
     )
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF argmax per document — the classic relevance annotation a
+    web-text pipeline stamps on every doc. score = tf * ln(N/df), with
+    N from the parquet FOOTER (metadata only, exact) and df counted
+    inside term-hash buckets exactly like ``rarest_term_per_doc`` (the
+    vocabulary is NOT a small side at web scale, so df is computed in
+    the same task that needs it — no broadcast, no df table).
+
+    Hash parity with the oracle: the float score is snapped to an
+    integer 1e-4 grid (``round(score*10000)`` as BIGINT, half-up — tf
+    and ln(N/df) are nonnegative) and BOTH sides rank by
+    (score_i DESC, term ASC), so last-ulp libm drift below the grid
+    cannot flip the argmax.
+
+    Shuffle volume: per-doc tf pairs once (stage 1), bucket argmax
+    candidates (<= one row per bucket x doc) once (stage 2)."""
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    _PAIR = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("th", pa.int64()),
+    ])
+    _CAND = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("df", pa.int64()), ("score_i", pa.int64()), ("nscore", pa.int64()),
+    ])
+    _OUT = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("df", pa.int64()), ("score_i", pa.int64()),
+    ])
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term"),
+            )
+            .explode("term").drop_nulls()
+            # docs are whole rows: per-block tf counts are global tf
+            .group_by(["doc_id", "term"]).agg(tf=pl.len().cast(pl.Int64))
+            .with_columns(
+                th=pl.col("term").hash(seed=0).reinterpret(signed=True)
+            )
+        )
+        out = ex.to_arrow().cast(_PAIR)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("th"), num_buckets)
+        )
+
+    def score_and_local_max(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        # complete term groups per bucket: in-bucket doc count IS df
+        df = df.with_columns(df=pl.len().over("term").cast(pl.Int64))
+        tf = df.get_column("tf").to_numpy().astype(np.float64)
+        dfreq = df.get_column("df").to_numpy().astype(np.float64)
+        score = tf * np.log(float(n_docs) / dfreq) * 10000.0
+        snapped = np.floor(score + 0.5).astype(np.int64)  # half-up, x >= 0
+        out = (
+            df.with_columns(
+                score_i=pl.Series(snapped), nscore=pl.Series(-snapped)
+            )
+            .sort(["doc_id", "nscore", "term"])
+            .unique(subset=["doc_id"], keep="first", maintain_order=True)
+            .select(["doc_id", "term", "tf", "df", "score_i", "nscore"])
+        )
+        return out.to_arrow().cast(_CAND)
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    candidates = pairs.groupby("_bucket").map_groups(
+        lambda g: score_and_local_max(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    combined = candidates.map_batches(
+        _keep_extreme,
+        fn_kwargs={"key_cols": ["doc_id"], "order_cols": ["nscore", "term"],
+                   "keep": "first"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def max_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .sort(["doc_id", "nscore", "term"])
+            .unique(subset=["doc_id"], keep="first", maintain_order=True)
+            .select(["doc_id", "term", "tf", "df", "score_i"])
+        )
+        return out.to_arrow().cast(_OUT)
+
+    return _bucketed_groups(
+        combined, "doc_id", max_bucket,
+        num_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+
+def q_term_postings(sf_dir: str):
+    """Inverted-index build — the search-engine side of a web corpus:
+    one row per TERM with document frequency, collection frequency, and
+    the first-5-by-doc_id posting sample as a comma-joined string (a
+    bounded preview column; the full posting list at web scale would be
+    its own partitioned table keyed the same way).
+
+    Single exchange: per-batch (doc_id, term, tf) partials hash-bucket
+    by term; each bucket holds COMPLETE term groups, so df / cf / the
+    sorted posting head are all exact inside one task and the output is
+    already one row per term — no second reduce, no driver residency
+    beyond the vocabulary-sized result."""
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    _PAIR = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+        ("th", pa.int64()),
+    ])
+    _OUT = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64()),
+        ("postings", pa.string()),
+    ])
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term"),
+            )
+            .explode("term").drop_nulls()
+            .group_by(["doc_id", "term"]).agg(tf=pl.len().cast(pl.Int64))
+            .with_columns(
+                th=pl.col("term").hash(seed=0).reinterpret(signed=True)
+            )
+        )
+        out = ex.to_arrow().cast(_PAIR)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("th"), num_buckets)
+        )
+
+    def postings_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by("term")
+            .agg(
+                df=pl.len().cast(pl.Int64),
+                cf=pl.col("tf").sum().cast(pl.Int64),
+                postings=pl.col("doc_id").sort().head(5),
+            )
+            .with_columns(
+                pl.col("postings").cast(pl.List(pl.Utf8)).list.join(",")
+            )
+            .select(["term", "df", "cf", "postings"])
+        )
+        return out.to_arrow().cast(_OUT)
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pairs.groupby("_bucket").map_groups(
+        lambda g: postings_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+
+SESSION_SECONDS = 300  # fixed session length for the sweep-line op
+
+
+def q_peak_concurrency_by_type(sf_dir: str):
+    """Distributed SWEEP-LINE max-overlap: treat every event as an
+    open session ``[ts, ts+300s)`` and report, per event_type, the PEAK
+    number of concurrently open sessions and the first time it is
+    reached — the load-planning / capacity question a streaming engine
+    answers with an interval tree, expressed here as a range-partitioned
+    max-prefix-sum (the same decomposition ``pack_token_shards`` uses
+    for its ordered prefix sum, extended with a per-range local-max):
+
+    1. each event emits two delta points (+1 at ts, -1 at ts+300s),
+       bucketed by a CONTIGUOUS time range sized from the parquet
+       footer (row count for the range COUNT, ts column stats for the
+       span — no data read);
+    2. one vectorized kernel per bucket: per (type, range) the delta
+       sum S, local max prefix M, and first local-argmax time (points
+       ordered (t, d) with -1 before +1: end-exclusive intervals);
+    3. per type (groups of ~num_ranges partial rows, never data rows):
+       peak = max over time-ordered ranges of (prefix-of-S before + M),
+       first_peak_ts from the FIRST range attaining it.
+
+    Integer deltas end to end; the only nontrivial oracle-parity point
+    is tie order, pinned identically on both sides by (t, d)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    ci = names.index("ts")
+    ts_min = min(
+        md.row_group(rg).column(ci).statistics.min
+        for rg in range(md.num_row_groups)
+    )
+    ts_max = max(
+        md.row_group(rg).column(ci).statistics.max
+        for rg in range(md.num_row_groups)
+    )
+    import datetime as _dt
+
+    _epoch = _dt.datetime(1970, 1, 1)
+    _us = _dt.timedelta(microseconds=1)
+    lo_us = (ts_min - _epoch) // _us
+    hi_us = (ts_max - _epoch) // _us + SESSION_SECONDS * 1_000_000 + 1
+    num_ranges = max(64, -(-md.num_rows // 500_000))
+    range_us = -(-(hi_us - lo_us) // num_ranges)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"], rows_per_block=20_000)
+
+    _PART = pa.schema([
+        ("event_type", pa.string()), ("rb", pa.int64()), ("s", pa.int64()),
+        ("m", pa.int64()), ("tmax", pa.int64()),
+    ])
+
+    def delta_points(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = t.column("event_type")
+        tt = np.concatenate([ts, ts + SESSION_SECONDS * 1_000_000])
+        dd = np.concatenate(
+            [np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)]
+        )
+        out = pa.table({
+            "event_type": pa.concat_arrays(
+                [et.combine_chunks(), et.combine_chunks()]
+            ),
+            "t": pa.array(tt), "d": pa.array(dd),
+            "rb": pa.array((tt - lo_us) // range_us),
+        })
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("rb"), num_ranges)
+        )
+
+    def range_partials(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["event_type", "rb", "t", "d"])
+            .with_columns(c=pl.col("d").cum_sum().over(["event_type", "rb"]))
+        )
+        out = (
+            df.group_by(["event_type", "rb"], maintain_order=True)
+            .agg(
+                s=pl.col("d").sum().cast(pl.Int64),
+                m=pl.col("c").max().cast(pl.Int64),
+                tmax=pl.col("t")
+                .filter(pl.col("c") == pl.col("c").max())
+                .min().cast(pl.Int64),
+            )
+        )
+        return out.to_arrow().cast(_PART)
+
+    def fold_type(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("rb")
+        s = df.get_column("s").to_numpy()
+        m = df.get_column("m").to_numpy()
+        tmax = df.get_column("tmax").to_numpy()
+        before = np.cumsum(s) - s
+        tot = before + m
+        peak = int(tot.max())
+        first = int(np.argmax(tot == peak))
+        return pa.table({
+            "event_type": [group.column("event_type")[0].as_py()],
+            "peak": pa.array([peak], pa.int64()),
+            "first_peak_ts": pa.array(
+                [int(tmax[first])], pa.timestamp("us")
+            ),
+        })
+
+    pts = ds.map_batches(delta_points, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    partials = pts.groupby("_bucket").map_groups(
+        lambda g: range_partials(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("event_type").map_groups(
+        fold_type, batch_format="pyarrow"
+    )
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Grouped top-k over a two-level key: the 3 most frequent terms
+    PER LANGUAGE (tie-break lexicographic) — the per-language
+    vocabulary profile a corpus audit prints. Counting buckets by TERM
+    hash (complete (lang, term) groups per bucket — exact counts, and
+    immune to language skew: a 90%-English corpus spreads across all
+    buckets), per-bucket keep-3-per-lang collapses the exchange to
+    <= 3 x langs rows per bucket; the final per-lang fold sees
+    candidate rows only."""
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["lang", "text"], rows_per_block=2_000)
+
+    _CNT = pa.schema([
+        ("lang", pa.string()), ("term", pa.string()), ("tf", pa.int64()),
+        ("th", pa.int64()),
+    ])
+    _OUT = pa.schema([
+        ("lang", pa.string()), ("term", pa.string()), ("tf", pa.int64()),
+    ])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("lang"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term"),
+            )
+            .explode("term").drop_nulls()
+            .group_by(["lang", "term"]).agg(tf=pl.len().cast(pl.Int64))
+            .with_columns(
+                th=pl.col("term").hash(seed=0).reinterpret(signed=True)
+            )
+        )
+        out = ex.to_arrow().cast(_CNT)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("th"), num_buckets)
+        )
+
+    def top3_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["lang", "term"]).agg(pl.col("tf").sum())
+            .sort(["lang", "tf", "term"], descending=[False, True, False])
+            .group_by("lang", maintain_order=True).head(3)
+            .select(["lang", "term", "tf"])
+        )
+        return out.to_arrow().cast(_OUT)
+
+    counts = ds.map_batches(partial_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    candidates = counts.groupby("_bucket").map_groups(
+        lambda g: top3_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+    def top3_lang(group: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(group)
+            .sort(["lang", "tf", "term"], descending=[False, True, False])
+            .head(3)
+        )
+        return out.to_arrow().cast(_OUT)
+
+    return candidates.groupby("lang").map_groups(
+        top3_lang, batch_format="pyarrow"
+    )
+
+
 def q_corr_value_props_by_type(sf_dir: str):
     """Cross-column moment aggregates per group: Pearson correlation and
     sample covariance between ``value`` and ``length(props)`` per
@@ -4968,6 +5485,11 @@ QUERIES = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "props_value_stats": q_props_value_stats,
     "rarest_term_per_doc": q_rarest_term_per_doc,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "term_postings": q_term_postings,
+    "peak_concurrency_by_type": q_peak_concurrency_by_type,
+    "unshipped_orders_revenue": q_unshipped_orders_revenue,
+    "top_terms_per_lang": q_top_terms_per_lang,
     "corr_value_props_by_type": q_corr_value_props_by_type,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
@@ -6051,6 +6573,109 @@ ORACLE_SQL["rarest_term_per_doc"] = """
              row_number() OVER (PARTITION BY t.doc_id
                                 ORDER BY d.df, t.w) AS rn
       FROM tk t JOIN df d USING (w)) WHERE rn = 1
+"""
+
+ORACLE_SQL["tfidf_top_terms"] = """
+    -- score snapped to a 1e-4 integer grid on BOTH sides; ln(N/df) is
+    -- the same libm log on the same doubles, and the grid absorbs any
+    -- last-ulp drift before the DESC rank
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY 1, 2
+    ), df AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000)
+                  AS BIGINT) AS score_i
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, tf, df, score_i FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_i DESC, w) AS rn
+      FROM scored) WHERE rn = 1
+"""
+
+ORACLE_SQL["term_postings"] = """
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY 1, 2
+    ), ranked AS (
+      SELECT w, doc_id,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn
+      FROM tf
+    ), post AS (
+      SELECT w, string_agg(CAST(doc_id AS VARCHAR), ','
+                           ORDER BY doc_id) AS postings
+      FROM ranked WHERE rn <= 5 GROUP BY w
+    )
+    SELECT tf.w AS term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf.tf) AS BIGINT) AS cf, any_value(post.postings) AS postings
+    FROM tf JOIN post ON tf.w = post.w
+    GROUP BY tf.w
+"""
+
+ORACLE_SQL["top_terms_per_lang"] = """
+    WITH tk AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY 1, 2
+    )
+    SELECT lang, w AS term, tf FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tf DESC, w) AS rn
+      FROM cnt) WHERE rn <= 3
+"""
+
+ORACLE_SQL["unshipped_orders_revenue"] = """
+    -- Q3 shape; revenue snapped per-row to the 1e-4 grid, integer
+    -- half-up to cents — identical arithmetic to the engine
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(FLOOR((SUM(CAST(ROUND(
+               l.l_extendedprice * (1 - l.l_discount) * 10000
+           ) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
+"""
+
+ORACLE_SQL["peak_concurrency_by_type"] = """
+    -- sweep line over [ts, ts+300s) sessions; tie order pinned by
+    -- (t, d) with -1 before +1 = end-exclusive intervals, identical to
+    -- the engine's sort key, so peak and first-peak time are exact
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events
+    ), run AS (
+      SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM pts
+    ), pk AS (
+      SELECT event_type, CAST(max(c) AS BIGINT) AS peak
+      FROM run GROUP BY 1
+    )
+    SELECT r.event_type, pk.peak, min(r.t) AS first_peak_ts
+    FROM run r JOIN pk ON r.event_type = pk.event_type AND r.c = pk.peak
+    GROUP BY r.event_type, pk.peak
 """
 
 ORACLE_SQL["weighted_sample_docs"] = """

@@ -320,3 +320,121 @@ def test_rolling_hour_boundary_and_ts_peers(tmp_path):
     ).all()
     # the three ts-peers each see BOTH other peers + the 1h-old row
     assert got.loc[2:4, "roll_n"].tolist() == [4, 4, 4]
+
+
+def _write_docs(tmp_path, tbl):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def _duck_docs(sf, sql):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'documents.parquet')}')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_peak_concurrency_end_meets_start_and_nesting(tmp_path):
+    """Sweep-line edges: a session ENDING exactly where another starts
+    must not double-count (end-exclusive: -1 sorts before +1 at equal
+    t), and a 3-deep nest peaks at 3 with first_peak_ts = the THIRD
+    event's start."""
+    import pandas as pd
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [
+        base, base + 300 * s,               # chain: end meets start
+        base + 1000 * s, base + 1010 * s, base + 1020 * s,  # 3-deep nest
+    ]
+    types = ["chain", "chain", "nest", "nest", "nest"]
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types),
+    })
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["peak_concurrency_by_type"](sf)
+        .to_pandas().sort_values("event_type", ignore_index=True)
+    )
+    exp = _duck_events(
+        sf, q.ORACLE_SQL["peak_concurrency_by_type"]
+    ).sort_values("event_type", ignore_index=True)
+    assert got["peak"].tolist() == [1, 3]
+    assert (got["peak"].to_numpy() == exp["peak"].to_numpy()).all()
+    assert (
+        got["first_peak_ts"].to_numpy() == exp["first_peak_ts"].to_numpy()
+    ).all()
+    # first peak of the chain is the FIRST event (peak 1 reached at t0)
+    assert got.loc[0, "first_peak_ts"] == pd.Timestamp("2024-01-01")
+    # nest peaks when the third session opens
+    assert got.loc[1, "first_peak_ts"] == pd.Timestamp(
+        "2024-01-01 00:17:00"
+    )
+
+
+def test_tfidf_score_tie_breaks_lexicographic(tmp_path):
+    """Two terms with identical tf AND df land on the same snapped
+    score — the lexicographically smaller term must win on BOTH
+    sides."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "zebra apple zebra apple common",   # tie: apple wins
+            "apple zebra common",                # tie at tf=1: apple
+            "common only here",
+        ]),
+    })
+    sf = _write_docs(tmp_path, tbl)
+    got = (
+        q.QUERIES["tfidf_top_terms"](sf)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    exp = _duck_docs(sf, q.ORACLE_SQL["tfidf_top_terms"]).sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got["term"].tolist()[:2] == ["apple", "apple"]
+    for col in ("term", "tf", "df", "score_i"):
+        assert (
+            got[col].to_numpy() == exp[col].to_numpy()
+        ).all(), col
+
+
+def test_term_postings_caps_at_five_and_counts_cf(tmp_path):
+    """Posting sample holds the FIRST 5 doc_ids ascending; cf counts
+    occurrences (not docs)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    texts = ["hot hot cold"] * 7  # 'hot' in 7 docs, tf 2 each
+    tbl = pa.table({
+        "doc_id": pa.array([9, 3, 5, 1, 7, 2, 8], pa.int64()),
+        "text": pa.array(texts),
+    })
+    sf = _write_docs(tmp_path, tbl)
+    got = (
+        q.QUERIES["term_postings"](sf)
+        .to_pandas().sort_values("term", ignore_index=True)
+    )
+    exp = _duck_docs(sf, q.ORACLE_SQL["term_postings"]).sort_values(
+        "term", ignore_index=True
+    )
+    hot = got[got.term == "hot"].iloc[0]
+    assert hot["df"] == 7 and hot["cf"] == 14
+    assert hot["postings"] == "1,2,3,5,7"
+    for col in ("df", "cf", "postings"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
