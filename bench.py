@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "peak_concurrency_by_type",
     "unshipped_orders_revenue",
     "top_terms_per_lang",
+    "local_supplier_revenue",
+    "events_per_user_histogram",
 ]
 
 

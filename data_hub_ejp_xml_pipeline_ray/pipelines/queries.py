@@ -1209,6 +1209,230 @@ def q_unshipped_orders_revenue(sf_dir: str):
     ).limit(10)
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """Local-supplier revenue (the TPC-H Q5 shape — the widest join in
+    the suite): 1996 revenue per ASIA nation counting only lineitems
+    whose SUPPLIER sits in the customer's own nation. THREE co-group
+    exchanges chained on three different keys (custkey, orderkey,
+    suppkey — each the natural co-location key of its step) with the
+    fixed-cardinality dims (region, nation) broadcast:
+
+    1. custkey: year-filtered orders ⋈ ASIA-filtered customers
+       -> (orderkey, cust_nationkey);
+    2. orderkey: that stream ⋈ per-batch (orderkey, suppkey) revenue
+       combiners -> partials grouped (suppkey, cust_nationkey) inside
+       the bucket;
+    3. suppkey: ⋈ supplier, keep rows where s_nationkey ==
+       cust_nationkey (the local-supplier condition), emit per-nation
+       sums — the final fold sees <= 25 rows per bucket.
+
+    Revenue on the 1e-4 integer grid end to end; /100 display division
+    is true IEEE division (see unshipped_orders_revenue)."""
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).combine_chunks()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    asia_rk = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")
+    ).column("r_regionkey")
+    asia_nations = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_rk.combine_chunks())
+    )
+    asia_keys = asia_nations.column("n_nationkey").combine_chunks().cast(pa.int64())
+    nation_ref = ray.put(asia_nations)
+
+    nb_cust = _buckets_for(sf_dir, "orders")
+    nb_ord = _buckets_for(sf_dir, "lineitem")
+    nb_supp = _buckets_for(sf_dir, "lineitem")
+
+    o_path = os.path.join(sf_dir, "orders.parquet")
+    c_path = os.path.join(sf_dir, "customer.parquet")
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    s_path = os.path.join(sf_dir, "supplier.parquet")
+
+    # ---- exchange 1: custkey --------------------------------------
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": batch.column("o_custkey"),
+            "orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "nk": pa.nulls(batch.num_rows, pa.int64()),
+            "_bucket": _hash_bucket(batch.column("o_custkey"), nb_cust),
+        })
+
+    def tag_custs(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("c_nationkey").cast(pa.int64()), value_set=asia_keys
+        )
+        batch = batch.filter(mask)
+        return pa.table({
+            "ck": batch.column("c_custkey"),
+            "orderkey": pa.nulls(batch.num_rows, pa.int64()),
+            "nk": batch.column("c_nationkey").cast(pa.int64()),
+            "_bucket": _hash_bucket(batch.column("c_custkey"), nb_cust),
+        })
+
+    orders = ray.data.read_parquet(
+        o_path, columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= datetime(1996, 1, 1))
+            & (pc.field("o_orderdate") < datetime(1997, 1, 1))
+        ),
+        override_num_blocks=_nblocks(o_path, 20_000),
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    custs = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"], rows_per_block=20_000
+    ).map_batches(tag_custs, batch_format="pyarrow", zero_copy_batch=True)
+
+    _OK = pa.schema([("orderkey", pa.int64()), ("nk", pa.int64())])
+
+    def cust_join_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        cust = df.filter(pl.col("orderkey").is_null()).select(["ck", "nk"])
+        out = (
+            df.filter(pl.col("orderkey").is_not_null())
+            .select(["ck", "orderkey"])
+            .join(cust, on="ck", how="inner")
+            .select(["orderkey", "nk"])
+        )
+        return out.to_arrow().cast(_OK)
+
+    ordnat = orders.union(custs).groupby("_bucket").map_groups(
+        lambda g: cust_join_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+    # ---- exchange 2: orderkey -------------------------------------
+    def tag_ordnat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch.column("orderkey"),
+            "nk": batch.column("nk"),
+            "suppkey": pa.nulls(batch.num_rows, pa.int64()),
+            "rev4": pa.nulls(batch.num_rows, pa.int64()),
+            "_bucket": _hash_bucket(batch.column("orderkey"), nb_ord),
+        })
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        grid = pc.cast(pc.round(pc.multiply(pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(1.0, batch.column("l_discount")),
+        ), 10000.0)), pa.int64())
+        t = pa.table({
+            "orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            "rev4": grid,
+        }).group_by(["orderkey", "suppkey"]).aggregate(
+            [("rev4", "sum")]
+        ).rename_columns(["orderkey", "suppkey", "rev4"])
+        return pa.table({
+            "orderkey": t.column("orderkey"),
+            "nk": pa.nulls(t.num_rows, pa.int64()),
+            "suppkey": t.column("suppkey"),
+            "rev4": t.column("rev4"),
+            "_bucket": _hash_bucket(t.column("orderkey"), nb_ord),
+        })
+
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"],
+        override_num_blocks=_nblocks(li_path, 20_000),
+    ).map_batches(partial_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    _SUPP = pa.schema([
+        ("suppkey", pa.int64()), ("nk", pa.int64()), ("rev4", pa.int64()),
+    ])
+
+    def order_join_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        nat = df.filter(pl.col("suppkey").is_null()).select(["orderkey", "nk"])
+        out = (
+            df.filter(pl.col("suppkey").is_not_null())
+            .select(["orderkey", "suppkey", "rev4"])
+            .join(nat, on="orderkey", how="inner")
+            .group_by(["suppkey", "nk"]).agg(pl.col("rev4").sum())
+            .select(["suppkey", "nk", "rev4"])
+        )
+        return out.to_arrow().cast(_SUPP)
+
+    suppnat = ordnat.map_batches(
+        tag_ordnat, batch_format="pyarrow", zero_copy_batch=True
+    ).union(lineitem).groupby("_bucket").map_groups(
+        lambda g: order_join_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+    # ---- exchange 3: suppkey + the local-supplier filter ----------
+    def tag_suppnat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "suppkey": batch.column("suppkey"),
+            "nk": batch.column("nk"),
+            "rev4": batch.column("rev4"),
+            "snk": pa.nulls(batch.num_rows, pa.int64()),
+            "_bucket": _hash_bucket(batch.column("suppkey"), nb_supp),
+        })
+
+    def tag_suppliers(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "suppkey": batch.column("s_suppkey").cast(pa.int64()),
+            "nk": pa.nulls(batch.num_rows, pa.int64()),
+            "rev4": pa.nulls(batch.num_rows, pa.int64()),
+            "snk": batch.column("s_nationkey").cast(pa.int64()),
+            "_bucket": _hash_bucket(batch.column("s_suppkey"), nb_supp),
+        })
+
+    suppliers = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey"], rows_per_block=20_000
+    ).map_batches(tag_suppliers, batch_format="pyarrow", zero_copy_batch=True)
+
+    _NAT = pa.schema([("nk", pa.int64()), ("rev4", pa.int64())])
+
+    def supp_join_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        supp = df.filter(pl.col("snk").is_not_null()).select(["suppkey", "snk"])
+        out = (
+            df.filter(pl.col("rev4").is_not_null())
+            .select(["suppkey", "nk", "rev4"])
+            .join(supp, on="suppkey", how="inner")
+            .filter(pl.col("nk") == pl.col("snk"))
+            .group_by("nk").agg(pl.col("rev4").sum())
+        )
+        return out.to_arrow().cast(_NAT)
+
+    partials = suppnat.map_batches(
+        tag_suppnat, batch_format="pyarrow", zero_copy_batch=True
+    ).union(suppliers).groupby("_bucket").map_groups(
+        lambda g: supp_join_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+
+    # ---- final fold: <= 25 rows per bucket ------------------------
+    blocks = [b for b in arrow_blocks(partials) if b.num_rows]
+    schema = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+    if not blocks:
+        return schema.empty_table()
+    folded = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .group_by("nk").agg(pl.col("rev4").sum())
+        .with_columns(cents=((pl.col("rev4") + 50) // 100))
+    ).to_arrow()
+    names = _dim_lookup(
+        ray.get(nation_ref).set_column(
+            0, "n_nationkey",
+            ray.get(nation_ref).column("n_nationkey").cast(pa.int64()),
+        ),
+        "n_nationkey", "n_name", folded.column("nk"),
+    )
+    return pa.table({
+        "n_name": names,
+        "revenue": pc.divide(
+            pc.cast(folded.column("cents"), pa.float64()), 100.0
+        ),
+    }).cast(schema)
+
+
 def q_order_priority_count(sf_dir: str):
     """Date-range count — predicate pushed into the parquet read."""
     o_path = os.path.join(sf_dir, "orders.parquet")
@@ -4103,6 +4327,49 @@ def q_peak_concurrency_by_type(sf_dir: str):
     )
 
 
+def q_events_per_user_histogram(sf_dir: str):
+    """Activity-distribution profile (the power-law sanity check every
+    event pipeline runs): how many users produced exactly N events.
+    TWO chained aggregations, both combiner-shaped: per-batch partial
+    counts collapse each block to one row per user, user-hash buckets
+    hold complete user groups so the in-bucket total IS the user's
+    count AND the bucket's local histogram is exact — the second
+    aggregate sees (distinct-count-values x buckets) rows, never
+    users."""
+    ds = _read(sf_dir, "events", ["user_id"], rows_per_block=20_000)
+    num_buckets = _buckets_for(sf_dir)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        g = g.rename_columns(["user_id", "n"])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "n": g.column("n").cast(pa.int64()),
+            "_bucket": _hash_bucket(g.column("user_id"), num_buckets),
+        })
+
+    def hist_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by("user_id").agg(pl.col("n").sum())
+            .group_by("n").agg(n_users=pl.len().cast(pl.Int64))
+            .rename({"n": "n_events"})
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("n_events", pa.int64()), ("n_users", pa.int64()),
+        ]))
+
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_bucket").map_groups(
+        lambda g: hist_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    return partials.groupby("n_events").aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
 def q_top_terms_per_lang(sf_dir: str):
     """Grouped top-k over a two-level key: the 3 most frequent terms
     PER LANGUAGE (tie-break lexicographic) — the per-language
@@ -5490,6 +5757,8 @@ QUERIES = {
     "peak_concurrency_by_type": q_peak_concurrency_by_type,
     "unshipped_orders_revenue": q_unshipped_orders_revenue,
     "top_terms_per_lang": q_top_terms_per_lang,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "events_per_user_histogram": q_events_per_user_histogram,
     "corr_value_props_by_type": q_corr_value_props_by_type,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
@@ -6622,6 +6891,32 @@ ORACLE_SQL["term_postings"] = """
            CAST(sum(tf.tf) AS BIGINT) AS cf, any_value(post.postings) AS postings
     FROM tf JOIN post ON tf.w = post.w
     GROUP BY tf.w
+"""
+
+ORACLE_SQL["events_per_user_histogram"] = """
+    SELECT n_events, CAST(count(*) AS BIGINT) AS n_users FROM (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1) GROUP BY 1
+"""
+
+ORACLE_SQL["local_supplier_revenue"] = """
+    -- Q5 shape; same 1e-4 grid + integer half-up-to-cents arithmetic
+    -- as the engine
+    SELECT n.n_name,
+           CAST(FLOOR((SUM(CAST(ROUND(
+               l.l_extendedprice * (1 - l.l_discount) * 10000
+           ) AS BIGINT)) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
 """
 
 ORACLE_SQL["top_terms_per_lang"] = """
