@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "top_terms_per_lang",
     "local_supplier_revenue",
     "events_per_user_histogram",
+    "term_cooccurrence_topk",
 ]
 
 

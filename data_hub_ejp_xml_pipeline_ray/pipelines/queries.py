@@ -4327,6 +4327,83 @@ def q_peak_concurrency_by_type(sf_dir: str):
     )
 
 
+COOC_MAX_TERMS = 32  # per-doc distinct-term cap (lexicographic first)
+
+
+def q_term_cooccurrence_topk(sf_dir: str):
+    """Market-basket co-occurrence mining: the 20 unordered term pairs
+    appearing together in the most documents. Pair fan-out is the
+    classic scale hazard (k distinct terms -> k(k-1)/2 pairs), so each
+    doc contributes only its ``COOC_MAX_TERMS`` lexicographically-first
+    distinct terms — a DETERMINISTIC cap both sides apply identically
+    (a web-scale run would raise it or switch to an A-Priori frequent-
+    item prefilter; the cap is the documented knob). One exchange:
+    per-batch pair-count partials hash-bucket by pair, complete pair
+    groups per bucket give exact doc counts, per-bucket keep-20
+    collapses the tail to <= 20 x buckets rows before the final tiny
+    sort."""
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    _PAIR = pa.schema([
+        ("ta", pa.string()), ("tb", pa.string()), ("n_docs", pa.int64()),
+        ("ph", pa.int64()),
+    ])
+    _OUT = pa.schema([
+        ("ta", pa.string()), ("tb", pa.string()), ("n_docs", pa.int64()),
+    ])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        cap = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+").alias("term"),
+            )
+            .explode("term").drop_nulls()
+            .unique(subset=["doc_id", "term"])
+            .sort(["doc_id", "term"])
+            .with_columns(rn=pl.int_range(pl.len()).over("doc_id"))
+            .filter(pl.col("rn") < COOC_MAX_TERMS)
+            .select(["doc_id", "term"])
+        )
+        pairs = (
+            cap.join(cap, on="doc_id", suffix="_b")
+            .filter(pl.col("term") < pl.col("term_b"))
+            .rename({"term": "ta", "term_b": "tb"})
+            # docs are whole rows: per-block pair counts are partials
+            .group_by(["ta", "tb"]).agg(n_docs=pl.len().cast(pl.Int64))
+            .with_columns(
+                ph=pl.concat_str([pl.col("ta"), pl.col("tb")], separator="|")
+                .hash(seed=0).reinterpret(signed=True)
+            )
+        )
+        out = pairs.to_arrow().cast(_PAIR)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("ph"), num_buckets)
+        )
+
+    def top20_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["ta", "tb"]).agg(pl.col("n_docs").sum())
+            .sort(["n_docs", "ta", "tb"], descending=[True, False, False])
+            .head(20)
+        )
+        return out.to_arrow().cast(_OUT)
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    candidates = partials.groupby("_bucket").map_groups(
+        lambda g: top20_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    return candidates.sort(
+        ["n_docs", "ta", "tb"], descending=[True, False, False]
+    ).limit(20)
+
+
 def q_events_per_user_histogram(sf_dir: str):
     """Activity-distribution profile (the power-law sanity check every
     event pipeline runs): how many users produced exactly N events.
@@ -5759,6 +5836,7 @@ QUERIES = {
     "top_terms_per_lang": q_top_terms_per_lang,
     "local_supplier_revenue": q_local_supplier_revenue,
     "events_per_user_histogram": q_events_per_user_histogram,
+    "term_cooccurrence_topk": q_term_cooccurrence_topk,
     "corr_value_props_by_type": q_corr_value_props_by_type,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
@@ -6891,6 +6969,28 @@ ORACLE_SQL["term_postings"] = """
            CAST(sum(tf.tf) AS BIGINT) AS cf, any_value(post.postings) AS postings
     FROM tf JOIN post ON tf.w = post.w
     GROUP BY tf.w
+"""
+
+ORACLE_SQL["term_cooccurrence_topk"] = """
+    -- same deterministic per-doc cap (32 lexicographically-first
+    -- distinct terms) as the engine; ties determinized by (ta, tb)
+    WITH tk AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ), cap AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+        FROM tk) WHERE rn <= 32
+    ), pairs AS (
+      SELECT a.w AS ta, b.w AS tb
+      FROM cap a JOIN cap b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+    )
+    SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_docs DESC, ta, tb LIMIT 20
 """
 
 ORACLE_SQL["events_per_user_histogram"] = """

@@ -438,3 +438,31 @@ def test_term_postings_caps_at_five_and_counts_cf(tmp_path):
     assert hot["postings"] == "1,2,3,5,7"
     for col in ("df", "cf", "postings"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_cooccurrence_cap_applies_identically(tmp_path):
+    """A doc with MORE than 32 distinct terms: pairs involving terms
+    beyond the 32 lexicographically-first must not count on either
+    side (the deterministic fan-out cap)."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    # 40 distinct terms t00..t39 in one doc; 'zz' pairs only via doc 1
+    big = " ".join(f"t{i:02d}" for i in range(40))
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([big, "t35 zz"]),
+    })
+    sf = _write_docs(tmp_path, tbl)
+    got = (
+        q.QUERIES["term_cooccurrence_topk"](sf)
+        .to_pandas().sort_values(["ta", "tb"], ignore_index=True)
+    )
+    exp = _duck_docs(sf, q.ORACLE_SQL["term_cooccurrence_topk"]).sort_values(
+        ["ta", "tb"], ignore_index=True
+    )
+    # t32..t39 never pair inside doc 0 (beyond the cap) but t35-zz
+    # exists via doc 1
+    all_pairs = set(zip(got["ta"], got["tb"]))
+    assert ("t35", "zz") in all_pairs or len(got) == 20
+    for col in ("ta", "tb", "n_docs"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
