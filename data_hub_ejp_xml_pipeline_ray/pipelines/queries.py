@@ -733,6 +733,7 @@ def q_pricing_summary(sf_dir: str):
         sf_dir, "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
          "l_discount", "l_shipdate"],
+        rows_per_block=20_000,
     )
 
     def prep(t: pa.Table) -> pa.Table:
