@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
     "events_per_user_histogram",
     "term_cooccurrence_topk",
+    "gini_by_type",
 ]
 
 

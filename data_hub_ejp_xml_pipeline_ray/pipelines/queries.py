@@ -4328,6 +4328,139 @@ def q_peak_concurrency_by_type(sf_dir: str):
     )
 
 
+def q_gini_by_type(sf_dir: str):
+    """Exact GINI COEFFICIENT per group — the inequality profile of the
+    value distribution (corpus audits run the same formula over token
+    counts to quantify head-heaviness). Needs every row's GLOBAL rank
+    within its group, a window no per-key bucketing can bound — so it
+    reuses the ntile/percent_rank histogram-offset machinery: rows
+    shuffle once by (group, value-bucket), each task derives exact
+    global ranks from its bucket offset + a local sort, and emits ONE
+    integer partial ``sum(rank * x)`` per (group, bucket).
+
+    Exactness: values snap to the 1e-4 grid (x = round(v*10000) as
+    int64); Gini is PERMUTATION-INVARIANT across rank ties (equal x
+    contribute the same regardless of tie order), so no id tiebreak is
+    needed on either side. G = (2A - (n+1)S) / (nS) with A = Σ rank·x
+    folded in arbitrary-precision Python ints driver-side (partial
+    rows = groups × occupied buckets, metadata-scale; per-task int64
+    partials bound by n²·x_max/B — document: beyond ~1e18 switch the
+    partial dtype to float or split buckets). One final IEEE division
+    per group, identical on the SQL side."""
+    B = 512
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=20_000)
+
+    def add_grid(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        return t.append_column(
+            "x", pc.cast(pc.round(pc.multiply(t.column("value"), 10000.0)),
+                         pa.int64())
+        )
+
+    g = ds.map_batches(add_grid, batch_format="pyarrow", zero_copy_batch=True)
+    stats = g.groupby("event_type").aggregate(
+        Count(), Min("value", alias_name="_mn"),
+        Max("value", alias_name="_mx"), Sum("x", alias_name="_s"),
+    ).take_all()
+    info = {
+        r["event_type"]: (int(r["count()"]), r["_mn"], r["_mx"], int(r["_s"]))
+        for r in stats
+    }
+
+    def bucket_of(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        if hi <= lo:
+            return np.zeros(len(vals), dtype=np.int64)
+        idx = np.floor((vals - lo) / (hi - lo) * B).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    info_ref = ray.put(info)
+    hist = {t: np.zeros(B, dtype=np.int64) for t in info}
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        inf = ray.get(info_ref)
+        keys = t.column("event_type").combine_chunks()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_g, out_h = [], []
+        for code in range(len(enc.dictionary)):
+            gname = enc.dictionary[code].as_py()
+            _, lo, hi, _ = inf[gname]
+            out_g.append(gname)
+            out_h.append(
+                np.bincount(bucket_of(vals[codes == code], lo, hi),
+                            minlength=B).astype(np.int64).tolist()
+            )
+        return pa.table({"g": pa.array(out_g, keys.type),
+                         "h": pa.array(out_h, pa.list_(pa.int64()))})
+
+    for b in g.map_batches(
+        hist_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for gname, h in zip(b.column("g").to_pylist(),
+                            b.column("h").to_pylist()):
+            hist[gname] += np.asarray(h, dtype=np.int64)
+
+    offsets = {t: np.concatenate(([0], np.cumsum(hist[t])[:-1]))
+               for t in hist}
+    ctx_ref = ray.put({"info": info, "offsets": offsets})
+
+    def route(t: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        keys = t.column("event_type").combine_chunks()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vb = np.zeros(t.num_rows, dtype=np.int64)
+        for code in range(len(enc.dictionary)):
+            gname = enc.dictionary[code].as_py()
+            _, lo, hi, _ = ctx["info"][gname]
+            mask = codes == code
+            vb[mask] = bucket_of(vals[mask], lo, hi)
+        return pa.table({"g": keys, "v": t.column("value"),
+                         "x": t.column("x"), "_vb": pa.array(vb)})
+
+    def partial_bucket(grp: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        gname = grp.column("g")[0].as_py()
+        base = int(ctx["offsets"][gname][grp.column("_vb")[0].as_py()])
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        x = grp.column("x").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=np.int64)
+        ranks[order] = base + 1 + np.arange(len(v), dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array([gname]),
+            "a": pa.array([int(np.sum(ranks * x))], pa.int64()),
+        })
+
+    partials = g.map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["g", "_vb"]).map_groups(partial_bucket, batch_format="pyarrow")
+
+    acc: dict[str, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for gname, a in zip(b.column("event_type").to_pylist(),
+                            b.column("a").to_pylist()):
+            acc[gname] = acc.get(gname, 0) + int(a)
+
+    rows = []
+    for gname in sorted(info):
+        n, _, _, s = info[gname]
+        a = acc.get(gname, 0)
+        gini = (
+            None if s == 0
+            else float(2 * a - (n + 1) * s) / (float(n) * float(s))
+        )
+        rows.append({"event_type": gname, "n": n, "gini": gini})
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        "gini": pa.array([r["gini"] for r in rows], pa.float64()),
+    })
+
+
 COOC_MAX_TERMS = 32  # per-doc distinct-term cap (lexicographic first)
 
 
@@ -5838,6 +5971,7 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "events_per_user_histogram": q_events_per_user_histogram,
     "term_cooccurrence_topk": q_term_cooccurrence_topk,
+    "gini_by_type": q_gini_by_type,
     "corr_value_props_by_type": q_corr_value_props_by_type,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
@@ -6970,6 +7104,29 @@ ORACLE_SQL["term_postings"] = """
            CAST(sum(tf.tf) AS BIGINT) AS cf, any_value(post.postings) AS postings
     FROM tf JOIN post ON tf.w = post.w
     GROUP BY tf.w
+"""
+
+ORACLE_SQL["gini_by_type"] = """
+    -- x on the 1e-4 grid; A = sum(rank*x) is permutation-invariant
+    -- across rank ties, so the bare ORDER BY value is deterministic
+    -- for the metric even though tie ORDER is engine-arbitrary
+    WITH gr AS (
+      SELECT event_type, value,
+             CAST(ROUND(value * 10000) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rk
+      FROM events WHERE value IS NOT NULL
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS s, SUM(rk * x) AS a
+      FROM gr GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN s = 0 THEN NULL
+                ELSE CAST(2 * a - (n + 1) * s AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           END AS gini
+    FROM agg
 """
 
 ORACLE_SQL["term_cooccurrence_topk"] = """

@@ -466,3 +466,32 @@ def test_cooccurrence_cap_applies_identically(tmp_path):
     assert ("t35", "zz") in all_pairs or len(got) == 20
     for col in ("ta", "tb", "n_docs"):
         assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+def test_gini_constant_group_and_tie_heavy(tmp_path):
+    """Gini edges: a CONSTANT-value group is exactly 0 (2A == (n+1)S
+    identity), and massive value ties must not perturb the metric
+    (rank-tie permutation invariance) — engine vs oracle bit-exact."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(7)
+    n = 4001
+    vals = np.where(rng.random(n) < 0.7, 2.5, rng.uniform(1, 9, n))
+    types = np.where(np.arange(n) % 4 == 0, "const", "ties").astype(object)
+    vals[types == "const"] = 3.25
+    tbl = pa.table({
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["gini_by_type"](sf)
+        .to_pandas().sort_values("event_type", ignore_index=True)
+    )
+    exp = _duck_events(sf, q.ORACLE_SQL["gini_by_type"]).sort_values(
+        "event_type", ignore_index=True
+    )
+    assert got.loc[0, "event_type"] == "const"
+    assert got.loc[0, "gini"] == 0.0
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["gini"].to_numpy() == exp["gini"].to_numpy()).all()
