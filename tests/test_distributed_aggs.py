@@ -3,6 +3,7 @@ full in-memory sort, and the bounded-per-task partitioning properties
 that make them safe at 100x (no task holds a full group)."""
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
@@ -495,3 +496,72 @@ def test_gini_constant_group_and_tie_heavy(tmp_path):
     assert got.loc[0, "gini"] == 0.0
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
     assert (got["gini"].to_numpy() == exp["gini"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_gini_matches_naive_reference(tmp_path, seed):
+    """Independent of the SQL oracle: the distributed Gini equals the
+    naive single-array formula computed in numpy on the driver."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    n = 2000
+    vals = np.round(rng.lognormal(1.0, 0.8, n), 2)
+    types = rng.choice(["a", "b", "c"], n)
+    tbl = pa.table({
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["gini_by_type"](sf)
+        .to_pandas().set_index("event_type")["gini"]
+    )
+    for t in ("a", "b", "c"):
+        x = np.sort(np.round(vals[types == t] * 10000).astype(np.int64))
+        m = len(x)
+        rank = np.arange(1, m + 1, dtype=np.int64)
+        a = int(np.sum(rank * x)); s = int(x.sum())
+        expect = float(2 * a - (m + 1) * s) / (float(m) * float(s))
+        assert got[t] == expect, t
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_peak_concurrency_matches_naive_sweep(tmp_path, seed):
+    """Independent of the SQL oracle: distributed sweep-line peak ==
+    a naive driver-side sweep over the same (+1 at ts, -1 at ts+300s)
+    points with ends-before-starts tie order."""
+    import pandas as pd
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    n = 1500
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + rng.integers(0, 3 * 86400, n) * np.timedelta64(1, "s")
+    types = rng.choice(["x", "y"], n)
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types.tolist()),
+    })
+    sf = _write_events(tmp_path, tbl)
+    got = (
+        q.QUERIES["peak_concurrency_by_type"](sf)
+        .to_pandas().set_index("event_type")
+    )
+    sess = np.timedelta64(300, "s")
+    for t in ("x", "y"):
+        tt = ts[types == t]
+        pts = sorted(
+            [(int(v.astype("datetime64[us]").astype(np.int64)), 1) for v in tt]
+            + [(int((v + sess).astype("datetime64[us]").astype(np.int64)), -1)
+               for v in tt]
+        )  # tuple sort: -1 before +1 at equal time
+        c = peak = 0
+        first = None
+        for time_us, d in pts:
+            c += d
+            if c > peak:
+                peak, first = c, time_us
+        assert got.loc[t, "peak"] == peak, t
+        assert got.loc[t, "first_peak_ts"] == pd.Timestamp(first, unit="us"), t
