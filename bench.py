@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "events_per_user_histogram",
     "term_cooccurrence_topk",
     "gini_by_type",
+    "order_fulfillment_lag",
 ]
 
 

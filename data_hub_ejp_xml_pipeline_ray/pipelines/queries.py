@@ -4328,6 +4328,105 @@ def q_peak_concurrency_by_type(sf_dir: str):
     )
 
 
+def q_order_fulfillment_lag(sf_dir: str):
+    """Fulfillment-lag profile per order priority: how many days after
+    the order date each lineitem shipped (floored per item — NOT
+    floor-of-sum, so the lag is computed on the JOINED row, never from
+    a pre-aggregated shipdate sum). One orderkey co-group exchange
+    carrying (orderkey, ship_us) pairs — the exact lower bound for a
+    per-item date difference — then integer per-priority partials
+    (n, Σdays, max) per bucket and a tiny final fold; avg is one IEEE
+    division + half-up 4dp rounding, identical in the SQL."""
+    num_buckets = _buckets_for(sf_dir, "lineitem")
+    DAY_US = 86_400_000_000
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "ship_us": pa.nulls(batch.num_rows, pa.int64()),
+            "order_us": batch.column("o_orderdate").cast(pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "_bucket": _hash_bucket(batch.column("o_orderkey"), num_buckets),
+        })
+
+    def tag_lineitems(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "ship_us": batch.column("l_shipdate").cast(pa.int64()),
+            "order_us": pa.nulls(batch.num_rows, pa.int64()),
+            "o_orderpriority": pa.nulls(batch.num_rows, pa.string()),
+            "_bucket": _hash_bucket(batch.column("l_orderkey"), num_buckets),
+        })
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        rows_per_block=20_000,
+    ).map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate"], rows_per_block=20_000
+    ).map_batches(tag_lineitems, batch_format="pyarrow", zero_copy_batch=True)
+
+    _PART = pa.schema([
+        ("o_orderpriority", pa.string()), ("n", pa.int64()),
+        ("sum_days", pa.int64()), ("max_days", pa.int64()),
+    ])
+
+    def lag_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ords = df.filter(pl.col("ship_us").is_null()).select(
+            ["orderkey", "order_us", "o_orderpriority"]
+        )
+        out = (
+            df.filter(pl.col("ship_us").is_not_null())
+            .select(["orderkey", "ship_us"])
+            .join(ords, on="orderkey", how="inner")
+            .with_columns(
+                days=((pl.col("ship_us") - pl.col("order_us"))
+                      // DAY_US).cast(pl.Int64)
+            )
+            .group_by("o_orderpriority")
+            .agg(
+                n=pl.len().cast(pl.Int64),
+                sum_days=pl.col("days").sum().cast(pl.Int64),
+                max_days=pl.col("days").max().cast(pl.Int64),
+            )
+        )
+        return out.to_arrow().cast(_PART)
+
+    partials = orders.union(lineitem).groupby("_bucket").map_groups(
+        lambda g: lag_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    blocks = [b for b in arrow_blocks(partials) if b.num_rows]
+    schema = pa.schema([
+        ("o_orderpriority", pa.string()), ("n", pa.int64()),
+        ("avg_lag_days", pa.float64()), ("max_lag_days", pa.int64()),
+    ])
+    if not blocks:
+        return schema.empty_table()
+    folded = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .group_by("o_orderpriority")
+        .agg(pl.col("n").sum(), pl.col("sum_days").sum(),
+             pl.col("max_days").max())
+    ).to_arrow()
+    avg = pc.divide(
+        pc.cast(folded.column("sum_days"), pa.float64()),
+        pc.cast(folded.column("n"), pa.float64()),
+    )
+    avg4 = pc.divide(
+        pc.round(pc.multiply(avg, 10000.0), ndigits=0,
+                 round_mode="half_towards_infinity"),
+        10000.0,
+    )
+    return pa.table({
+        "o_orderpriority": folded.column("o_orderpriority"),
+        "n": folded.column("n"),
+        "avg_lag_days": avg4,
+        "max_lag_days": folded.column("max_days"),
+    }).cast(schema)
+
+
 def q_gini_by_type(sf_dir: str):
     """Exact GINI COEFFICIENT per group — the inequality profile of the
     value distribution (corpus audits run the same formula over token
@@ -5972,6 +6071,7 @@ QUERIES = {
     "events_per_user_histogram": q_events_per_user_histogram,
     "term_cooccurrence_topk": q_term_cooccurrence_topk,
     "gini_by_type": q_gini_by_type,
+    "order_fulfillment_lag": q_order_fulfillment_lag,
     "corr_value_props_by_type": q_corr_value_props_by_type,
     "lang_entropy_by_source": q_lang_entropy_by_source,
     "retention_cohorts": q_retention_cohorts,
@@ -7104,6 +7204,21 @@ ORACLE_SQL["term_postings"] = """
            CAST(sum(tf.tf) AS BIGINT) AS cf, any_value(post.postings) AS postings
     FROM tf JOIN post ON tf.w = post.w
     GROUP BY tf.w
+"""
+
+ORACLE_SQL["order_fulfillment_lag"] = """
+    -- per-item floor (NOT floor-of-sum), integer day arithmetic,
+    -- one IEEE division + half-up 4dp round — engine-identical
+    WITH lag AS (
+      SELECT o.o_orderpriority,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(days) AS DOUBLE) / count(*), 4) AS avg_lag_days,
+           CAST(max(days) AS BIGINT) AS max_lag_days
+    FROM lag GROUP BY 1
 """
 
 ORACLE_SQL["gini_by_type"] = """
