@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "term_cooccurrence_topk",
     "gini_by_type",
     "order_fulfillment_lag",
+    "dup_ngram_stats",
+    "winsorized_stats_by_type",
 ]
 
 

@@ -5973,6 +5973,170 @@ def q_cube_doc_counts(sf_dir: str):
     ]))
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    """Duplicate-n-gram profile (the C4/Gopher "fraction of duplicate
+    n-grams" curation signal): for every document, how many DISTINCT
+    word 3-grams it contains (``n_grams``) and how many of those occur
+    in at least one OTHER document too (``n_dup``) — integer-exact, so
+    the downstream gate ``n_dup / n_grams > tau`` is reproducible.
+
+    Scale shape (same two-exchange skeleton as ``rarest_term_per_doc``):
+
+    1. per-block vectorized 3-gram extraction (explode + shift-over-doc,
+       one polars kernel per block); docs are whole rows, so per-block
+       ``unique`` IS the global per-doc distinct set;
+    2. pairs hash-bucket by GRAM — each bucket holds complete gram
+       groups, so the in-bucket occurrence count is the global document
+       frequency, and every pair is classified (dup / unique) in the
+       task that counted it. Each bucket collapses to ONE partial row
+       per (bucket, doc) before the second exchange;
+    3. a tiny integer grouped sum per doc_id re-assembles the profile.
+
+    Docs with fewer than 3 tokens have no 3-grams and are absent on
+    both sides, mirroring the SQL oracle's generate_series emptiness.
+    At web scale the gram strings would be 128-bit fingerprints; kept
+    as strings here for oracle parity (collision-free by construction).
+    """
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    _PAIR = pa.schema([("doc_id", pa.int64()), ("gram", pa.string())])
+    _PART = pa.schema([
+        ("doc_id", pa.int64()), ("n_grams_p", pa.int64()),
+        ("n_dup_p", pa.int64()),
+    ])
+
+    def gram_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"[A-Za-z0-9]+").alias("tok"),
+            )
+            .explode("tok")
+            .with_columns(
+                t1=pl.col("tok").shift(-1).over("doc_id"),
+                t2=pl.col("tok").shift(-2).over("doc_id"),
+            )
+            .drop_nulls()
+            .select(
+                "doc_id",
+                pl.concat_str(["tok", "t1", "t2"], separator=" ")
+                .alias("gram"),
+            )
+            .unique(subset=["doc_id", "gram"])
+        )
+        out = ex.to_arrow().cast(_PAIR)
+        gh = pa.array(
+            pl.from_arrow(out.column("gram").combine_chunks())
+            .hash(seed=0).reinterpret(signed=True).to_numpy()
+        )
+        return out.append_column("_bucket", _hash_bucket(gh, num_buckets))
+
+    def classify_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(df=pl.len().over("gram"))
+            .group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_grams_p"),
+                (pl.col("df") >= 2).sum().cast(pl.Int64).alias("n_dup_p"),
+            )
+        )
+        return out.to_arrow().cast(_PART)
+
+    pairs = ds.map_batches(gram_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = pairs.groupby("_bucket").map_groups(
+        lambda g: classify_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("n_grams_p", alias_name="n_grams"),
+        Sum("n_dup_p", alias_name="n_dup"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_grams", "n_dup"]).cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+            ("n_dup", pa.int64()),
+        ]))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_winsorized_stats_by_type(sf_dir: str):
+    """Winsorized (p01/p99-clipped) grouped mean — the robust
+    preprocessing step a feature pipeline applies before training on
+    heavy-tailed metrics. Two passes, both scale-shaped:
+
+    1. exact p01/p99 per group via the distributed order-statistic
+       selection (``grouped_quantiles_distributed`` — no task holds a
+       full group); the resulting |groups| x 2 clip table stays on the
+       driver (a few rows) and is captured by the partial kernel;
+    2. per-block (n, sum-of-clipped) partials, then the deterministic
+       driver fold over blocks x groups rows with scale-4 rounding
+       (the ``value_moments_by_type`` float-parity contract).
+
+    Clip thresholds are the bit-exact ``quantile_cont`` values, so
+    ``least/greatest`` clamping is bitwise identical to the oracle's.
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"],
+               rows_per_block=20_000)
+    qs = grouped_quantiles_distributed(ds, "event_type", "value",
+                                       [0.01, 0.99])
+    clip = {g: (v[0.01], v[0.99]) for g, v in qs.items()}
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        lo = pl.col("event_type").replace_strict(
+            {g: c[0] for g, c in clip.items()}, return_dtype=pl.Float64)
+        hi = pl.col("event_type").replace_strict(
+            {g: c[1] for g, c in clip.items()}, return_dtype=pl.Float64)
+        out = (
+            df.with_columns(cv=pl.col("value").clip(lo, hi))
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"),
+                 pl.col("cv").sum().alias("s1"))
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("s1", pa.float64()),
+        ]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    blocks = arrow_blocks(parts)
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("lo", pa.float64()), ("hi", pa.float64()),
+        ("winsor_mean", pa.float64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    df = (
+        pl.from_arrow(pa.concat_tables(blocks))
+        .sort(["event_type", "n", "s1"])
+        .group_by("event_type", maintain_order=True)
+        .agg(pl.col("n").sum(), pl.col("s1").sum())
+        .sort("event_type")
+    )
+    types = df["event_type"].to_list()
+    n = df["n"].to_numpy()
+    mean = df["s1"].to_numpy() / n.astype(np.float64)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(df["n"].to_list(), pa.int64()),
+        "lo": pa.array([_round4_half_away(clip[g][0]) for g in types],
+                       pa.float64()),
+        "hi": pa.array([_round4_half_away(clip[g][1]) for g in types],
+                       pa.float64()),
+        "winsor_mean": pa.array([_round4_half_away(x) for x in mean],
+                                pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6093,6 +6257,8 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "cube_doc_counts": q_cube_doc_counts,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "winsorized_stats_by_type": q_winsorized_stats_by_type,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -7605,4 +7771,35 @@ ORACLE_SQL["minmax_scale_events"] = """
                  min(value) OVER (PARTITION BY event_type) AS mn,
                  max(value) OVER (PARTITION BY event_type) AS mx
           FROM events)
+"""
+
+ORACLE_SQL["dup_ngram_stats"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)),
+    df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT) AS n_dup
+    FROM grams g JOIN df d USING (gram)
+    GROUP BY g.doc_id
+"""
+
+ORACLE_SQL["winsorized_stats_by_type"] = """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(q.lo), 4) AS lo,
+           round(any_value(q.hi), 4) AS hi,
+           round(avg(least(greatest(e.value, q.lo), q.hi)), 4)
+             AS winsor_mean
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
 """
