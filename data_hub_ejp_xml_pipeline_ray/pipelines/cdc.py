@@ -279,13 +279,10 @@ def _ingest_one_batch(
     if trace:
         print(f"[cdc-trace] phase2 {phase2_s:.2f}s", flush=True)
     t0 = _time.perf_counter()
-    import pyarrow.parquet as _pq
-
-    # Raw event count from segment footers (metadata-only, driver-side);
-    # the per-partition stats count post-combiner delta rows.
-    events_applied = sum(
-        _pq.ParquetFile(s.path).metadata.num_rows for s in segments
-    )
+    # Raw event count from segment metadata (parquet footer / jsonl
+    # line count, driver-side); the per-partition stats count
+    # post-combiner delta rows.
+    events_applied = wal_source.segment_row_counts(segments)
     new_partitions = dict(manifest.partitions)
     new_meta = dict(manifest.partition_meta)
     deltas_merged = 0

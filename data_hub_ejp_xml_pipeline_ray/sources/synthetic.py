@@ -109,6 +109,33 @@ def make_url(i: int, rng: random.Random) -> str:
     return f"https://site-{i}.example/p/{rng.randint(0, 9999):04d}"
 
 
+def write_segment_jsonl(table: pa.Table, path: str) -> None:
+    """Serialize a WAL segment as newline-delimited JSON — the classic
+    CDC wire encoding (Debezium/Maxwell-style change records). Canonical
+    conventions, mirrored by the reader's type canon in
+    :mod:`.wal`:
+
+    * timestamps → ISO-8601 strings (tz-aware, ``+00:00`` offset);
+    * ``html`` bytes → UTF-8 text (JSON has no binary type; the wire
+      format is therefore limited to UTF-8 page payloads — a documented
+      JSONL-wire restriction, not an engine one);
+    * absent columns (schema v1 rows) simply omit the key.
+    """
+    import json as _json
+
+    rows = table.to_pylist()
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            enc = {}
+            for k, v in r.items():
+                if isinstance(v, bytes):
+                    v = v.decode("utf-8")
+                elif isinstance(v, datetime):
+                    v = v.isoformat()
+                enc[k] = v
+            f.write(_json.dumps(enc, ensure_ascii=False) + "\n")
+
+
 def generate_wal(
     wal_dir: str,
     *,
@@ -123,6 +150,7 @@ def generate_wal(
     v2_from_segment: int | None = None,
     start_segment: int = 0,
     rich_pages: bool = False,
+    segment_format: str = "parquet",
 ) -> list[str]:
     """Write ``n_segments`` WAL segment parquet files under ``wal_dir``.
 
@@ -133,6 +161,9 @@ def generate_wal(
       ``warc_ts`` exactly (same-timestamp ties, LWW resolved by ``seq``).
     * Segments with index >= ``v2_from_segment`` are schema v2
       (``content_type`` added, ``fetch_status`` widened to int64).
+    * ``segment_format="jsonl"`` writes newline-delimited-JSON segments
+      (:func:`write_segment_jsonl`) instead of parquet — same logical
+      rows, the tailer's second wire format.
 
     Returns the list of segment paths written.
     """
@@ -209,8 +240,16 @@ def generate_wal(
             ev_global += 1
         schema = EVENTS_SCHEMA_V2 if is_v2 else EVENTS_SCHEMA_V1
         table = pa.Table.from_pydict(rows, schema=schema)
-        path = os.path.join(wal_dir, f"segment-{start_segment + seg_i:05d}.parquet")
-        pq.write_table(table, path)
+        if segment_format == "jsonl":
+            path = os.path.join(
+                wal_dir, f"segment-{start_segment + seg_i:05d}.jsonl"
+            )
+            write_segment_jsonl(table, path)
+        else:
+            path = os.path.join(
+                wal_dir, f"segment-{start_segment + seg_i:05d}.parquet"
+            )
+            pq.write_table(table, path)
         paths.append(path)
     return paths
 

@@ -32,6 +32,16 @@ import ray.data
 from ..schemas import conform_table, unify_many
 
 SEGMENT_GLOB = "segment-*.parquet"
+#: JSONL wire format (Debezium/Maxwell-style change records). Point
+#: ``CdcConfig.segment_glob`` here for a JSONL WAL, or at
+#: ``"segment-*"`` for a mixed parquet+jsonl stream.
+JSONL_SEGMENT_GLOB = "segment-*.jsonl"
+
+#: How many head lines of a JSONL segment the driver samples to infer
+#: its schema (the jsonl analog of a parquet footer read — segments are
+#: schema-homogeneous by the WAL contract: writers roll the segment on
+#: schema change).
+_JSONL_SCHEMA_SAMPLE_LINES = 100
 
 
 @dataclass(frozen=True)
@@ -99,10 +109,66 @@ def poll_for_new_segments(
         time.sleep(interval_s)
 
 
+def _is_jsonl(seg: SegmentMeta) -> bool:
+    return seg.name.endswith(".jsonl")
+
+
+def _jsonl_segment_schema(path: str) -> pa.Schema:
+    """Infer a JSONL segment's wire schema from its first
+    ``_JSONL_SCHEMA_SAMPLE_LINES`` lines (driver-side head read — the
+    jsonl analog of a parquet footer scan), then canonicalize field
+    types against the engine's known wire fields: JSON has no binary or
+    timestamp type, so ``html`` arrives as a string and ``warc_ts`` as
+    an ISO-8601 string; fields named in :data:`..schemas.EVENTS_SCHEMA_V2`
+    take their canonical wire type (the downstream ``conform_table``
+    cast parses/encodes them), unknown new fields keep the inferred
+    JSON type — the same column-add evolution path parquet gets."""
+    import io
+
+    from pyarrow import json as pa_json
+
+    from ..schemas import EVENTS_SCHEMA_V2
+
+    buf = io.BytesIO()
+    with open(path, "rb") as f:
+        for i, line in enumerate(f):
+            if i >= _JSONL_SCHEMA_SAMPLE_LINES:
+                break
+            buf.write(line)
+    inferred = pa_json.read_json(io.BytesIO(buf.getvalue())).schema
+    canon = {f.name: f.type for f in EVENTS_SCHEMA_V2}
+    return pa.schema(
+        [pa.field(f.name, canon.get(f.name, f.type)) for f in inferred]
+    )
+
+
 def unified_wire_schema(segments: list[SegmentMeta]) -> pa.Schema:
-    """Unify the physical schemas of the given segments (footer scan only)."""
-    schemas = [pq.read_schema(s.path) for s in segments]
+    """Unify the physical schemas of the given segments (parquet footer
+    scan / jsonl head sample only — never a data read)."""
+    schemas = [
+        _jsonl_segment_schema(s.path) if _is_jsonl(s)
+        else pq.read_schema(s.path)
+        for s in segments
+    ]
     return unify_many(schemas)
+
+
+def segment_row_counts(segments: list[SegmentMeta]) -> int:
+    """Total raw event rows across segments, driver-side and cheap:
+    parquet from the footer (metadata only); jsonl from a streamed
+    newline count (bytes scan, no parse — at real scale a jsonl WAL
+    writer would ship a sidecar count instead, and this is the slot
+    it would plug into)."""
+    total = 0
+    for s in segments:
+        if _is_jsonl(s):
+            with open(s.path, "rb") as f:
+                # line iteration, not newline count: robust to a
+                # foreign writer omitting the final newline
+                total += sum(1 for _ in f)
+        else:
+            total += pq.ParquetFile(s.path).metadata.num_rows
+    return total
 
 
 def read_segments(
@@ -128,11 +194,36 @@ def read_segments(
         schema = unified_wire_schema(segments)
     target = schema
 
-    ds = ray.data.read_parquet(
-        [s.path for s in segments],
-        override_num_blocks=override_num_blocks,
-        include_paths=include_paths,  # per-record provenance (M2 analog)
-    )
+    pq_segs = [s for s in segments if not _is_jsonl(s)]
+    js_segs = [s for s in segments if _is_jsonl(s)]
+    parts: list[ray.data.Dataset] = []
+    if pq_segs:
+        nb = override_num_blocks
+        if nb is not None and js_segs:
+            nb = max(1, nb * len(pq_segs) // len(segments))
+        parts.append(ray.data.read_parquet(
+            [s.path for s in pq_segs],
+            override_num_blocks=nb,
+            include_paths=include_paths,  # per-record provenance (M2)
+        ))
+    if js_segs:
+        nb = override_num_blocks
+        if nb is not None and pq_segs:
+            nb = max(1, nb * len(js_segs) // len(segments))
+        # JSONL wire segments (Debezium-style change records): the
+        # Arrow JSON reader yields string html / ISO-string warc_ts;
+        # the conform pass below (or the fused conform in the spill
+        # actor) casts them to the canonical wire types.
+        parts.append(ray.data.read_json(
+            [s.path for s in js_segs],
+            override_num_blocks=nb,
+            include_paths=include_paths,
+        ))
+    # single-format WALs (the common case) stay ONE read op; ``union``
+    # only appears on a genuinely mixed parquet+jsonl batch (its
+    # sequential-drain cost is acceptable for a format migration
+    # window, which is the only way mixed batches arise)
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if not conform:
         # caller conforms per batch inside its own first stage (saves an
         # operator hop; pass ``schema`` along)
