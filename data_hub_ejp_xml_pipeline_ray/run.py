@@ -43,12 +43,16 @@ def _cfg_from_args(args) -> "CdcConfig":
     if args.config:
         doc = load_job_config(args.config, args.deployment_env)
         return CdcConfig(**doc)
+    extra = {}
+    if getattr(args, "segment_glob", None):
+        extra["segment_glob"] = args.segment_glob
     return CdcConfig(
         wal_dir=args.wal_dir,
         lake_dir=args.lake_dir,
         num_partitions=args.num_partitions,
         url_exclusion_pattern=args.exclude,
         max_segments_per_batch=args.max_segments_per_batch,
+        **extra,
     )
 
 
@@ -67,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--exclude", default=None,
                             help="url exclusion regex")
             sp.add_argument("--max-segments-per-batch", type=int, default=64)
+            sp.add_argument("--segment-glob", default=None,
+                            help="WAL segment glob (default segment-*.parquet; "
+                                 "use segment-*.jsonl for a JSONL wire WAL, "
+                                 "segment-* for mixed)")
             sp.add_argument("--entity", action="store_true",
                             help="ingest into the demuxed entity lake "
                                  "(page/link/heading rows) instead of the page lake")
