@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "order_fulfillment_lag",
     "dup_ngram_stats",
     "winsorized_stats_by_type",
+    "scrub_props",
 ]
 
 

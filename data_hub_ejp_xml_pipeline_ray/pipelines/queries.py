@@ -6137,6 +6137,53 @@ def q_winsorized_stats_by_type(sf_dir: str):
     })
 
 
+#: PII-style scrub pattern set: the classic webtext redaction pass
+#: (emails, IPv4s, long digit runs). On the synthetic tables only the
+#: digit-run pattern fires (every ``props`` row carries one) — the
+#: email/IP patterns are exercised structurally (compiled, applied,
+#: zero matches) and the oracle proves all three replacements compose
+#: identically.
+_SCRUB_PATTERNS = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("[0-9]+", "<NUM>"),
+]
+
+
+def q_scrub_props(sf_dir: str):
+    """Regex redaction (PII scrubbing) — the per-row text TRANSFORM
+    class (replace, not extract/count): apply the ordered
+    :data:`_SCRUB_PATTERNS` to ``props``, emitting the cleaned string
+    plus the total match count the pass masked. Pure map stage — one
+    vectorized polars ``replace_all``/``count_matches`` kernel per
+    batch, no shuffle, streams at any scale. Pattern dialect is the
+    RE2-compatible subset shared by polars(Rust regex) and DuckDB(RE2),
+    so the oracle's ``regexp_replace(..., 'g')`` chain is bit-identical.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "props"],
+               rows_per_block=20_000)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        clean = pl.col("props")
+        masked = pl.lit(0, dtype=pl.Int64)
+        for pat, repl in _SCRUB_PATTERNS:
+            masked = masked + clean.str.count_matches(pat).cast(pl.Int64)
+            clean = clean.str.replace_all(pat, repl)
+        out = df.select(
+            pl.col("event_id"),
+            clean.alias("props_clean"),
+            masked.alias("n_masked"),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("props_clean", pa.string()),
+            ("n_masked", pa.int64()),
+        ]))
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6259,6 +6306,7 @@ QUERIES = {
     "cube_doc_counts": q_cube_doc_counts,
     "dup_ngram_stats": q_dup_ngram_stats,
     "winsorized_stats_by_type": q_winsorized_stats_by_type,
+    "scrub_props": q_scrub_props,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -7802,4 +7850,26 @@ ORACLE_SQL["winsorized_stats_by_type"] = """
              AS winsor_mean
     FROM events e JOIN q USING (event_type)
     GROUP BY e.event_type
+"""
+
+# Oracle generated from the SAME pattern list the Ray kernel compiles,
+# so the two sides can never drift; counts are taken on the
+# progressively-cleaned string exactly like the kernel's fold.
+_scrub_p = [p for p, _ in _SCRUB_PATTERNS]
+ORACLE_SQL["scrub_props"] = f"""
+    WITH s1 AS (
+      SELECT event_id, props AS t0,
+             regexp_replace(props, '{_scrub_p[0]}', '<EMAIL>', 'g') AS t1
+      FROM events),
+    s2 AS (
+      SELECT event_id, t0, t1,
+             regexp_replace(t1, '{_scrub_p[1]}', '<IP>', 'g') AS t2
+      FROM s1)
+    SELECT event_id,
+           regexp_replace(t2, '{_scrub_p[2]}', '<NUM>', 'g') AS props_clean,
+           CAST(len(regexp_extract_all(t0, '{_scrub_p[0]}'))
+              + len(regexp_extract_all(t1, '{_scrub_p[1]}'))
+              + len(regexp_extract_all(t2, '{_scrub_p[2]}')) AS BIGINT)
+             AS n_masked
+    FROM s2
 """
