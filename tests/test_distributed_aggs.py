@@ -565,3 +565,48 @@ def test_peak_concurrency_matches_naive_sweep(tmp_path, seed):
                 peak, first = c, time_us
         assert got.loc[t, "peak"] == peak, t
         assert got.loc[t, "first_peak_ts"] == pd.Timestamp(first, unit="us"), t
+
+
+@pytest.mark.parametrize("seed", [3, 23])
+def test_dup_ngram_stats_matches_naive_reference(tmp_path, seed):
+    """Independent of the SQL oracle: the bucketed df classification
+    equals a naive driver-side Counter over per-doc distinct 3-grams
+    (incl. docs with <3 tokens absent, shared-gram docs counted dup)."""
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 12))  # includes 0/1/2-token docs
+        docs.append(" ".join(rng.choice(vocab, n)))
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "documents.parquet"))
+
+    got = (
+        q.QUERIES["dup_ngram_stats"](sf).to_pandas()
+        .set_index("doc_id").sort_index()
+    )
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    gram_sets = {}
+    for i, text in enumerate(docs):
+        ws = tok.findall(text)
+        gs = {" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)}
+        if gs:
+            gram_sets[i] = gs
+    df = Counter(g for gs in gram_sets.values() for g in gs)
+    assert set(got.index) == set(gram_sets)
+    for i, gs in gram_sets.items():
+        assert got.loc[i, "n_grams"] == len(gs), i
+        assert got.loc[i, "n_dup"] == sum(1 for g in gs if df[g] >= 2), i
