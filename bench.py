@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "dup_ngram_stats",
     "winsorized_stats_by_type",
     "scrub_props",
+    "weighted_median_by_type",
 ]
 
 

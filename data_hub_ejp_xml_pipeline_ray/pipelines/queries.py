@@ -6137,6 +6137,177 @@ def q_winsorized_stats_by_type(sf_dir: str):
     })
 
 
+def grouped_weighted_median_distributed(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    num_value_buckets: int = 512,
+) -> dict:
+    """Exact LOWER weighted median per group — ``min{x : 2·cumw(x) ≥ W}``
+    with ``cumw(x)`` the total weight of rows with value ≤ x — via the
+    WEIGHTED variant of the distributed order-statistic selection
+    (:func:`grouped_quantiles_distributed`): the per-batch histogram
+    accumulates integer WEIGHT per value bucket instead of row counts,
+    the cumulative histogram locates the first bucket whose cumulative
+    weight reaches ``ceil(W/2)``, and only that bucket's rows (~n/B)
+    ship to a per-(group, bucket) task that collapses value ties and
+    scans the weighted cumsum. Ties are bucket-contained (equal values
+    share a bucket), so the local scan sees the exact global cumw.
+    Weights must be non-negative integers (exact arithmetic end to
+    end); no task ever holds a full group."""
+    stats = ds.groupby(group_col).aggregate(
+        Sum(weight_col, alias_name="_w"),
+        Min(value_col, alias_name="_mn"),
+        Max(value_col, alias_name="_mx"),
+    ).take_all()
+    B = num_value_buckets
+    info = {
+        r[group_col]: {"W": int(r["_w"]), "mn": r["_mn"], "mx": r["_mx"]}
+        for r in stats
+    }
+    out = {g: v["mn"] for g, v in info.items() if v["mn"] == v["mx"]}
+    todo = {g: v for g, v in info.items() if v["mn"] < v["mx"]}
+    if not todo:
+        return out
+
+    def bucket_of(vals: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        idx = np.floor((vals - mn) / (mx - mn) * B).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    bounds_ref = ray.put({g: (v["mn"], v["mx"]) for g, v in todo.items()})
+
+    def hist_batch(t: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        keys = t.column(group_col).combine_chunks()
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        wts = t.column(weight_col).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_g, out_h = [], []
+        for code in range(len(enc.dictionary)):
+            g = enc.dictionary[code].as_py()
+            if g not in bounds:
+                continue
+            mn, mx = bounds[g]
+            mask = codes == code
+            h = np.zeros(B, dtype=np.int64)
+            np.add.at(h, bucket_of(vals[mask], mn, mx),
+                      wts[mask].astype(np.int64))
+            out_g.append(g)
+            out_h.append(h.tolist())
+        return pa.table(
+            {"g": pa.array(out_g, keys.type),
+             "h": pa.array(out_h, pa.list_(pa.int64()))}
+        )
+
+    hist = {g: np.zeros(B, dtype=np.int64) for g in todo}
+    partials = ds.map_batches(
+        hist_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for g, h in zip(b.column("g").to_pylist(), b.column("h").to_pylist()):
+            hist[g] += np.asarray(h, dtype=np.int64)
+
+    target: dict = {}  # g -> (bucket, cum_weight_before, threshold)
+    for g, v in todo.items():
+        cum = np.cumsum(hist[g])
+        thr = (v["W"] + 1) // 2  # 2*cum >= W  <=>  cum >= ceil(W/2)
+        bk = int(np.searchsorted(cum, thr))
+        bk = min(bk, B - 1)  # all-zero-weight group: scan min bucket
+        target[g] = (bk, int(cum[bk - 1]) if bk > 0 else 0, thr)
+
+    need_ref = ray.put(
+        {"bounds": {g: (v["mn"], v["mx"]) for g, v in todo.items()},
+         "bucket": {g: t[0] for g, t in target.items()}}
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        keys = t.column(group_col).combine_chunks()
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        wts = t.column(weight_col).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_g, out_v, out_w = [], [], []
+        for code in range(len(enc.dictionary)):
+            g = enc.dictionary[code].as_py()
+            if g not in need["bounds"]:
+                continue
+            mn, mx = need["bounds"][g]
+            mask = codes == code
+            sub, sw = vals[mask], wts[mask]
+            keep = bucket_of(sub, mn, mx) == need["bucket"][g]
+            out_g.extend([g] * int(keep.sum()))
+            out_v.extend(sub[keep].tolist())
+            out_w.extend(sw[keep].astype(np.int64).tolist())
+        return pa.table(
+            {"g": pa.array(out_g, keys.type),
+             "v": pa.array(out_v, pa.float64()),
+             "w": pa.array(out_w, pa.int64())}
+        )
+
+    tgt = dict(target)
+
+    def scan_bucket(grp: pa.Table) -> pa.Table:
+        g = grp.column("g")[0].as_py()
+        _, before, thr = tgt[g]
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        w = grp.column("w").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(v, return_inverse=True)  # sorted ascending
+        wsum = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(wsum, inv, w)
+        cum = before + np.cumsum(wsum)
+        idx = int(np.searchsorted(cum, thr))
+        idx = min(idx, len(uniq) - 1)
+        return pa.table({
+            "g": pa.array([g], grp.schema.field("g").type),
+            "wmedian": pa.array([float(uniq[idx])], pa.float64()),
+        })
+
+    picked = ds.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    res = picked.groupby("g").map_groups(scan_bucket, batch_format="pyarrow")
+    for b in res.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "g" not in b.column_names:
+            continue
+        for g, m in zip(b.column("g").to_pylist(),
+                        b.column("wmedian").to_pylist()):
+            out[g] = m
+    return out
+
+
+def q_weighted_median_by_type(sf_dir: str):
+    """Weighted median of ``value`` per event_type, weight = the
+    ``props.k`` payload integer — the budget-weighted robust center a
+    curation pipeline uses when each record carries a size/importance
+    weight. JSON extraction per batch, then the weighted selection
+    machinery (:func:`grouped_weighted_median_distributed`)."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"],
+               rows_per_block=20_000)
+
+    def extract(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).select(
+            pl.col("event_type"), pl.col("value"),
+            pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64).alias("k"),
+        )
+        return df.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("value", pa.float64()),
+            ("k", pa.int64()),
+        ]))
+
+    ds = ds.map_batches(extract, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    med = grouped_weighted_median_distributed(ds, "event_type", "value", "k")
+    groups = sorted(med)
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "wmedian": pa.array([med[g] for g in groups], pa.float64()),
+    })
+
+
 #: PII-style scrub pattern set: the classic webtext redaction pass
 #: (emails, IPv4s, long digit runs). On the synthetic tables only the
 #: digit-run pattern fires (every ``props`` row carries one) — the
@@ -6307,6 +6478,7 @@ QUERIES = {
     "dup_ngram_stats": q_dup_ngram_stats,
     "winsorized_stats_by_type": q_winsorized_stats_by_type,
     "scrub_props": q_scrub_props,
+    "weighted_median_by_type": q_weighted_median_by_type,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -7872,4 +8044,21 @@ ORACLE_SQL["scrub_props"] = f"""
               + len(regexp_extract_all(t2, '{_scrub_p[2]}')) AS BIGINT)
              AS n_masked
     FROM s2
+"""
+
+ORACLE_SQL["weighted_median_by_type"] = """
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS wt
+      FROM events),
+    c AS (
+      SELECT event_type, value, sum(wt) AS vw
+      FROM w GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, value,
+             sum(vw) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+             sum(vw) OVER (PARTITION BY event_type) AS tw
+      FROM c)
+    SELECT event_type, min(value) AS wmedian
+    FROM cum WHERE cw * 2 >= tw GROUP BY event_type
 """

@@ -610,3 +610,51 @@ def test_dup_ngram_stats_matches_naive_reference(tmp_path, seed):
     for i, gs in gram_sets.items():
         assert got.loc[i, "n_grams"] == len(gs), i
         assert got.loc[i, "n_dup"] == sum(1 for g in gs if df[g] >= 2), i
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_weighted_median_matches_naive(tmp_path, seed):
+    """Independent of the SQL oracle: the weighted selection equals a
+    naive driver-side weighted cumsum, incl. zero weights, tie-heavy
+    values and a constant group."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    rows_t, rows_v, rows_p = [], [], []
+    # tie-heavy group "a" (values on a coarse grid), normal "b",
+    # constant group "c", plus zero weights sprinkled everywhere
+    for t, n in (("a", 800), ("b", 500), ("c", 40)):
+        if t == "c":
+            vals = np.full(n, 7.25)
+        elif t == "a":
+            vals = np.round(rng.uniform(0, 5, n) * 2) / 2
+        else:
+            vals = np.round(rng.standard_normal(n) * 50, 2)
+        ws = rng.integers(0, 10, n)  # ~10% zeros
+        rows_t += [t] * n
+        rows_v += vals.tolist()
+        rows_p += [json.dumps({"k": int(w)}) for w in ws]
+    tbl = pa.table({
+        "event_type": pa.array(rows_t), "value": pa.array(rows_v, pa.float64()),
+        "props": pa.array(rows_p),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    got = (
+        q.QUERIES["weighted_median_by_type"](sf)
+        .to_pandas().set_index("event_type")["wmedian"]
+    )
+    df = tbl.to_pandas()
+    df["k"] = df["props"].map(lambda s: json.loads(s)["k"])
+    for t in ("a", "b", "c"):
+        sub = df[df.event_type == t].sort_values("value")
+        cw = sub.groupby("value", sort=True)["k"].sum().cumsum()
+        W = int(sub["k"].sum())
+        expect = float(cw.index[int(np.searchsorted(cw.values, (W + 1) // 2))])
+        assert got[t] == expect, t
