@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "winsorized_stats_by_type",
     "scrub_props",
     "weighted_median_by_type",
+    "embedding_covariance",
 ]
 
 

@@ -6308,6 +6308,64 @@ def q_weighted_median_by_type(sf_dir: str):
     })
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Distributed covariance matrix of the embedding columns — the
+    PCA/whitening building block a representation pipeline computes
+    before decorrelating features. One streaming pass: each batch
+    collapses to a single (n, Σx, ΣxᵀX) partial via one float64 matmul
+    (the Gram update — d² doubles per block, never rows), then the
+    deterministic driver fold + scale-4 rounding of the
+    ``value_moments_by_type`` float-parity contract. Emits the upper
+    triangle (i ≤ j, 1-based to match SQL ``generate_subscripts``) as
+    ``covar_samp`` values. At 100 TB the partial is still d² doubles
+    per block — the reduction is embarrassingly combiner-shaped; the
+    driver holds one d×d matrix."""
+    ds = _read(sf_dir, "embeddings", ["embedding"], rows_per_block=20_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        n = len(arr)
+        d = len(flat) // n
+        X = flat.astype(np.float64).reshape(n, d)
+        s = X.sum(axis=0)
+        m = X.T @ X
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+            "m": pa.array([m.reshape(-1).tolist()], pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    blocks = arrow_blocks(parts)
+    out_schema = pa.schema([
+        ("i", pa.int64()), ("j", pa.int64()), ("cov", pa.float64()),
+    ])
+    if not blocks:
+        return out_schema.empty_table()
+    rows = pa.concat_tables(blocks).to_pylist()
+    # deterministic fold order (the moments contract): distributed
+    # arrival order must not flip the 4th decimal run-to-run
+    rows.sort(key=lambda r: (r["n"], r["s"][0], r["m"][0]))
+    n = sum(r["n"] for r in rows)
+    d = int(round(len(rows[0]["m"]) ** 0.5))
+    s = np.zeros(d)
+    m = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        m += np.asarray(r["m"]).reshape(d, d)
+    cov = (m - np.outer(s, s) / n) / (n - 1)
+    iu, ju = np.triu_indices(d)
+    return pa.table({
+        "i": pa.array((iu + 1).tolist(), pa.int64()),
+        "j": pa.array((ju + 1).tolist(), pa.int64()),
+        "cov": pa.array(
+            [_round4_half_away(float(cov[a, b])) for a, b in zip(iu, ju)],
+            pa.float64()),
+    })
+
+
 #: PII-style scrub pattern set: the classic webtext redaction pass
 #: (emails, IPv4s, long digit runs). On the synthetic tables only the
 #: digit-run pattern fires (every ``props`` row carries one) — the
@@ -6479,6 +6537,7 @@ QUERIES = {
     "winsorized_stats_by_type": q_winsorized_stats_by_type,
     "scrub_props": q_scrub_props,
     "weighted_median_by_type": q_weighted_median_by_type,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -8061,4 +8120,17 @@ ORACLE_SQL["weighted_median_by_type"] = """
       FROM c)
     SELECT event_type, min(value) AS wmedian
     FROM cum WHERE cw * 2 >= tw GROUP BY event_type
+"""
+
+ORACLE_SQL["embedding_covariance"] = """
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j,
+           round(covar_samp(a.x, b.x), 4) AS cov
+    FROM e a JOIN e b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY a.i, b.i
 """
