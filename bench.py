@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "scrub_props",
     "weighted_median_by_type",
     "embedding_covariance",
+    "weighted_quantiles_by_type",
 ]
 
 

@@ -6137,26 +6137,30 @@ def q_winsorized_stats_by_type(sf_dir: str):
     })
 
 
-def grouped_weighted_median_distributed(
+def grouped_weighted_quantiles_distributed(
     ds: ray.data.Dataset,
     group_col: str,
     value_col: str,
     weight_col: str,
+    fracs: list[tuple[int, int]],
     *,
     num_value_buckets: int = 512,
 ) -> dict:
-    """Exact LOWER weighted median per group — ``min{x : 2·cumw(x) ≥ W}``
-    with ``cumw(x)`` the total weight of rows with value ≤ x — via the
+    """Exact LOWER weighted quantiles per group — for each rational
+    ``p = num/den`` in ``fracs``, ``min{x : den·cumw(x) ≥ num·W}`` with
+    ``cumw(x)`` the total weight of rows with value ≤ x — via the
     WEIGHTED variant of the distributed order-statistic selection
     (:func:`grouped_quantiles_distributed`): the per-batch histogram
     accumulates integer WEIGHT per value bucket instead of row counts,
-    the cumulative histogram locates the first bucket whose cumulative
-    weight reaches ``ceil(W/2)``, and only that bucket's rows (~n/B)
-    ship to a per-(group, bucket) task that collapses value ties and
-    scans the weighted cumsum. Ties are bucket-contained (equal values
-    share a bucket), so the local scan sees the exact global cumw.
-    Weights must be non-negative integers (exact arithmetic end to
-    end); no task ever holds a full group."""
+    the cumulative histogram locates, per quantile, the first bucket
+    whose cumulative weight reaches ``ceil(num·W/den)``, and only those
+    buckets' rows (~n/B each) ship to per-(group, bucket) tasks that
+    collapse value ties and scan the weighted cumsum. Ties are
+    bucket-contained (equal values share a bucket), so the local scan
+    sees the exact global cumw. Weights must be non-negative integers
+    and ``p`` rational (exact integer arithmetic end to end); no task
+    ever holds a full group. Returns ``{group: {(num, den): value}}``.
+    """
     stats = ds.groupby(group_col).aggregate(
         Sum(weight_col, alias_name="_w"),
         Min(value_col, alias_name="_mn"),
@@ -6167,7 +6171,10 @@ def grouped_weighted_median_distributed(
         r[group_col]: {"W": int(r["_w"]), "mn": r["_mn"], "mx": r["_mx"]}
         for r in stats
     }
-    out = {g: v["mn"] for g, v in info.items() if v["mn"] == v["mx"]}
+    out = {
+        g: {f: v["mn"] for f in fracs}
+        for g, v in info.items() if v["mn"] == v["mx"]
+    }
     todo = {g: v for g, v in info.items() if v["mn"] < v["mx"]}
     if not todo:
         return out
@@ -6210,17 +6217,24 @@ def grouped_weighted_median_distributed(
         for g, h in zip(b.column("g").to_pylist(), b.column("h").to_pylist()):
             hist[g] += np.asarray(h, dtype=np.int64)
 
-    target: dict = {}  # g -> (bucket, cum_weight_before, threshold)
+    # per (g, bucket): {frac: (cum_weight_before, threshold)} — one
+    # scan task can resolve several quantiles landing in its bucket
+    target: dict = {}
     for g, v in todo.items():
         cum = np.cumsum(hist[g])
-        thr = (v["W"] + 1) // 2  # 2*cum >= W  <=>  cum >= ceil(W/2)
-        bk = int(np.searchsorted(cum, thr))
-        bk = min(bk, B - 1)  # all-zero-weight group: scan min bucket
-        target[g] = (bk, int(cum[bk - 1]) if bk > 0 else 0, thr)
+        for num, den in fracs:
+            # den*cum >= num*W  <=>  cum >= ceil(num*W / den)
+            thr = (num * v["W"] + den - 1) // den
+            bk = int(np.searchsorted(cum, thr))
+            bk = min(bk, B - 1)  # all-zero-weight group: min bucket
+            target.setdefault((g, bk), {})[(num, den)] = (
+                int(cum[bk - 1]) if bk > 0 else 0, thr
+            )
 
     need_ref = ray.put(
         {"bounds": {g: (v["mn"], v["mx"]) for g, v in todo.items()},
-         "bucket": {g: t[0] for g, t in target.items()}}
+         "buckets": {g: sorted({b for gg, b in target if gg == g})
+                     for g in todo}}
     )
 
     def pick(t: pa.Table) -> pa.Table:
@@ -6230,7 +6244,7 @@ def grouped_weighted_median_distributed(
         wts = t.column(weight_col).to_numpy(zero_copy_only=False)
         enc = pc.dictionary_encode(keys)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        out_g, out_v, out_w = [], [], []
+        out_g, out_b, out_v, out_w = [], [], [], []
         for code in range(len(enc.dictionary)):
             g = enc.dictionary[code].as_py()
             if g not in need["bounds"]:
@@ -6238,12 +6252,15 @@ def grouped_weighted_median_distributed(
             mn, mx = need["bounds"][g]
             mask = codes == code
             sub, sw = vals[mask], wts[mask]
-            keep = bucket_of(sub, mn, mx) == need["bucket"][g]
+            bks = bucket_of(sub, mn, mx)
+            keep = np.isin(bks, need["buckets"][g])
             out_g.extend([g] * int(keep.sum()))
+            out_b.extend(bks[keep].tolist())
             out_v.extend(sub[keep].tolist())
             out_w.extend(sw[keep].astype(np.int64).tolist())
         return pa.table(
             {"g": pa.array(out_g, keys.type),
+             "_vb": pa.array(out_b, pa.int64()),
              "v": pa.array(out_v, pa.float64()),
              "w": pa.array(out_w, pa.int64())}
         )
@@ -6252,38 +6269,65 @@ def grouped_weighted_median_distributed(
 
     def scan_bucket(grp: pa.Table) -> pa.Table:
         g = grp.column("g")[0].as_py()
-        _, before, thr = tgt[g]
+        bk = grp.column("_vb")[0].as_py()
+        wanted = tgt[(g, bk)]
         v = grp.column("v").to_numpy(zero_copy_only=False)
         w = grp.column("w").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(v, return_inverse=True)  # sorted ascending
         wsum = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(wsum, inv, w)
-        cum = before + np.cumsum(wsum)
-        idx = int(np.searchsorted(cum, thr))
-        idx = min(idx, len(uniq) - 1)
+        out_n, out_d, out_v = [], [], []
+        for (num, den), (before, thr) in wanted.items():
+            cum = before + np.cumsum(wsum)
+            idx = min(int(np.searchsorted(cum, thr)), len(uniq) - 1)
+            out_n.append(num)
+            out_d.append(den)
+            out_v.append(float(uniq[idx]))
         return pa.table({
-            "g": pa.array([g], grp.schema.field("g").type),
-            "wmedian": pa.array([float(uniq[idx])], pa.float64()),
+            "g": pa.array([g] * len(out_n), grp.schema.field("g").type),
+            "num": pa.array(out_n, pa.int64()),
+            "den": pa.array(out_d, pa.int64()),
+            "val": pa.array(out_v, pa.float64()),
         })
 
     picked = ds.map_batches(pick, batch_format="pyarrow",
                             zero_copy_batch=True)
-    res = picked.groupby("g").map_groups(scan_bucket, batch_format="pyarrow")
+    res = picked.groupby(["g", "_vb"]).map_groups(
+        scan_bucket, batch_format="pyarrow"
+    )
     for b in res.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0 or "g" not in b.column_names:
             continue
-        for g, m in zip(b.column("g").to_pylist(),
-                        b.column("wmedian").to_pylist()):
-            out[g] = m
+        for g, num, den, val in zip(
+            b.column("g").to_pylist(), b.column("num").to_pylist(),
+            b.column("den").to_pylist(), b.column("val").to_pylist(),
+        ):
+            out.setdefault(g, {})[(num, den)] = val
     return out
 
 
-def q_weighted_median_by_type(sf_dir: str):
-    """Weighted median of ``value`` per event_type, weight = the
-    ``props.k`` payload integer — the budget-weighted robust center a
-    curation pipeline uses when each record carries a size/importance
-    weight. JSON extraction per batch, then the weighted selection
-    machinery (:func:`grouped_weighted_median_distributed`)."""
+def grouped_weighted_median_distributed(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *,
+    num_value_buckets: int = 512,
+) -> dict:
+    """Exact lower weighted median — ``min{x : 2·cumw(x) ≥ W}`` — as the
+    single-quantile case of
+    :func:`grouped_weighted_quantiles_distributed`."""
+    res = grouped_weighted_quantiles_distributed(
+        ds, group_col, value_col, weight_col, [(1, 2)],
+        num_value_buckets=num_value_buckets,
+    )
+    return {g: v[(1, 2)] for g, v in res.items()}
+
+
+def _events_with_weight(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, value, k) stream with the ``props.k`` payload
+    integer extracted per batch — shared by the weighted-selection
+    queries."""
     ds = _read(sf_dir, "events", ["event_type", "value", "props"],
                rows_per_block=20_000)
 
@@ -6298,14 +6342,42 @@ def q_weighted_median_by_type(sf_dir: str):
             ("k", pa.int64()),
         ]))
 
-    ds = ds.map_batches(extract, batch_format="pyarrow",
-                        zero_copy_batch=True)
-    med = grouped_weighted_median_distributed(ds, "event_type", "value", "k")
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_weighted_median_by_type(sf_dir: str):
+    """Weighted median of ``value`` per event_type, weight = the
+    ``props.k`` payload integer — the budget-weighted robust center a
+    curation pipeline uses when each record carries a size/importance
+    weight. JSON extraction per batch, then the weighted selection
+    machinery (:func:`grouped_weighted_median_distributed`)."""
+    med = grouped_weighted_median_distributed(
+        _events_with_weight(sf_dir), "event_type", "value", "k"
+    )
     groups = sorted(med)
     return pa.table({
         "event_type": pa.array(groups, pa.string()),
         "wmedian": pa.array([med[g] for g in groups], pa.float64()),
     })
+
+
+def q_weighted_quantiles_by_type(sf_dir: str):
+    """Weighted p25/p50/p75 of ``value`` per event_type (weight =
+    ``props.k``) — ONE selection pass serves all three quantiles: the
+    weight histogram is shared, each quantile adds only a threshold
+    lookup plus its target bucket's scan (buckets coincide when
+    quantiles land close, and the scan task resolves every threshold
+    routed to it)."""
+    qs = grouped_weighted_quantiles_distributed(
+        _events_with_weight(sf_dir), "event_type", "value", "k",
+        [(1, 4), (1, 2), (3, 4)],
+    )
+    groups = sorted(qs)
+    cols: dict = {"event_type": pa.array(groups, pa.string())}
+    for name, f in (("wp25", (1, 4)), ("wp50", (1, 2)), ("wp75", (3, 4))):
+        cols[name] = pa.array([qs[g][f] for g in groups], pa.float64())
+    return pa.table(cols)
 
 
 def q_embedding_covariance(sf_dir: str):
@@ -6538,6 +6610,7 @@ QUERIES = {
     "scrub_props": q_scrub_props,
     "weighted_median_by_type": q_weighted_median_by_type,
     "embedding_covariance": q_embedding_covariance,
+    "weighted_quantiles_by_type": q_weighted_quantiles_by_type,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -8133,4 +8206,24 @@ ORACLE_SQL["embedding_covariance"] = """
     FROM e a JOIN e b USING (vec_id)
     WHERE a.i <= b.i
     GROUP BY a.i, b.i
+"""
+
+ORACLE_SQL["weighted_quantiles_by_type"] = """
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS wt
+      FROM events),
+    c AS (
+      SELECT event_type, value, sum(wt) AS vw
+      FROM w GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, value,
+             sum(vw) OVER (PARTITION BY event_type ORDER BY value) AS cw,
+             sum(vw) OVER (PARTITION BY event_type) AS tw
+      FROM c)
+    SELECT event_type,
+           min(value) FILTER (WHERE cw * 4 >= tw)     AS wp25,
+           min(value) FILTER (WHERE cw * 2 >= tw)     AS wp50,
+           min(value) FILTER (WHERE cw * 4 >= 3 * tw) AS wp75
+    FROM cum GROUP BY event_type
 """
