@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "weighted_median_by_type",
     "embedding_covariance",
     "weighted_quantiles_by_type",
+    "time_weighted_avg_per_user",
 ]
 
 

@@ -6438,6 +6438,49 @@ def q_embedding_covariance(sf_dir: str):
     })
 
 
+def q_time_weighted_avg_per_user(sf_dir: str):
+    """Time-weighted average value per user — the streaming-metrics
+    primitive (a gauge sampled at irregular events: each value is held
+    until the user's next event, weight = holding time in integer μs).
+    Same bucketed complete-user-groups shape as the window family; one
+    vectorized lead/holding/aggregate kernel per bucket. Users with a
+    single event (no holding interval) or zero total holding time are
+    excluded on both sides; products are float64 with integer-exact μs
+    weights, output under the scale-4 rounding contract."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20_000)
+
+    def twa_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = (
+            df.with_columns(
+                dur=(
+                    pl.col("ts").shift(-1).over("user_id").cast(pl.Int64)
+                    - pl.col("ts").cast(pl.Int64)
+                )
+            )
+            .drop_nulls("dur")
+            .group_by("user_id")
+            .agg(
+                (pl.col("value") * pl.col("dur")).sum().alias("vd"),
+                pl.col("dur").sum().alias("d"),
+            )
+            .filter(pl.col("d") > 0)
+        )
+        vd = out["vd"].to_numpy()
+        d = out["d"].to_numpy().astype(np.float64)
+        twa = vd / d
+        twa = np.sign(twa) * np.floor(np.abs(twa) * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_list(), pa.int64()),
+            "twa_value": pa.array(twa, pa.float64()),
+        })
+
+    return _bucketed_groups(
+        ds, "user_id", twa_bucket, num_buckets=_buckets_for(sf_dir)
+    )
+
+
 #: PII-style scrub pattern set: the classic webtext redaction pass
 #: (emails, IPv4s, long digit runs). On the synthetic tables only the
 #: digit-run pattern fires (every ``props`` row carries one) — the
@@ -6611,6 +6654,7 @@ QUERIES = {
     "weighted_median_by_type": q_weighted_median_by_type,
     "embedding_covariance": q_embedding_covariance,
     "weighted_quantiles_by_type": q_weighted_quantiles_by_type,
+    "time_weighted_avg_per_user": q_time_weighted_avg_per_user,
 }
 
 _TOKEN_SQL = "length(regexp_extract_all(text, '[A-Za-z0-9]+'))"
@@ -8226,4 +8270,17 @@ ORACLE_SQL["weighted_quantiles_by_type"] = """
            min(value) FILTER (WHERE cw * 2 >= tw)     AS wp50,
            min(value) FILTER (WHERE cw * 4 >= 3 * tw) AS wp75
     FROM cum GROUP BY event_type
+"""
+
+ORACLE_SQL["time_weighted_avg_per_user"] = """
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur
+      FROM events)
+    SELECT user_id,
+           round(sum(value * dur) / sum(dur), 4) AS twa_value
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING sum(dur) > 0
 """
