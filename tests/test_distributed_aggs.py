@@ -658,3 +658,45 @@ def test_weighted_median_matches_naive(tmp_path, seed):
         W = int(sub["k"].sum())
         expect = float(cw.index[int(np.searchsorted(cw.values, (W + 1) // 2))])
         assert got[t] == expect, t
+
+
+def test_weighted_quantiles_matches_naive(tmp_path):
+    """p25/p50/p75 from the one-pass multi-threshold selection equal
+    the naive weighted cumsum at each rational threshold."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(17)
+    n = 1200
+    vals = np.round(rng.uniform(-20, 80, n), 2)
+    ws = rng.integers(0, 7, n)
+    types = rng.choice(["a", "b"], n)
+    tbl = pa.table({
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array([json.dumps({"k": int(w)}) for w in ws]),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    got = (
+        q.QUERIES["weighted_quantiles_by_type"](sf)
+        .to_pandas().set_index("event_type")
+    )
+    for t in ("a", "b"):
+        m = types == t
+        order = np.argsort(vals[m], kind="stable")
+        v, w = vals[m][order], ws[m][order]
+        # collapse ties
+        uniq = np.unique(v)
+        cw = np.array([w[v <= x].sum() for x in uniq], dtype=np.int64)
+        W = int(w.sum())
+        for col, (num, den) in (("wp25", (1, 4)), ("wp50", (1, 2)),
+                                ("wp75", (3, 4))):
+            thr = (num * W + den - 1) // den
+            expect = float(uniq[int(np.searchsorted(cw, thr))])
+            assert got.loc[t, col] == expect, (t, col)
