@@ -323,3 +323,63 @@ def test_quarantine_partitions_every_row_exactly_once(rows):
     for h in (good.column("html").to_pylist() if good.num_rows else []):
         if isinstance(h, bytes):
             h.decode("utf-8")
+
+
+# --- weighted selection law: distributed == naive for any weights ----
+
+weighted_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),            # group
+        st.integers(-5, 5),                     # value on a tie-heavy grid
+        st.integers(0, 4),                      # integer weight (zeros ok)
+    ),
+    min_size=1,
+    max_size=60,
+).filter(lambda rows: all(
+    # the selection needs at least one positive weight per present group
+    sum(w for g2, _, w in rows if g2 == g) > 0
+    for g in {g for g, _, _ in rows}
+))
+
+
+@given(weighted_rows)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_weighted_quantiles_equal_naive_scan(rows):
+    """min{x : den*cumw(x) >= num*W} from the bucketed distributed
+    selection equals a direct scan, for arbitrary tie-heavy values and
+    weights including zeros."""
+    import ray.data
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import (
+        grouped_weighted_quantiles_distributed,
+    )
+
+    tbl = pa.table({
+        "g": pa.array([r[0] for r in rows]),
+        "v": pa.array([float(r[1]) for r in rows], pa.float64()),
+        "w": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    fracs = [(1, 4), (1, 2), (3, 4)]
+    got = grouped_weighted_quantiles_distributed(
+        ray.data.from_arrow(tbl), "g", "v", "w", fracs,
+        num_value_buckets=8,  # tiny B: forces multi-bucket paths
+    )
+    for g in {r[0] for r in rows}:
+        sub = sorted((v, w) for g2, v, w in rows if g2 == g)
+        W = sum(w for _, w in sub)
+        for num, den in fracs:
+            thr = (num * W + den - 1) // den
+            cum = 0
+            expect = None
+            seen = {}
+            for v, w in sub:
+                seen[v] = seen.get(v, 0) + w
+            for v in sorted(seen):
+                cum += seen[v]
+                if cum >= thr:
+                    expect = float(v)
+                    break
+            if expect is None:  # thr == 0 with all-zero prefix
+                expect = float(sorted(seen)[0])
+            assert got[g][(num, den)] == expect, (g, num, den)
