@@ -87,6 +87,15 @@ class CdcConfig:
     #: html / null contract keys) into ``<lake>/_errors``. Disable for
     #: trusted input to skip the per-batch UTF-8 validation cast.
     quarantine: bool = True
+    #: Declarative ingest-time CHECK constraints (Delta-style
+    #: expectations): a list of ``[column, op]`` / ``[column, op,
+    #: value]`` specs (op from :data:`..stages.merge.CONSTRAINT_OPS`).
+    #: Violating upsert rows are quarantined to ``<lake>/_errors``
+    #: with ``constraint:...`` reasons and redrive-able raw siblings;
+    #: SQL CHECK null semantics (NULL passes comparisons, only
+    #: ``not_null`` rejects it); delete tombstones are exempt.
+    #: Requires ``quarantine=True``.
+    constraints: Any = None
     #: Version-history retention: commit-time GC keeps the newest K
     #: snapshot manifests and every data file they reference (time
     #: travel / change feed / snapshot-isolated readers). ``None``
@@ -227,6 +236,8 @@ def _ingest_one_batch(
             "errors_dir": (
                 os.path.join(cfg.lake_dir, ERRORS_DIR) if cfg.quarantine else None
             ),
+            # declarative CHECK constraints ride the same DLQ
+            "constraints": cfg.constraints,
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
@@ -401,6 +412,10 @@ def run_ingest(
     new, in segment order, committing once per micro-batch. Idempotent:
     calling with no new segments is a no-op; re-calling after a crash
     converges to the same lake state (tests assert this)."""
+    if cfg.constraints and not cfg.quarantine:
+        # constraints quarantine their violations; without the DLQ the
+        # rows would be dropped silently — refuse the config instead
+        raise ValueError("constraints require quarantine=True")
     check_no_live_writer(cfg.lake_dir)  # fail fast like the reference
     manifest = load_manifest(cfg.lake_dir) or LakeManifest(
         num_partitions=cfg.num_partitions, kind=kind

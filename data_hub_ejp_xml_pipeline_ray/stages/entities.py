@@ -130,7 +130,8 @@ class EntityExtractCombineSpill:
                  url_exclusion_pattern: str | None = None,
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
-                 errors_dir: str | None = None):
+                 errors_dir: str | None = None,
+                 constraints: list | None = None):
         from .merge import SpillCombiner
 
         import pyarrow as _pa
@@ -141,6 +142,7 @@ class EntityExtractCombineSpill:
         self._exclusion = url_exclusion_pattern
         self._wire_schema = wire_schema
         self._errors_dir = errors_dir
+        self._constraints = constraints
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -172,6 +174,22 @@ class EntityExtractCombineSpill:
                      "path": pa.array([path], pa.string()),
                      "row_group": pa.array([-1], pa.int64())}
                 )
+            if self._constraints:
+                from .merge import check_constraints
+
+                batch, cerr, craw = check_constraints(batch, self._constraints)
+                if cerr is not None:
+                    cpath = write_dead_letters(self._errors_dir, cerr, craw)
+                    cman = pa.table(
+                        {"part": pa.array([ERROR_PART], pa.int64()),
+                         "rows": pa.array([cerr.num_rows], pa.int64()),
+                         "path": pa.array([cpath], pa.string()),
+                         "row_group": pa.array([-1], pa.int64())}
+                    )
+                    err_manifest = (
+                        pa.concat_tables([err_manifest, cman])
+                        if err_manifest is not None else cman
+                    )
         if batch.num_rows == 0:
             empty = pa.table(
                 {"part": pa.array([], pa.int64()),
@@ -264,7 +282,8 @@ class NestedExtractCombineSpill:
                  url_exclusion_pattern: str | None = None,
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
-                 errors_dir: str | None = None):
+                 errors_dir: str | None = None,
+                 constraints: list | None = None):
         from .merge import SpillCombiner
 
         import pyarrow as _pa
@@ -273,6 +292,7 @@ class NestedExtractCombineSpill:
         _pa.set_io_thread_count(2)
         self._spill = SpillCombiner(staging_dir, num_partitions, splits)
         self._errors_dir = errors_dir
+        self._constraints = constraints
         self._schema = nested_lake_schema(self.struct_version)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -296,6 +316,22 @@ class NestedExtractCombineSpill:
                      "path": pa.array([path], pa.string()),
                      "row_group": pa.array([-1], pa.int64())}
                 )
+            if self._constraints:
+                from .merge import check_constraints
+
+                batch, cerr, craw = check_constraints(batch, self._constraints)
+                if cerr is not None:
+                    cpath = write_dead_letters(self._errors_dir, cerr, craw)
+                    cman = pa.table(
+                        {"part": pa.array([ERROR_PART], pa.int64()),
+                         "rows": pa.array([cerr.num_rows], pa.int64()),
+                         "path": pa.array([cpath], pa.string()),
+                         "row_group": pa.array([-1], pa.int64())}
+                    )
+                    err_manifest = (
+                        pa.concat_tables([err_manifest, cman])
+                        if err_manifest is not None else cman
+                    )
         empty = pa.table(
             {"part": pa.array([], pa.int64()),
              "rows": pa.array([], pa.int64()),

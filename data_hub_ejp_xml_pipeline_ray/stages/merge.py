@@ -145,6 +145,119 @@ def quarantine_bad_rows(
     return good, err, raw
 
 
+#: Supported CHECK-constraint operators (declarative ingest-time
+#: expectations, the Delta-Lake-style data-quality gate).
+CONSTRAINT_OPS = (
+    "<", "<=", ">", ">=", "==", "!=", "in", "not_in", "not_null", "matches",
+)
+
+
+def _dead_letter_table(bad: pa.Table, reasons: list[str]) -> pa.Table:
+    """Project offending wire rows onto :data:`ERRORS_SCHEMA`."""
+    return pa.table(
+        {
+            "url": bad.column("url").cast(pa.string()),
+            "warc_ts": bad.column("warc_ts"),
+            "seq": bad.column("seq"),
+            "error": pa.array(reasons, pa.string()),
+            "_src_segment": (
+                bad.column("_src_segment")
+                if "_src_segment" in bad.column_names
+                else pa.nulls(bad.num_rows, pa.string())
+            ),
+            "html": (
+                bad.column("html").cast(pa.binary())
+                if "html" in bad.column_names
+                else pa.nulls(bad.num_rows, pa.binary())
+            ),
+        },
+        schema=ERRORS_SCHEMA,
+    )
+
+
+def check_constraints(
+    batch: pa.Table,
+    constraints: list,
+) -> tuple[pa.Table, pa.Table | None, pa.Table | None]:
+    """Declarative ingest-time CHECK constraints (expectations): split a
+    wire batch into (passing rows, dead-letter rows, raw redrive rows)
+    — the same contract as :func:`quarantine_bad_rows`, so violations
+    ride the existing DLQ/redrive machinery.
+
+    Each constraint is ``(column, op[, value])`` with op from
+    :data:`CONSTRAINT_OPS`. Semantics follow SQL CHECK:
+
+    * NULL comparisons PASS (only ``not_null`` rejects nulls);
+    * ``op == 'delete'`` rows are exempt (their payload columns are
+      null by wire contract — expectations gate incoming data, not
+      tombstones);
+    * a column absent from this wire-schema version is vacuously true
+      (schema evolution: the constraint starts binding when the column
+      arrives);
+    * the FIRST failing constraint names the row's quarantine reason.
+
+    All checks are vectorized pyarrow kernels; one boolean pass per
+    constraint per batch."""
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0 or not constraints:
+        return batch, None, None
+    n = batch.num_rows
+    viol_any = np.zeros(n, dtype=bool)
+    reasons = np.empty(n, dtype=object)
+    exempt = np.zeros(n, dtype=bool)
+    if "op" in batch.column_names:
+        ex = pc.equal(batch.column("op"), "delete")
+        exempt = pc.fill_null(ex, False).to_numpy(zero_copy_only=False)
+    cmp_ops = {
+        "<": pc.less, "<=": pc.less_equal,
+        ">": pc.greater, ">=": pc.greater_equal,
+        "==": pc.equal, "!=": pc.not_equal,
+    }
+    for spec in constraints:
+        col_name, op = spec[0], spec[1]
+        if op not in CONSTRAINT_OPS:
+            raise ValueError(f"unknown constraint op: {op!r}")
+        label = f"constraint:{col_name} {op}" + (
+            f" {spec[2]}" if len(spec) > 2 else ""
+        )
+        if col_name not in batch.column_names:
+            continue
+        col = batch.column(col_name)
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if op == "not_null":
+            viol = isnull.copy()
+        else:
+            value = spec[2]
+            if op == "in":
+                ok = pc.is_in(col, value_set=pa.array(value))
+            elif op == "not_in":
+                ok = pc.invert(pc.is_in(col, value_set=pa.array(value)))
+            elif op == "matches":
+                ok = pc.match_substring_regex(
+                    col.cast(pa.string()), value
+                )
+            else:
+                ok = cmp_ops[op](col, value)
+            okn = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+            viol = (~okn) & (~isnull)  # SQL CHECK: NULL passes
+        viol &= ~exempt
+        viol &= ~viol_any  # first failing constraint keeps the reason
+        reasons[viol] = label
+        viol_any |= viol
+    if not viol_any.any():
+        return batch, None, None
+    mask = pa.array(viol_any)
+    bad = batch.filter(mask)
+    good = batch.filter(pa.array(~viol_any))
+    raw = (
+        bad.drop_columns(["_src_segment"])
+        if "_src_segment" in bad.column_names else bad
+    )
+    err = _dead_letter_table(bad, [str(r) for r in reasons[viol_any]])
+    return good, err, raw
+
+
 def write_dead_letters(
     errors_dir: str, err: pa.Table, raw: pa.Table | None = None
 ) -> str:
@@ -453,7 +566,8 @@ class ExtractCombineSpill:
                  url_exclusion_pattern: str | None = None,
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
-                 errors_dir: str | None = None):
+                 errors_dir: str | None = None,
+                 constraints: list | None = None):
         from .extract import HtmlTextExtractor
 
         # Each actor is scheduled as 1 CPU, but pyarrow's internal
@@ -475,6 +589,7 @@ class ExtractCombineSpill:
             wire_schema = wire_schema.append(pa.field("_src_segment", pa.string()))
         self._wire_schema = wire_schema
         self._errors_dir = errors_dir
+        self._constraints = constraints
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "path" in batch.column_names:
@@ -499,6 +614,16 @@ class ExtractCombineSpill:
                      "path": pa.array([path], pa.string()),
                      "row_group": pa.array([-1], pa.int64())}
                 ))
+            if self._constraints:
+                batch, cerr, craw = check_constraints(batch, self._constraints)
+                if cerr is not None:
+                    path = write_dead_letters(self._errors_dir, cerr, craw)
+                    err_rows.append(pa.table(
+                        {"part": pa.array([ERROR_PART], pa.int64()),
+                         "rows": pa.array([cerr.num_rows], pa.int64()),
+                         "path": pa.array([path], pa.string()),
+                         "row_group": pa.array([-1], pa.int64())}
+                    ))
         out = self._extract(batch)
         if out.num_rows == 0:
             spilled = pa.table(
