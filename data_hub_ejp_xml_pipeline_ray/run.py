@@ -36,6 +36,31 @@ def _init_ray(num_cpus: int | None):
         ray.data.DataContext.get_current().enable_progress_bars = False
 
 
+def _parse_constraint(spec: str) -> list:
+    """``COL,OP[,VALUE]`` → the CdcConfig constraint triple. VALUE is
+    int/float when numeric, ``|``-separated list for in/not_in, else a
+    string (regex for ``matches``)."""
+    parts = spec.split(",", 2)
+    if len(parts) < 2:
+        raise SystemExit(f"bad --constraint {spec!r}: need COL,OP[,VALUE]")
+    col, op = parts[0].strip(), parts[1].strip()
+    if len(parts) == 2:
+        return [col, op]
+    raw = parts[2]
+    if op in ("in", "not_in"):
+        return [col, op, [_coerce(v) for v in raw.split("|")]]
+    return [col, op, _coerce(raw)]
+
+
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
 def _cfg_from_args(args) -> "CdcConfig":
     from .config import load_job_config
     from .pipelines.cdc import CdcConfig
@@ -46,6 +71,8 @@ def _cfg_from_args(args) -> "CdcConfig":
     extra = {}
     if getattr(args, "segment_glob", None):
         extra["segment_glob"] = args.segment_glob
+    if getattr(args, "constraint", None):
+        extra["constraints"] = [_parse_constraint(c) for c in args.constraint]
     return CdcConfig(
         wal_dir=args.wal_dir,
         lake_dir=args.lake_dir,
@@ -75,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
                             help="WAL segment glob (default segment-*.parquet; "
                                  "use segment-*.jsonl for a JSONL wire WAL, "
                                  "segment-* for mixed)")
+            sp.add_argument("--constraint", action="append", default=None,
+                            metavar="COL,OP[,VALUE]",
+                            help="ingest-time CHECK constraint, repeatable "
+                                 "(e.g. fetch_status,<,600  lang,not_null  "
+                                 "lang,in,en|de|fr); violations quarantine "
+                                 "to <lake>/_errors")
             sp.add_argument("--entity", action="store_true",
                             help="ingest into the demuxed entity lake "
                                  "(page/link/heading rows) instead of the page lake")

@@ -221,3 +221,15 @@ def test_cli_fsck(tmp_path):
     assert p.returncode == 1
     rep2 = json.loads(p.stdout.strip().splitlines()[-1])
     assert any("missing data file" in e for e in rep2["errors"])
+
+
+def test_parse_constraint_forms():
+    from data_hub_ejp_xml_pipeline_ray.run import _parse_constraint
+
+    assert _parse_constraint("fetch_status,<,600") == ["fetch_status", "<", 600]
+    assert _parse_constraint("lang,not_null") == ["lang", "not_null"]
+    assert _parse_constraint("lang,in,en|de") == ["lang", "in", ["en", "de"]]
+    assert _parse_constraint("url,matches,^https://") == [
+        "url", "matches", "^https://"
+    ]
+    assert _parse_constraint("value,>=,1.5") == ["value", ">=", 1.5]
