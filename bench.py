@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "weighted_quantiles_by_type",
     "time_weighted_avg_per_user",
+    "exact_substring_dedup",
 ]
 
 

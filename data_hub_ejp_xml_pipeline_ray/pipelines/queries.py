@@ -6066,6 +6066,167 @@ def q_dup_ngram_stats(sf_dir: str):
                            zero_copy_batch=True)
 
 
+#: Exact-substring-dedup gram width (word tokens). 50 in the paper;
+#: 8 here so the synthetic corpus' near-dup pairs produce real spans.
+_ESD_N = 8
+
+
+def q_exact_substring_dedup(sf_dir: str):
+    """Exact substring deduplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" mask
+    pass): any word 8-gram occurring >= 2 times ANYWHERE in the corpus
+    (across or within documents) marks its token span as duplicated;
+    overlapping/adjacent spans merge per document. Emits per doc the
+    total token count, removed (masked) token count, kept count and the
+    number of merged duplicate spans — exactly the bookkeeping a
+    masking rewrite needs.
+
+    Scale shape (the paper's monolithic suffix array is replaced by a
+    shuffle-native gram-position inverted stream):
+
+    1. per-block vectorized tokenize + 8-gram fan-out WITH POSITIONS
+       (one polars kernel per block); only (gram, doc_id, pos) rows
+       leave the task — corpus text never moves;
+    2. grams hash-bucket by gram: buckets hold complete gram groups, so
+       the in-bucket occurrence count IS the global count; only the
+       positions of duplicated grams survive, re-keyed by doc bucket;
+    3. per-doc-bucket island merge (positions sorted, fixed-width
+       intervals => one cum_sum break kernel), then a tiny integer
+       ``groupby(doc_id)`` sum re-assembles spans against the per-doc
+       token counts via a union-side co-group — no join shuffle.
+
+    Gram strings stay strings for oracle parity (at web scale they'd
+    be 128-bit fingerprints). Docs shorter than 8 tokens have no grams
+    and emit removed=0, matching the oracle's LEFT JOIN.
+    """
+    n = _ESD_N
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
+
+    _GRAM = pa.schema([
+        ("doc_id", pa.int64()), ("pos", pa.int64()), ("gram", pa.string()),
+    ])
+    _HIT = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    _STAT = pa.schema([
+        ("doc_id", pa.int64()), ("total_p", pa.int64()),
+        ("removed_p", pa.int64()), ("spans_p", pa.int64()),
+    ])
+
+    def gram_pos(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"[A-Za-z0-9]+").alias("tok"),
+            )
+            .explode("tok")
+            .with_columns(pos=pl.int_range(pl.len()).over("doc_id"))
+            .with_columns([
+                pl.col("tok").shift(-j).over("doc_id").alias(f"t{j}")
+                for j in range(1, n)
+            ])
+            .drop_nulls()
+            .select(
+                "doc_id",
+                pl.col("pos").cast(pl.Int64),
+                pl.concat_str(
+                    ["tok"] + [f"t{j}" for j in range(1, n)], separator=" "
+                ).alias("gram"),
+            )
+        )
+        out = ex.to_arrow().cast(_GRAM)
+        if out.num_rows == 0:
+            return _GRAM.append(pa.field("_bucket", pa.int32())).empty_table()
+        gh = pa.array(
+            pl.from_arrow(out.column("gram").combine_chunks())
+            .hash(seed=0).reinterpret(signed=True).to_numpy()
+        )
+        return out.append_column("_bucket", _hash_bucket(gh, num_buckets))
+
+    def dup_hits(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["_bucket"]))
+        out = (
+            df.with_columns(cnt=pl.len().over("gram"))
+            .filter(pl.col("cnt") >= 2)
+            .select("doc_id", "pos")
+        )
+        t = out.to_arrow().cast(_HIT)
+        if t.num_rows == 0:
+            return _HIT.append(pa.field("_db", pa.int32())).empty_table()
+        return t.append_column(
+            "_db", _hash_bucket(t.column("doc_id"), num_buckets))
+
+    def islands(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["_db"])).sort(["doc_id", "pos"])
+        if df.height == 0:
+            return _STAT.empty_table()
+        out = (
+            df.with_columns(
+                brk=((pl.col("pos") - pl.col("pos").shift(1).over("doc_id"))
+                     > n).fill_null(True).cast(pl.Int64))
+            .with_columns(isl=pl.col("brk").cum_sum().over("doc_id"))
+            .group_by(["doc_id", "isl"])
+            .agg((pl.col("pos").max() + n - pl.col("pos").min()).alias("rem"))
+            .group_by("doc_id")
+            .agg(
+                pl.col("rem").sum().cast(pl.Int64).alias("removed_p"),
+                pl.len().cast(pl.Int64).alias("spans_p"),
+            )
+            .with_columns(total_p=pl.lit(0).cast(pl.Int64))
+            .select(["doc_id", "total_p", "removed_p", "spans_p"])
+        )
+        return out.to_arrow().cast(_STAT)
+
+    def len_rows(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.select(
+                "doc_id",
+                pl.col("text").str.extract_all(r"[A-Za-z0-9]+")
+                .list.len().cast(pl.Int64).alias("total_p"),
+            )
+            .with_columns(
+                removed_p=pl.lit(0).cast(pl.Int64),
+                spans_p=pl.lit(0).cast(pl.Int64),
+            )
+            .select(["doc_id", "total_p", "removed_p", "spans_p"])
+        )
+        return out.to_arrow().cast(_STAT)
+
+    grams = ds.map_batches(gram_pos, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    hits = grams.groupby("_bucket").map_groups(dup_hits,
+                                               batch_format="pyarrow")
+    stats = hits.groupby("_db").map_groups(islands, batch_format="pyarrow")
+    lens = _read(sf_dir, "documents", ["doc_id", "text"],
+                 rows_per_block=2_000).map_batches(
+        len_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    agg = lens.union(stats).groupby("doc_id").aggregate(
+        Sum("total_p", alias_name="total_tokens"),
+        Sum("removed_p", alias_name="removed_tokens"),
+        Sum("spans_p", alias_name="dup_spans"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = pc.subtract(t.column("total_tokens"),
+                           t.column("removed_tokens"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "total_tokens": t.column("total_tokens"),
+            "removed_tokens": t.column("removed_tokens"),
+            "kept_tokens": kept,
+            "dup_spans": t.column("dup_spans"),
+        }).cast(pa.schema([
+            ("doc_id", pa.int64()), ("total_tokens", pa.int64()),
+            ("removed_tokens", pa.int64()), ("kept_tokens", pa.int64()),
+            ("dup_spans", pa.int64()),
+        ]))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_winsorized_stats_by_type(sf_dir: str):
     """Winsorized (p01/p99-clipped) grouped mean — the robust
     preprocessing step a feature pipeline applies before training on
@@ -6649,6 +6810,7 @@ QUERIES = {
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "cube_doc_counts": q_cube_doc_counts,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "exact_substring_dedup": q_exact_substring_dedup,
     "winsorized_stats_by_type": q_winsorized_stats_by_type,
     "scrub_props": q_scrub_props,
     "weighted_median_by_type": q_weighted_median_by_type,
@@ -8183,6 +8345,42 @@ ORACLE_SQL["dup_ngram_stats"] = """
            CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT) AS n_dup
     FROM grams g JOIN df d USING (gram)
     GROUP BY g.doc_id
+"""
+
+ORACLE_SQL["exact_substring_dedup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS tk
+      FROM documents),
+    lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS total_tokens
+             FROM toks),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(tk[i:i+{_ESD_N - 1}], ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(tk) - {_ESD_N} + 1, 0)))
+             AS g(i)),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams
+             WHERE gram IN (SELECT gram FROM dup)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_ESD_N}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    isl AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marked),
+    per_isl AS (SELECT doc_id, g, max(pos) + {_ESD_N} - min(pos) AS rem
+                FROM isl GROUP BY 1, 2),
+    per_doc AS (SELECT doc_id, CAST(sum(rem) AS BIGINT) AS removed_tokens,
+                       CAST(count(*) AS BIGINT) AS dup_spans
+                FROM per_isl GROUP BY 1)
+    SELECT l.doc_id, l.total_tokens,
+           coalesce(p.removed_tokens, 0) AS removed_tokens,
+           l.total_tokens - coalesce(p.removed_tokens, 0) AS kept_tokens,
+           coalesce(p.dup_spans, 0) AS dup_spans
+    FROM lens l LEFT JOIN per_doc p USING (doc_id)
 """
 
 ORACLE_SQL["winsorized_stats_by_type"] = """

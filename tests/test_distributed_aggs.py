@@ -612,6 +612,80 @@ def test_dup_ngram_stats_matches_naive_reference(tmp_path, seed):
         assert got.loc[i, "n_dup"] == sum(1 for g in gs if df[g] >= 2), i
 
 
+@pytest.mark.parametrize("seed", [5, 29])
+def test_exact_substring_dedup_matches_naive(tmp_path, seed):
+    """Independent of the SQL oracle: the bucketed gram-position mask
+    equals a naive driver-side Counter + interval merge. The corpus is
+    built to hit every edge: docs shorter than the gram width (zero
+    grams, removed=0), a doc whose duplication is purely WITHIN-doc
+    (a repeated phrase inside one doc still counts, occurrence >= 2),
+    verbatim copies (entire doc masked), and partial overlaps that
+    exercise the adjacent-span merge (gap == n collapses to one span).
+    """
+    import os
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    n = q._ESD_N
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    docs = []
+    for i in range(80):
+        ln = int(rng.integers(0, 40))  # includes docs with < n tokens
+        docs.append(" ".join(rng.choice(vocab, ln)))
+    # verbatim duplicate pair: whole docs masked end-to-end
+    dup = " ".join(rng.choice(vocab, 30))
+    docs += [dup, dup]
+    # within-doc repetition only: phrase repeated twice inside ONE doc
+    phrase = " ".join(rng.choice(vocab, n))
+    docs.append(phrase + " " + " ".join(rng.choice(vocab, 5)) + " " + phrase)
+    # partial overlap: shares a prefix run with the verbatim pair
+    docs.append(dup.rsplit(" ", 10)[0] + " " + " ".join(rng.choice(vocab, 12)))
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(tbl, os.path.join(sf, "documents.parquet"))
+
+    got = (
+        q.QUERIES["exact_substring_dedup"](sf).to_pandas()
+        .set_index("doc_id").sort_index()
+    )
+
+    tok = re.compile(r"[A-Za-z0-9]+")
+    toks = [tok.findall(t) for t in docs]
+    cnt = Counter(
+        " ".join(ws[j:j + n])
+        for ws in toks for j in range(len(ws) - n + 1)
+    )
+    assert len(got) == len(docs)
+    for i, ws in enumerate(toks):
+        hits = [j for j in range(len(ws) - n + 1)
+                if cnt[" ".join(ws[j:j + n])] >= 2]
+        removed, spans, prev = 0, 0, None
+        for j in hits:
+            if prev is None or j - prev > n:
+                spans += 1
+                removed += n
+            else:
+                removed += j - prev
+            prev = j
+        assert got.loc[i, "total_tokens"] == len(ws), i
+        assert got.loc[i, "removed_tokens"] == removed, i
+        assert got.loc[i, "kept_tokens"] == len(ws) - removed, i
+        assert got.loc[i, "dup_spans"] == spans, i
+    # the engineered rows actually exercised their edges
+    assert got.loc[len(docs) - 4, "removed_tokens"] == 30  # verbatim pair
+    assert got.loc[len(docs) - 2, "removed_tokens"] > 0  # within-doc repeat
+
+
 @pytest.mark.parametrize("seed", [11, 31])
 def test_weighted_median_matches_naive(tmp_path, seed):
     """Independent of the SQL oracle: the weighted selection equals a
