@@ -102,6 +102,18 @@ class CdcConfig:
     #: retains ALL history until :func:`..pipelines.maintenance.vacuum`.
     #: K=2 == the classic one-previous-version grace window.
     retain_versions: int | None = 2
+    #: Merge strategy. ``"cow"`` (copy-on-write, default) rewrites each
+    #: touched partition base per micro-batch — read-optimized, write
+    #: amplification O(partition size). ``"mor"`` (merge-on-read,
+    #: Hudi-MOR / Paimon-LSM shape) appends one immutable per-partition
+    #: delta file per batch and never rewrites the base on the ingest
+    #: path — write amplification O(delta size), the shape you want
+    #: when 10^10 events trickle-update a 100-TB lake; readers apply
+    #: LWW over base+deltas and ``maintenance.compact_deltas`` folds
+    #: them back off the ingest path. Modes may be mixed: a CoW batch
+    #: over a partition with pending deltas folds them in (auto-
+    #: compaction for the partitions it touches).
+    merge_mode: str = "cow"
 
 
 @dataclass
@@ -275,6 +287,8 @@ def _ingest_one_batch(
             lake_schema=new_lake_schema,
             token=token,
             reduce_fn=reduce_fn,
+            mode=cfg.merge_mode,
+            base_deltas=manifest.delta_files,
         )
         merger_ref = ray.put(merger)
 
@@ -296,10 +310,30 @@ def _ingest_one_batch(
     events_applied = wal_source.segment_row_counts(segments)
     new_partitions = dict(manifest.partitions)
     new_meta = dict(manifest.partition_meta)
+    new_delta_files = {k: list(v) for k, v in manifest.delta_files.items()}
     deltas_merged = 0
     for row in stats:
         part = int(row["part"])
         deltas_merged += int(row["events_applied"])
+        if cfg.merge_mode == "mor":
+            # base untouched; record the appended delta file and its
+            # stats alongside the partition meta so compaction policy
+            # can target partitions by delta volume
+            new_delta_files.setdefault(part, []).append(row["path"])
+            meta = dict(new_meta.get(part, {}))
+            meta["delta_rows"] = meta.get("delta_rows", 0) + int(row["rows"])
+            meta["delta_bytes"] = meta.get("delta_bytes", 0) + int(row["bytes"])
+            meta["delta_file_count"] = len(new_delta_files[part])
+            meta["delta_tombstones"] = (
+                meta.get("delta_tombstones", 0) + int(row.get("tombstones", 0))
+            )
+            meta.setdefault("modulus", residue_modulus(
+                part, manifest.num_partitions, manifest.split_set()
+            ))
+            new_meta[part] = meta
+            continue
+        # CoW: the rewrite folded any pending MOR deltas in
+        new_delta_files.pop(part, None)
         if row["path"] is None:
             new_partitions.pop(part, None)
             new_meta.pop(part, None)
@@ -356,12 +390,14 @@ def _ingest_one_batch(
                 "rows_per_partition": {
                     str(int(r["part"])): int(r["rows"]) for r in stats
                 },
+                **({"merge_mode": "mor"} if cfg.merge_mode == "mor" else {}),
                 **(lineage_extra or {}),
             }
         ],
         counters=counters,
         retain_versions=cfg.retain_versions,
         kind=manifest.kind,
+        delta_files={k: v for k, v in new_delta_files.items() if v},
     )
     import shutil as _shutil
 
@@ -495,6 +531,64 @@ def run_nested_ingest(cfg: CdcConfig, *, struct_version: int = 1) -> IngestRepor
     )
 
 
+def _read_lake_mor(
+    lake_dir: str, manifest, *,
+    columns: list[str] | None = None,
+    filter: "pc.Expression | None" = None,
+) -> ray.data.Dataset:
+    """Merge-on-read scan: one task per partition reads its base file
+    plus pending delta files, applies the kind-appropriate LWW
+    reduction, filters tombstones, and emits the observable rows.
+    Parquet reads stay column-pruned (plus the LWW key columns, which
+    a correct merge always needs); a payload ``filter`` is applied
+    AFTER the reduction — pushing it below LWW could drop the winning
+    version of a url and resurrect an older row."""
+    import json as _json
+
+    from ..stages.merge import read_effective_partition
+
+    schema = manifest.schema
+    kind = manifest.kind
+    out_names = [
+        f.name for f in schema
+        if f.name != DELETED_COL and (columns is None or f.name in set(columns))
+    ]
+    parts = manifest.all_parts()
+    work = pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "rels": pa.array(
+            [_json.dumps(manifest.part_files(p)) for p in parts], pa.string()
+        ),
+    })
+
+    def scan(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        for part, rels_json in zip(
+            batch.column("part").to_pylist(), batch.column("rels").to_pylist()
+        ):
+            t = read_effective_partition(
+                lake_dir, int(part), _json.loads(rels_json), schema,
+                kind=kind, columns=columns,
+            )
+            if DELETED_COL in t.column_names:
+                mask = pc.fill_null(pc.invert(t.column(DELETED_COL)), True)
+                t = t.filter(mask)
+            if filter is not None:
+                t = t.filter(filter)
+            yield t.select(out_names)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    blocks = min(len(parts), max(cpus * 2, 16))
+    return (
+        ray.data.from_arrow(work)
+        .repartition(blocks)
+        .map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def read_lake(
     lake_dir: str, *, version: int | None = None,
     columns: list[str] | None = None,
@@ -513,6 +607,10 @@ def read_lake(
     from ..schemas import conform_table
 
     manifest = load_manifest(lake_dir, version=version)
+    if manifest is not None and manifest.delta_files:
+        return _read_lake_mor(
+            lake_dir, manifest, columns=columns, filter=filter
+        )
     target = manifest.schema if manifest else None
     if columns is not None and target is not None:
         need = set(columns) | {DELETED_COL}
@@ -560,29 +658,36 @@ def _feed_pair_groups(
     from ..state.checkpoint import resolve_partition
 
     from_splits = m_from.split_set() if m_from is not None else frozenset()
-    from_parts = m_from.partitions if m_from is not None else {}
     num_p = m_to.num_partitions
     groups: dict = {}
-    for part, rel in sorted(m_to.partitions.items()):
+    for part in m_to.all_parts():
+        rels = m_to.part_files(part)
         old_part = (
             resolve_partition(part, num_p, from_splits) if m_from is not None
             else None
         )
-        old_rel = from_parts.get(old_part) if old_part is not None else None
-        key = old_part if old_rel is not None else ("new", part)
+        old_rels = m_from.part_files(old_part) if old_part is not None else []
+        key = old_part if old_rels else ("new", part)
         g = groups.setdefault(key, {
-            "old_path": (
-                os.path.join(lake_dir, old_rel) if old_rel is not None else None
-            ),
+            "old_paths": [os.path.join(lake_dir, r) for r in old_rels],
+            # a side with pending MOR delta files holds >1 row per url;
+            # the diff must LWW-reduce it to the effective state first
+            "old_reduce": len(old_rels) > 1,
             "new_paths": [],
+            "new_reduce": False,
         })
-        g["new_paths"].append(os.path.join(lake_dir, rel))
-    for old_part, old_rel in sorted(from_parts.items()):
-        # old file with zero descendant files: every live row is gone
-        if old_part not in groups:
-            groups[old_part] = {
-                "old_path": os.path.join(lake_dir, old_rel), "new_paths": [],
-            }
+        g["new_paths"].extend(os.path.join(lake_dir, r) for r in rels)
+        g["new_reduce"] = g["new_reduce"] or len(rels) > 1
+    if m_from is not None:
+        for old_part in m_from.all_parts():
+            # old partition with zero descendant files: all rows gone
+            old_rels = m_from.part_files(old_part)
+            if old_part not in groups and old_rels:
+                groups[old_part] = {
+                    "old_paths": [os.path.join(lake_dir, r) for r in old_rels],
+                    "old_reduce": len(old_rels) > 1,
+                    "new_paths": [], "new_reduce": False,
+                }
     return list(groups.values())
 
 
@@ -684,14 +789,22 @@ def changes_between(
             avail = [c for c in schema.names if c in set(f.schema_arrow.names)]
             return conform_table(f.read(columns=avail), schema)
 
+        from ..stages.merge import lww_reduce
+
         outs = []
         for d in batch.to_pylist():
             news = [read_file(p) for p in d["new_paths"]]
             new = pa.concat_tables(news) if news else schema.empty_table()
-            if d["old_path"] is None:
-                old = schema.empty_table()
-            else:
-                old = read_file(d["old_path"])
+            if d["new_reduce"]:
+                # MOR deltas pending on the new side: collapse to the
+                # effective one-row-per-url state (urls are disjoint
+                # across descendant partitions, so one global LWW over
+                # the concatenation is exact)
+                new = lww_reduce(new)
+            olds = [read_file(p) for p in d["old_paths"]]
+            old = pa.concat_tables(olds) if olds else schema.empty_table()
+            if d["old_reduce"]:
+                old = lww_reduce(old)
             idx = pc.index_in(new.column("url"), value_set=old.column("url"))
             present = pc.is_valid(idx).to_numpy(zero_copy_only=False)
             idx_np = idx.to_numpy(zero_copy_only=False)
@@ -863,13 +976,19 @@ def entity_changes_between(
             ]
             outs.append(pa.Table.from_arrays(cols, schema=out_schema))
 
+        from ..stages.merge import lww_winner_rows
+
         for d in batch.to_pylist():
             news = [read_file(p) for p in d["new_paths"]]
             new = pa.concat_tables(news) if news else schema.empty_table()
-            old = (
-                read_file(d["old_path"])
-                if d["old_path"] is not None else schema.empty_table()
-            )
+            if d["new_reduce"]:
+                # group-valued MOR: keep all rows of each url's winning
+                # version before the url-level version join
+                new = lww_winner_rows(new)
+            olds = [read_file(p) for p in d["old_paths"]]
+            old = pa.concat_tables(olds) if olds else schema.empty_table()
+            if d["old_reduce"]:
+                old = lww_winner_rows(old)
             nd, od = pl.from_arrow(new), pl.from_arrow(old)
             j = info(nd).join(
                 info(od), on="url", how="full",
@@ -1128,16 +1247,30 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
         by_part.setdefault(part, []).append(u)
     from ..schemas import conform_table
 
+    from ..stages.merge import reduce_fn_for_kind
+
     tables = []
     for part, part_urls in sorted(by_part.items()):
-        rel = manifest.partitions.get(part)
-        if rel is None:
+        rels = manifest.part_files(part)
+        if not rels:
             continue
-        t = pq.read_table(
-            os.path.join(lake_dir, rel),
-            filters=[("url", "in", part_urls)],
-        )
-        tables.append(conform_table(t, manifest.schema))
+        pieces = [
+            conform_table(
+                pq.read_table(
+                    os.path.join(lake_dir, rel),
+                    filters=[("url", "in", part_urls)],
+                ),
+                manifest.schema,
+            )
+            for rel in rels
+        ]
+        t = pa.concat_tables(pieces)
+        if len(pieces) > 1:
+            # MOR deltas pending: LWW over base+deltas. Pre-filtering
+            # by url is safe below the reduction — url IS the LWW
+            # group key, so every group survives or drops whole.
+            t = reduce_fn_for_kind(manifest.kind)(t)
+        tables.append(t)
     if not tables:
         out = manifest.schema.empty_table()
     else:
@@ -1154,19 +1287,19 @@ def lake_snapshot(lake_dir: str, *, version: int | None = None) -> pa.Table:
     manifest = load_manifest(lake_dir, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
-    if not manifest.partitions:
+    parts = manifest.all_parts()
+    if not parts:
         return (manifest.schema or pa.schema([])).empty_table()
-    import pyarrow.parquet as pq
-
-    from ..schemas import conform_table
-
     import pyarrow.compute as pc
 
+    from ..stages.merge import read_effective_partition
+
     tables = [
-        conform_table(
-            pq.read_table(os.path.join(lake_dir, rel)), manifest.schema
+        read_effective_partition(
+            lake_dir, part, manifest.part_files(part), manifest.schema,
+            kind=manifest.kind,
         )
-        for _, rel in sorted(manifest.partitions.items())
+        for part in parts
     ]
     out = pa.concat_tables(tables)
     if DELETED_COL in out.column_names:

@@ -63,11 +63,17 @@ def auto_maintain(
     *,
     tombstone_ratio: float = 0.2,
     max_partition_bytes: int = 1 << 30,
+    max_delta_files: int = 8,
     vacuum_keep: int | None = None,
 ) -> dict:
     """One-call MAINTENANCE POLICY (the cron entry point): decide from
     MANIFEST STATS ONLY — never a data scan — and run what's due:
 
+    * fold merge-on-read deltas (:func:`compact_deltas`) when any
+      partition has accumulated ``max_delta_files`` or more pending
+      delta files (each pending file is an extra read + a bigger LWW
+      reduce on every scan of that partition — the classic LSM
+      read-amplification knob);
     * compact when persisted tombstones exceed ``tombstone_ratio`` of
       live+tombstone rows (reclaims space, speeds every read);
     * split any partition above ``max_partition_bytes`` (one level per
@@ -81,12 +87,24 @@ def auto_maintain(
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     meta = manifest.partition_meta
-    tombs = sum(m.get("tombstones", 0) for m in meta.values())
-    rows = sum(m.get("rows", 0) for m in meta.values())
+    tombs = sum(
+        m.get("tombstones", 0) + m.get("delta_tombstones", 0)
+        for m in meta.values()
+    )
+    rows = sum(
+        m.get("rows", 0) + m.get("delta_rows", 0) for m in meta.values()
+    )
     actions: dict = {
         "tombstones": tombs, "rows": rows,
-        "compacted": False, "splits": 0, "vacuumed": False,
+        "deltas_folded": False, "compacted": False,
+        "splits": 0, "vacuumed": False,
     }
+    if any(
+        len(rels) >= max_delta_files for rels in manifest.delta_files.values()
+    ):
+        r = compact_deltas(lake_dir)
+        actions["deltas_folded"] = True
+        actions["delta_files_folded"] = r["delta_files_folded"]
     if tombs and rows and tombs / rows >= tombstone_ratio:
         r = compact_lake(lake_dir)
         actions["compacted"] = True
@@ -140,6 +158,7 @@ def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
             counters=manifest.counters,
             retain_versions=manifest.retain_versions,
             kind=manifest.kind,
+            delta_files={k: list(v) for k, v in manifest.delta_files.items()},
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
@@ -162,77 +181,132 @@ def compact_lake(lake_dir: str) -> dict:
         return _compact_locked(lake_dir, lock_token)
 
 
+def _fold_rewrite(
+    lake_dir: str, manifest: LakeManifest, parts: list[int], token: str,
+    *, drop_tombstones: bool,
+) -> list[dict]:
+    """Rewrite each target partition from its EFFECTIVE state — base
+    file plus any pending merge-on-read delta files, LWW-reduced with
+    the lake-kind-appropriate kernel — into one fresh base file.
+    ``drop_tombstones`` additionally drops tombstone rows (tombstone
+    compaction). One Ray task batch per partition; counters only come
+    back to the driver. Returns per-partition stat rows; ``path`` is
+    None when a partition compacts to zero rows."""
+    import json as _json
+
+    schema, kind = manifest.schema, manifest.kind
+    work = pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "rels": pa.array(
+            [_json.dumps(manifest.part_files(p)) for p in parts], pa.string()
+        ),
+    })
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from ..stages.merge import read_effective_partition
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        out = {k: [] for k in ("part", "path", "rows", "tombstones", "bytes",
+                               "dropped")}
+        for part, rels_json in zip(
+            batch.column("part").to_pylist(), batch.column("rels").to_pylist()
+        ):
+            table = read_effective_partition(
+                lake_dir, int(part), _json.loads(rels_json), schema, kind=kind
+            )
+            kept = table
+            if drop_tombstones and DELETED_COL in table.column_names:
+                mask = pc.fill_null(pc.invert(table.column(DELETED_COL)), True)
+                kept = table.filter(mask)
+            tombs = (
+                int(pc.sum(pc.fill_null(kept.column(DELETED_COL), False))
+                    .as_py() or 0)
+                if DELETED_COL in kept.column_names else 0
+            )
+            out["part"].append(part)
+            out["rows"].append(kept.num_rows)
+            out["tombstones"].append(tombs)
+            out["dropped"].append(table.num_rows - kept.num_rows)
+            if kept.num_rows == 0:
+                out["path"].append(None)
+                out["bytes"].append(0)
+                continue
+            new_rel = os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
+            out_path = os.path.join(lake_dir, new_rel)
+            tmp = out_path + ".inprogress"
+            pq.write_table(kept, tmp)
+            os.replace(tmp, out_path)
+            out["path"].append(new_rel)
+            out["bytes"].append(os.path.getsize(out_path))
+        return pa.table({
+            "part": pa.array(out["part"], pa.int64()),
+            "path": pa.array(out["path"], pa.string()),
+            "rows": pa.array(out["rows"], pa.int64()),
+            "tombstones": pa.array(out["tombstones"], pa.int64()),
+            "bytes": pa.array(out["bytes"], pa.int64()),
+            "dropped": pa.array(out["dropped"], pa.int64()),
+        })
+
+    ds = ray.data.from_arrow(work).repartition(min(len(parts), 32))
+    return ds.map_batches(rewrite, batch_format="pyarrow").take_all()
+
+
+def _apply_fold_stats(
+    manifest: LakeManifest, stats: list[dict],
+) -> tuple[dict, dict, dict]:
+    """Fold per-partition rewrite stats into new (partitions, meta,
+    delta_files) maps: rewritten partitions get a fresh base entry and
+    their pending delta files cleared (the rewrite folded them in)."""
+    new_partitions = dict(manifest.partitions)
+    new_meta = dict(manifest.partition_meta)
+    new_delta_files = {
+        k: list(v) for k, v in manifest.delta_files.items()
+    }
+    for row in stats:
+        part = int(row["part"])
+        new_delta_files.pop(part, None)
+        if row["path"] is None:
+            new_partitions.pop(part, None)
+            new_meta.pop(part, None)
+            continue
+        new_partitions[part] = row["path"]
+        kept_meta = dict(manifest.partition_meta.get(part, {}))
+        for k in ("delta_rows", "delta_bytes", "delta_file_count",
+                  "delta_tombstones"):
+            kept_meta.pop(k, None)  # folded into the base
+        kept_meta.update(
+            rows=int(row["rows"]),
+            tombstones=int(row["tombstones"]),
+            bytes=int(row["bytes"]),
+        )
+        new_meta[part] = kept_meta
+    return new_partitions, new_meta, new_delta_files
+
+
 def _compact_locked(lake_dir: str, lock_token: str) -> dict:
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    # Rewrite partitions with persisted tombstones (missing stats count
+    # as "has them" — never skip on absent metadata) PLUS any partition
+    # with pending MOR deltas: dropping a base tombstone while an OLDER
+    # live delta row for the same url pends would resurrect it, so the
+    # rewrite always starts from the effective base+deltas state.
     targets = [
-        (part, rel)
-        for part, rel in manifest.partitions.items()
+        part for part in manifest.all_parts()
         if manifest.partition_meta.get(part, {}).get("tombstones", 1) > 0
+        or part in manifest.delta_files
     ]
     if not targets:
         return {"partitions_rewritten": 0, "tombstones_dropped": 0}
 
     token = f"compact-{manifest.version + 1}"
-
-    def rewrite(batch: pa.Table) -> pa.Table:
-        out_parts, out_paths, out_rows, out_dropped = [], [], [], []
-        for part, rel in zip(
-            batch.column("part").to_pylist(), batch.column("rel").to_pylist()
-        ):
-            table = pq.read_table(os.path.join(lake_dir, rel))
-            if DELETED_COL in table.column_names:
-                mask = pc.fill_null(pc.invert(table.column(DELETED_COL)), True)
-                kept = table.filter(mask)
-            else:
-                kept = table
-            dropped = table.num_rows - kept.num_rows
-            if kept.num_rows == 0:
-                out_parts.append(part)
-                out_paths.append(None)
-                out_rows.append(0)
-                out_dropped.append(dropped)
-                continue
-            new_rel = os.path.join("data", f"part-{part:05d}-{token}.parquet")
-            out_path = os.path.join(lake_dir, new_rel)
-            tmp = out_path + ".inprogress"
-            pq.write_table(kept, tmp)
-            os.replace(tmp, out_path)
-            out_parts.append(part)
-            out_paths.append(new_rel)
-            out_rows.append(kept.num_rows)
-            out_dropped.append(dropped)
-        return pa.table(
-            {"part": pa.array(out_parts, pa.int64()),
-             "path": pa.array(out_paths, pa.string()),
-             "rows": pa.array(out_rows, pa.int64()),
-             "dropped": pa.array(out_dropped, pa.int64())}
-        )
-
-    work = ray.data.from_arrow(
-        pa.table({"part": [p for p, _ in targets], "rel": [r for _, r in targets]})
-    ).repartition(min(len(targets), 32))
-    stats = work.map_batches(rewrite, batch_format="pyarrow").take_all()
-
-    new_partitions = dict(manifest.partitions)
-    new_meta = dict(manifest.partition_meta)
-    dropped_total = 0
-    for row in stats:
-        part = int(row["part"])
-        dropped_total += int(row["dropped"])
-        if row["path"] is None:
-            new_partitions.pop(part, None)
-            new_meta.pop(part, None)
-        else:
-            new_partitions[part] = row["path"]
-            # preserve modulus (split routing bookkeeping) across rewrites
-            kept_meta = dict(manifest.partition_meta.get(part, {}))
-            kept_meta.update(
-                rows=int(row["rows"]), tombstones=0,
-                bytes=os.path.getsize(os.path.join(lake_dir, row["path"])),
-            )
-            new_meta[part] = kept_meta
+    stats = _fold_rewrite(
+        lake_dir, manifest, targets, token, drop_tombstones=True
+    )
+    new_partitions, new_meta, new_delta_files = _apply_fold_stats(manifest, stats)
+    dropped_total = sum(int(r["dropped"]) for r in stats)
 
     new_manifest = LakeManifest(
         num_partitions=manifest.num_partitions,
@@ -253,6 +327,7 @@ def _compact_locked(lake_dir: str, lock_token: str) -> dict:
         counters=manifest.counters,
         retain_versions=manifest.retain_versions,
         kind=manifest.kind,
+        delta_files={k: v for k, v in new_delta_files.items() if v},
     )
     commit_manifest(
         lake_dir, new_manifest, expected_version=manifest.version
@@ -262,6 +337,68 @@ def _compact_locked(lake_dir: str, lock_token: str) -> dict:
     return {
         "partitions_rewritten": len(stats),
         "tombstones_dropped": dropped_total,
+    }
+
+
+def compact_deltas(lake_dir: str) -> dict:
+    """Fold pending merge-on-read delta files back into their partition
+    base files (the Hudi-MOR compactor / Paimon full-compaction analog,
+    run OFF the ingest path). Unlike :func:`compact_lake`, tombstone
+    rows are KEPT — folding deltas is a pure layout change and must not
+    weaken the late-event resurrection guard; drop tombstones only via
+    the explicit retention decision ``compact_lake`` encodes. After
+    this, reads over the touched partitions are single-file again.
+
+    Only partitions with pending deltas are rewritten; cost is
+    O(base + deltas) of those partitions, not the lake. CAS commit
+    under the writer lock, op ``compact_deltas``."""
+    with writer_lock(lake_dir) as lock_token:
+        manifest = load_manifest(lake_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        targets = sorted(manifest.delta_files)
+        if not targets:
+            return {"partitions_rewritten": 0, "delta_files_folded": 0}
+        folded = sum(len(v) for v in manifest.delta_files.values())
+        token = f"deltacompact-{manifest.version + 1}"
+        stats = _fold_rewrite(
+            lake_dir, manifest, targets, token, drop_tombstones=False
+        )
+        new_partitions, new_meta, new_delta_files = _apply_fold_stats(
+            manifest, stats
+        )
+        assert not new_delta_files or all(
+            p not in new_delta_files for p in targets
+        )
+        new_manifest = LakeManifest(
+            num_partitions=manifest.num_partitions,
+            version=manifest.version + 1,
+            watermark=manifest.watermark,
+            schema=manifest.schema,
+            partitions=new_partitions,
+            partition_meta=new_meta,
+            splits=list(manifest.splits),
+            lineage=manifest.lineage
+            + [{
+                "version": manifest.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "compact_deltas",
+                "partitions_rewritten": len(stats),
+                "delta_files_folded": folded,
+            }],
+            counters=manifest.counters,
+            retain_versions=manifest.retain_versions,
+            kind=manifest.kind,
+            delta_files={k: v for k, v in new_delta_files.items() if v},
+        )
+        commit_manifest(
+            lake_dir, new_manifest, expected_version=manifest.version
+        )
+        verify_lock(lake_dir, lock_token)  # fencing before deletes
+        gc_unreferenced(lake_dir, new_manifest, previous=manifest)
+    return {
+        "partitions_rewritten": len(stats),
+        "delta_files_folded": folded,
     }
 
 
@@ -283,22 +420,29 @@ def split_partition(lake_dir: str, part: int) -> dict:
     manifest = load_manifest(lake_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
-    if part not in manifest.partitions:
+    if part not in manifest.partitions and part not in manifest.delta_files:
         raise KeyError(f"partition {part} not live in {lake_dir}")
     splits = manifest.split_set()
     m = residue_modulus(part, manifest.num_partitions, splits)
-    rel = manifest.partitions[part]
+    rels = manifest.part_files(part)
     token = f"split-{manifest.version + 1}"
+    schema, kind = manifest.schema, manifest.kind
 
     @ray.remote(num_cpus=1)
-    def rewrite_children(path: str, r: int, mod: int) -> list[dict]:
+    def rewrite_children(rel_list: list[str], r: int, mod: int) -> list[dict]:
         import numpy as np
         import pyarrow as _pa
 
-        from ..stages.merge import DELETED_COL as _DEL, crc32_column
+        from ..stages.merge import (
+            DELETED_COL as _DEL,
+            crc32_column,
+            read_effective_partition,
+        )
 
         _pa.set_cpu_count(1)
-        table = pq.read_table(path)
+        # effective base+deltas state: a split folds any pending MOR
+        # deltas into the children (tombstones retained)
+        table = read_effective_partition(lake_dir, r, rel_list, schema, kind=kind)
         crc = crc32_column(table.column("url")).astype(np.int64)
         child = crc % (2 * mod)
         out = []
@@ -321,15 +465,15 @@ def split_partition(lake_dir: str, part: int) -> dict:
             })
         return out
 
-    children = ray.get(
-        rewrite_children.remote(os.path.join(lake_dir, rel), part, m)
-    )
+    children = ray.get(rewrite_children.remote(rels, part, m))
     with writer_lock(lake_dir) as lock_token:
         current = load_manifest(lake_dir)
         new_partitions = dict(current.partitions)
         new_meta = dict(current.partition_meta)
+        new_delta_files = {k: list(v) for k, v in current.delta_files.items()}
         new_partitions.pop(part, None)
         new_meta.pop(part, None)
+        new_delta_files.pop(part, None)  # folded into the children
         for ch in children:
             new_partitions[int(ch["part"])] = ch["path"]
             new_meta[int(ch["part"])] = {
@@ -354,6 +498,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
             counters=current.counters,
             retain_versions=current.retain_versions,
             kind=current.kind,
+            delta_files={k: v for k, v in new_delta_files.items() if v},
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
@@ -376,8 +521,9 @@ def split_overflowing(lake_dir: str, max_partition_bytes: int) -> dict:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     over = [
         part for part, meta in manifest.partition_meta.items()
-        if meta.get("bytes", 0) > max_partition_bytes
-        and part in manifest.partitions
+        if meta.get("bytes", 0) + meta.get("delta_bytes", 0)
+        > max_partition_bytes
+        and (part in manifest.partitions or part in manifest.delta_files)
     ]
     results = [split_partition(lake_dir, part) for part in sorted(over)]
     return {"splits": len(results), "parents": [r["parent"] for r in results]}
@@ -449,19 +595,39 @@ def cluster_lake(
                     f"sort key {k!r} not in lake schema "
                     f"{manifest.schema.names}"
                 )
-        targets = sorted(manifest.partitions.items())
+        targets = manifest.all_parts()
         if not targets:
             return {"partitions_rewritten": 0, "sort_by": keys}
         token = f"cluster-{manifest.version + 1}"
+        import json as _json
+
+        schema, kind = manifest.schema, manifest.kind
+        work_tbl = pa.table({
+            "part": pa.array(targets, pa.int64()),
+            "rels": pa.array(
+                [_json.dumps(manifest.part_files(p)) for p in targets],
+                pa.string(),
+            ),
+        })
 
         def rewrite(batch: pa.Table) -> pa.Table:
+            from ..stages.merge import read_effective_partition
+
             pa.set_cpu_count(1)
             pa.set_io_thread_count(2)
-            out_parts, out_paths, out_rows, out_bytes = [], [], [], []
-            for part, rel in zip(
-                batch.column("part").to_pylist(), batch.column("rel").to_pylist()
+            out_parts, out_paths, out_rows, out_tombs, out_bytes = (
+                [], [], [], [], []
+            )
+            for part, rels_json in zip(
+                batch.column("part").to_pylist(),
+                batch.column("rels").to_pylist(),
             ):
-                table = pq.read_table(os.path.join(lake_dir, rel))
+                # effective base+deltas state — clustering rewrites the
+                # partition anyway, so pending MOR deltas fold in free
+                table = read_effective_partition(
+                    lake_dir, int(part), _json.loads(rels_json), schema,
+                    kind=kind,
+                )
                 if method == "zorder" and len(keys) > 1:
                     idx = _zorder_indices(table, keys)
                 else:
@@ -477,18 +643,21 @@ def cluster_lake(
                 out_parts.append(part)
                 out_paths.append(new_rel)
                 out_rows.append(table.num_rows)
+                out_tombs.append(
+                    int(pc.sum(pc.fill_null(table.column(DELETED_COL), False))
+                        .as_py() or 0)
+                    if DELETED_COL in table.column_names else 0
+                )
                 out_bytes.append(os.path.getsize(out_path))
             return pa.table(
                 {"part": pa.array(out_parts, pa.int64()),
                  "path": pa.array(out_paths, pa.string()),
                  "rows": pa.array(out_rows, pa.int64()),
+                 "tombstones": pa.array(out_tombs, pa.int64()),
                  "bytes": pa.array(out_bytes, pa.int64())}
             )
 
-        work = ray.data.from_arrow(
-            pa.table({"part": [p for p, _ in targets],
-                      "rel": [r for _, r in targets]})
-        ).repartition(min(len(targets), 32))
+        work = ray.data.from_arrow(work_tbl).repartition(min(len(targets), 32))
         stats = work.map_batches(rewrite, batch_format="pyarrow").take_all()
 
         new_partitions = dict(manifest.partitions)
@@ -497,7 +666,13 @@ def cluster_lake(
             part = int(row["part"])
             new_partitions[part] = row["path"]
             kept_meta = dict(manifest.partition_meta.get(part, {}))
-            kept_meta.update(rows=int(row["rows"]), bytes=int(row["bytes"]))
+            for k in ("delta_rows", "delta_bytes", "delta_file_count",
+                      "delta_tombstones"):
+                kept_meta.pop(k, None)  # folded into the clustered base
+            kept_meta.update(
+                rows=int(row["rows"]), tombstones=int(row["tombstones"]),
+                bytes=int(row["bytes"]),
+            )
             new_meta[part] = kept_meta
 
         new_manifest = LakeManifest(
@@ -637,49 +812,55 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
     else:
         snap = snapshots[manifest.version]
         if (snap.watermark != manifest.watermark
-                or snap.partitions != manifest.partitions):
+                or snap.partitions != manifest.partitions
+                or snap.delta_files != manifest.delta_files):
             errors.append(
                 f"snapshot v{manifest.version} disagrees with the "
-                "current manifest (watermark or partition map)"
+                "current manifest (watermark, partition map or deltas)"
             )
 
     # -- data files: existence + current-manifest stat drift -----------
+    # base AND merge-on-read delta files are checked for existence;
+    # stat drift applies to the base only (delta stats are cumulative
+    # in partition_meta, not per-file)
     files_checked = 0
     for v, m in sorted(snapshots.items()):
-        for part, rel in sorted(m.partitions.items()):
-            path = os.path.join(lake_dir, rel)
-            if not os.path.exists(path):
-                errors.append(f"v{v} part {part}: missing data file {rel}")
-                continue
-            files_checked += 1
-            if v != manifest.version:
-                continue
-            meta = manifest.partition_meta.get(part)
-            if not meta:
-                warnings.append(f"part {part}: no partition_meta stats")
-                continue
-            actual_bytes = os.path.getsize(path)
-            if "bytes" in meta and int(meta["bytes"]) != actual_bytes:
-                errors.append(
-                    f"part {part}: manifest bytes {meta['bytes']} != "
-                    f"file bytes {actual_bytes} ({rel})"
-                )
-            try:
-                footer_rows = pq.ParquetFile(path).metadata.num_rows
-            except Exception as e:  # torn write / truncation / tail junk
-                errors.append(
-                    f"part {part}: unreadable parquet footer ({rel}): {e!r}"
-                )
-                continue
-            if "rows" in meta and int(meta["rows"]) != footer_rows:
-                errors.append(
-                    f"part {part}: manifest rows {meta['rows']} != "
-                    f"footer rows {footer_rows} ({rel})"
-                )
+        for part in m.all_parts():
+            base_rel = m.partitions.get(part)
+            for rel in m.part_files(part):
+                path = os.path.join(lake_dir, rel)
+                if not os.path.exists(path):
+                    errors.append(f"v{v} part {part}: missing data file {rel}")
+                    continue
+                files_checked += 1
+                if v != manifest.version or rel != base_rel:
+                    continue
+                meta = manifest.partition_meta.get(part)
+                if not meta:
+                    warnings.append(f"part {part}: no partition_meta stats")
+                    continue
+                actual_bytes = os.path.getsize(path)
+                if "bytes" in meta and int(meta["bytes"]) != actual_bytes:
+                    errors.append(
+                        f"part {part}: manifest bytes {meta['bytes']} != "
+                        f"file bytes {actual_bytes} ({rel})"
+                    )
+                try:
+                    footer_rows = pq.ParquetFile(path).metadata.num_rows
+                except Exception as e:  # torn write / truncation / tail junk
+                    errors.append(
+                        f"part {part}: unreadable parquet footer ({rel}): {e!r}"
+                    )
+                    continue
+                if "rows" in meta and int(meta["rows"]) != footer_rows:
+                    errors.append(
+                        f"part {part}: manifest rows {meta['rows']} != "
+                        f"footer rows {footer_rows} ({rel})"
+                    )
 
     # -- partition covering under the split map ------------------------
     cells: list[tuple[int, int]] = []
-    for r in sorted(manifest.partitions):
+    for r in manifest.all_parts():
         m = residue_modulus(r, P, splits)
         if r % m != r or (r, m) in splits:
             errors.append(
@@ -714,7 +895,7 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
     referenced = {
         os.path.normpath(rel)
         for m in list(snapshots.values()) + [manifest]
-        for rel in m.partitions.values()
+        for rel in m.all_data_relpaths()
     }
     data_dir = os.path.join(lake_dir, DATA_DIR)
     orphans = 0
@@ -734,8 +915,11 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         "checked": {
             "version": manifest.version,
             "retained_versions": versions,
-            "partitions": len(manifest.partitions),
+            "partitions": len(manifest.all_parts()),
             "data_files": files_checked,
+            "delta_files": sum(
+                len(v) for v in manifest.delta_files.values()
+            ),
         },
     }
 
@@ -743,10 +927,15 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         futs = [
             _fsck_partition_task.remote(
                 lake_dir, rel, part, P, [list(c) for c in splits],
-                manifest.partition_meta.get(part, {}).get("rows"),
-                manifest.partition_meta.get(part, {}).get("tombstones"),
+                # row/tombstone expectations only apply to the base
+                # file; MOR delta files get the routing check alone
+                manifest.partition_meta.get(part, {}).get("rows")
+                if rel == manifest.partitions.get(part) else None,
+                manifest.partition_meta.get(part, {}).get("tombstones")
+                if rel == manifest.partitions.get(part) else None,
             )
-            for part, rel in sorted(manifest.partitions.items())
+            for part in manifest.all_parts()
+            for rel in manifest.part_files(part)
         ]
         deep_errors: list[str] = []
         for res in ray.get(futs):

@@ -2886,7 +2886,7 @@ def derived_cdc_workdir(sf_dir: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"cdc_{tag}_q_{n_events}")
 
 
-def _run_derived_cdc(sf_dir: str, tag: str, *, entity: bool) -> pa.Table:
+def _run_derived_cdc(sf_dir: str, tag: str, *, entity: bool, **cfg_kw) -> pa.Table:
     """Shared engine side of the ORACLE-CHECKED flagship pipelines:
     derive a deterministic WAL from the sf tier's ``events`` table
     (:func:`..sources.synthetic.derive_wal_from_events`), run the REAL
@@ -2913,7 +2913,7 @@ def _run_derived_cdc(sf_dir: str, tag: str, *, entity: bool) -> pa.Table:
     # starve the read stage -> deadlock; see cdc._default_extract_concurrency)
     cfg = CdcConfig(wal_dir=os.path.join(work, "wal"),
                     lake_dir=os.path.join(work, "lake"),
-                    num_partitions=16)
+                    num_partitions=16, **cfg_kw)
     (run_entity_ingest if entity else run_ingest)(cfg)
     snap = lake_snapshot(cfg.lake_dir)
     # oracle comparison: tz-aware UTC -> naive (the events table's ts is
@@ -2942,6 +2942,23 @@ def q_cdc_lake_state(sf_dir: str):
     included: the derived html is tag-free, so byte-identical
     extraction means text == the SQL string literal)."""
     snap = _run_derived_cdc(sf_dir, "lake", entity=False)
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def q_cdc_lake_state_mor(sf_dir: str):
+    """Merge-on-read flagship, DRIVER-ORACLE-CHECKED: the same derived
+    WAL ingested with ``merge_mode="mor"`` in two micro-batches, so the
+    committed lake is pure per-partition delta files (no base ever
+    written, write amplification O(delta)) and the MERGE-ON-READ scan
+    path — per-partition base+delta LWW at read time,
+    ``cdc._read_lake_mor`` / ``stages.merge.read_effective_partition``
+    — produces the observable state. Hash-equal to the identical
+    window-LWW SQL oracle as ``cdc_lake_state``: CoW and MOR are
+    interchangeable layouts of one logical table."""
+    snap = _run_derived_cdc(
+        sf_dir, "lake_mor", entity=False,
+        merge_mode="mor", max_segments_per_batch=4,
+    )
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
@@ -6747,6 +6764,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
+    "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
     "entity_change_feed": q_entity_change_feed,
@@ -7230,6 +7248,21 @@ ORACLE_SQL = {
     # equals a window LWW over events; text is the tag-free html string
     # (byte-identical extraction invariant, checked by hash).
     "cdc_lake_state": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # Merge-on-read layout of the same logical table: identical oracle
+    # (CoW and MOR must be observationally indistinguishable).
+    "cdc_lake_state_mor": """
         SELECT url, warc_ts, seq, text, lang FROM (
           SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
                  ts AS warc_ts, event_id AS seq,

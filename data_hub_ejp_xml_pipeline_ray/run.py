@@ -73,6 +73,8 @@ def _cfg_from_args(args) -> "CdcConfig":
         extra["segment_glob"] = args.segment_glob
     if getattr(args, "constraint", None):
         extra["constraints"] = [_parse_constraint(c) for c in args.constraint]
+    if getattr(args, "merge_mode", None):
+        extra["merge_mode"] = args.merge_mode
     return CdcConfig(
         wal_dir=args.wal_dir,
         lake_dir=args.lake_dir,
@@ -108,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
                                  "(e.g. fetch_status,<,600  lang,not_null  "
                                  "lang,in,en|de|fr); violations quarantine "
                                  "to <lake>/_errors")
+            sp.add_argument("--merge-mode", default=None,
+                            choices=("cow", "mor"),
+                            help="cow (default) rewrites touched partition "
+                                 "bases per batch; mor appends immutable "
+                                 "per-partition delta files (Hudi-MOR "
+                                 "shape) — fold them with compact-deltas")
             sp.add_argument("--entity", action="store_true",
                             help="ingest into the demuxed entity lake "
                                  "(page/link/heading rows) instead of the page lake")
@@ -126,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep this replica table synced from the "
                          "change feed after every commit")
     sp = sub.add_parser("compact", help="drop persisted tombstones")
+    add_common(sp, lake_only=True)
+    sp = sub.add_parser(
+        "compact-deltas",
+        help="fold pending merge-on-read delta files into partition "
+             "bases (tombstones kept)")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
         "cluster", help="sort-cluster partition files for row-group pruning")
@@ -298,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
             "watermark": m.watermark, "partitions": len(m.partitions),
             "rows": sum(v.get("rows", 0) for v in m.partition_meta.values()),
             "tombstones": sum(v.get("tombstones", 0) for v in m.partition_meta.values()),
+            "delta_files": sum(len(v) for v in m.delta_files.values()),
             "counters": m.counters,
             "schema": None if m.schema is None else m.schema.names,
         }))
@@ -442,6 +456,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import compact_lake
 
             print(json.dumps(compact_lake(args.lake_dir)))
+        elif args.cmd == "compact-deltas":
+            from .pipelines.maintenance import compact_deltas
+
+            print(json.dumps(compact_deltas(args.lake_dir)))
         elif args.cmd == "cluster":
             from .pipelines.maintenance import cluster_lake
 

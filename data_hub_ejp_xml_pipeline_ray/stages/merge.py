@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..schemas import conform_table
-from ..state.checkpoint import partition_file_relpath
+from ..state.checkpoint import partition_delta_relpath, partition_file_relpath
 
 #: Marker op for rows originating from the base lake partition.
 BASE_OP = "base"
@@ -466,6 +466,55 @@ def lww_winner_rows(table: pa.Table) -> pa.Table:
     return table.join(winners, keys=["url", "warc_ts", "seq"], join_type="inner")
 
 
+def reduce_fn_for_kind(kind: str):
+    """LWW reduction matching a lake's row semantics (manifest
+    ``kind``): row-valued lakes keep one winner row per url,
+    group-valued (entity) lakes keep ALL rows of the winning
+    ``(warc_ts, seq)`` version per url."""
+    return lww_winner_rows if kind == "group" else lww_reduce
+
+
+def read_effective_partition(
+    lake_dir: str,
+    part: int,
+    rels: list[str],
+    schema: pa.Schema,
+    *,
+    kind: str = "row",
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Effective (merge-on-read) state of one partition: read its base
+    file plus any MOR delta files, conform each to ``schema``, apply
+    the kind-appropriate LWW reduction. Tombstone rows are RETAINED —
+    callers filter ``_deleted`` when they want the observable rows.
+
+    ``columns`` prunes the parquet reads, but the LWW key columns
+    (url, warc_ts, seq) and the tombstone flag are always read — a
+    correct merge needs them — and dropped again afterwards. A
+    predicate can only be applied AFTER the reduction (filtering an
+    arbitrary column below LWW could drop the winning version and
+    resurrect an older row), so no payload filter is taken here.
+    """
+    need = None
+    if columns is not None:
+        need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
+        schema = pa.schema([f for f in schema if f.name in need])
+    pieces = []
+    for rel in rels:
+        f = pq.ParquetFile(os.path.join(lake_dir, rel))
+        avail = (
+            None if need is None
+            else [c for c in schema.names if c in set(f.schema_arrow.names)]
+        )
+        pieces.append(conform_table(f.read(columns=avail), schema))
+    if not pieces:
+        return schema.empty_table()
+    merged = pa.concat_tables(pieces)
+    if len(pieces) > 1:
+        merged = reduce_fn_for_kind(kind)(merged)
+    return conform_table(merged, schema)
+
+
 class SpillCombiner:
     """Map-side exchange stage (replaces an all-to-all shuffle operator).
 
@@ -655,6 +704,8 @@ class PartitionMerger:
         lake_schema: pa.Schema,
         token: str,
         reduce_fn=None,
+        mode: str = "cow",
+        base_deltas: dict[int, list[str]] | None = None,
     ):
         #: LWW reduction: row-valued (default) or group-valued
         #: (:func:`lww_winner_rows` for entity tables)
@@ -667,8 +718,84 @@ class PartitionMerger:
         self._base_partitions = base_partitions
         self._lake_schema = lake_schema  # already evolved (driver-side union)
         self._token = token
+        #: "cow" rewrites the partition base per batch (read-optimized);
+        #: "mor" appends one immutable delta file per (partition, batch)
+        #: and leaves the base untouched — write amplification drops
+        #: from O(partition size) to O(delta size) per micro-batch, at
+        #: the cost of an LWW merge on every read until
+        #: ``compact_deltas`` folds the deltas back (Hudi-MOR shape).
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        self._mode = mode
+        #: committed MOR delta files per partition (manifest
+        #: ``delta_files``). A CoW merge over a partition with pending
+        #: deltas folds them into the new base (mode mixing is safe:
+        #: CoW ingest doubles as compaction for the partitions it
+        #: touches); a MOR merge leaves them in place.
+        self._base_deltas = base_deltas or {}
+
+    def _gather_delta(self, part: int) -> pa.Table:
+        """Concat + normalize this batch's spill row groups for one
+        partition: tombstone flag materialized, conformed to the
+        (already evolved) lake schema."""
+        import pyarrow.compute as pc
+
+        deltas = [
+            pq.ParquetFile(path).read_row_group(rg)
+            for path, rg in sorted(self._delta_map.get(part, []))
+        ]
+        delta = pa.concat_tables(deltas, promote_options="default")
+        if "part" in delta.column_names:
+            delta = delta.drop_columns(["part"])
+        if DELETED_COL not in delta.column_names and "op" in delta.column_names:
+            delta = delta.append_column(
+                DELETED_COL, pc.equal(delta.column("op"), DELETE_OP)
+            )
+        return conform_table(delta, self._lake_schema)
+
+    def merge_one_mor(self, part: int) -> dict:
+        """Merge-on-read reduce for one partition: reduce THIS batch's
+        spill row groups (cross-block LWW within the micro-batch) and
+        write them as one immutable delta file — the committed base is
+        never read or rewritten. Readers (``read_lake`` /
+        ``lookup_urls`` / ``lake_snapshot``) apply LWW over
+        base+deltas; ``compact_deltas`` folds them back into the base
+        off the ingest path."""
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        rel = partition_delta_relpath(part, self._token)
+        out_path = os.path.join(self._lake_dir, rel)
+        if os.path.exists(out_path):
+            # partition-level resume, same contract as the CoW branch
+            meta = pq.ParquetFile(out_path)
+            return {
+                "part": part, "path": rel,
+                "rows": meta.metadata.num_rows,
+                "bytes": os.path.getsize(out_path),
+                "events_applied": 0,
+                "tombstones": 0,
+                "resumed": True,
+            }
+        delta = self._gather_delta(part)
+        events_applied = delta.num_rows
+        delta = self._reduce_fn(delta)
+        delta = conform_table(delta, self._lake_schema)
+        tombstones = int(
+            pa.compute.sum(delta.column(DELETED_COL)).as_py() or 0
+        ) if DELETED_COL in delta.column_names else 0
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".inprogress"
+        pq.write_table(delta, tmp)
+        os.replace(tmp, out_path)
+        return {
+            "part": part, "path": rel, "rows": delta.num_rows,
+            "bytes": os.path.getsize(out_path),
+            "events_applied": events_applied, "tombstones": tombstones,
+        }
 
     def merge_one(self, part: int) -> dict:
+        if self._mode == "mor":
+            return self.merge_one_mor(part)
         import pyarrow.compute as pc
 
         # Same arrow-threadpool pinning as the map side: this runs as a
@@ -702,31 +829,24 @@ class PartitionMerger:
                 "tombstones": tomb,
                 "resumed": True,
             }
-        deltas = [
-            pq.ParquetFile(path).read_row_group(rg)
-            for path, rg in sorted(self._delta_map.get(part, []))
-        ]
-        delta = pa.concat_tables(deltas, promote_options="default")
-        if "part" in delta.column_names:
-            delta = delta.drop_columns(["part"])
+        # Gather + normalize the batch's spill row groups (tombstone
+        # flag materialized; conformed to the already-evolved lake
+        # schema, which drops wire-only leftovers, null-fills columns
+        # this delta's schema version didn't carry, applies widens).
+        delta = self._gather_delta(part)
         events_applied = delta.num_rows
-        # Materialize the tombstone flag (unless the spill already
-        # carries it — entity spills do), then conform to the lake
-        # schema (drops wire-only leftovers, null-fills columns this
-        # delta's schema version didn't carry, applies declared widens).
-        if DELETED_COL not in delta.column_names and "op" in delta.column_names:
-            delta = delta.append_column(
-                DELETED_COL, pc.equal(delta.column("op"), DELETE_OP)
-            )
-        delta = conform_table(delta, self._lake_schema)
 
         base_rel = self._base_partitions.get(part)
+        pieces = []
         if base_rel is not None:
             base = pq.read_table(os.path.join(self._lake_dir, base_rel))
-            base = conform_table(base, self._lake_schema)
-            merged = pa.concat_tables([base, delta])
-        else:
-            merged = delta
+            pieces.append(conform_table(base, self._lake_schema))
+        for rel in self._base_deltas.get(part, ()):
+            # pending MOR deltas fold into this rewrite (auto-compact)
+            t = pq.read_table(os.path.join(self._lake_dir, rel))
+            pieces.append(conform_table(t, self._lake_schema))
+        pieces.append(delta)
+        merged = pa.concat_tables(pieces) if len(pieces) > 1 else delta
 
         merged = self._reduce_fn(merged)
         merged = conform_table(merged, self._lake_schema)

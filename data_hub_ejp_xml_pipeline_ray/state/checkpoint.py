@@ -91,9 +91,38 @@ class LakeManifest:
     #: (``changes_between`` and everything built on it) check this and
     #: refuse group lakes instead of silently mis-diffing.
     kind: str = "row"
+    #: merge-on-read deltas: {part: [relpath, ...]} — per-partition
+    #: UNMERGED delta files appended by ``merge_mode="mor"`` ingest
+    #: (Hudi-MOR / Paimon-LSM shape: the base file is NOT rewritten per
+    #: micro-batch; readers apply LWW over base+deltas at scan time and
+    #: :func:`~..pipelines.maintenance.compact_deltas` folds them back
+    #: into the base). Apply order is irrelevant — LWW is decided by
+    #: ``(warc_ts, seq)``, not file order. Empty dict = pure
+    #: copy-on-write lake (the default; every query path is identical).
+    delta_files: dict[int, list[str]] = field(default_factory=dict)
 
     def split_set(self) -> frozenset[tuple[int, int]]:
         return frozenset((int(r), int(m)) for r, m in self.splits)
+
+    def part_files(self, part: int) -> list[str]:
+        """Every live relpath holding partition ``part``'s state: the
+        base file (if any) plus MOR delta files, in commit order."""
+        rels = []
+        base = self.partitions.get(part)
+        if base is not None:
+            rels.append(base)
+        rels.extend(self.delta_files.get(part, []))
+        return rels
+
+    def all_parts(self) -> list[int]:
+        return sorted(set(self.partitions) | set(self.delta_files))
+
+    def all_data_relpaths(self) -> set[str]:
+        """Every data relpath this snapshot references (GC live-set)."""
+        live = set(self.partitions.values())
+        for rels in self.delta_files.values():
+            live.update(rels)
+        return live
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -109,6 +138,10 @@ class LakeManifest:
             "counters": self.counters,
             "retain_versions": self.retain_versions,
             "kind": self.kind,
+            # omitted when empty so pre-MOR snapshots stay byte-stable
+            **({"delta_files": {
+                str(k): list(v) for k, v in self.delta_files.items()
+            }} if self.delta_files else {}),
         }
 
     @classmethod
@@ -127,6 +160,9 @@ class LakeManifest:
             counters=dict(doc.get("counters", {})),
             retain_versions=doc.get("retain_versions", 2),
             kind=doc.get("kind", "row"),
+            delta_files={
+                int(k): list(v) for k, v in doc.get("delta_files", {}).items()
+            },
         )
 
 
@@ -402,6 +438,7 @@ def _same_logical_commit(a: LakeManifest, b: LakeManifest) -> bool:
         a.version == b.version
         and a.watermark == b.watermark
         and a.partitions == b.partitions
+        and a.delta_files == b.delta_files
     )
 
 
@@ -488,6 +525,14 @@ def partition_file_relpath(part: int, token: str) -> str:
     return os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
 
 
+def partition_delta_relpath(part: int, token: str) -> str:
+    """Content-addressed path of one micro-batch's MOR delta file for a
+    partition — a pure function of (partition, batch token), so a
+    crashed-and-retried batch rewrites the identical path (the same
+    idempotence contract as :func:`partition_file_relpath`)."""
+    return os.path.join(DATA_DIR, f"part-{part:05d}-{token}.delta.parquet")
+
+
 _FROM_MANIFEST = object()  # sentinel: use manifest.retain_versions
 
 
@@ -518,9 +563,9 @@ def gc_unreferenced(
         retain_versions = manifest.retain_versions
     store = store or LOCAL_STORE
     removed = []
-    live = {os.path.normpath(rel) for rel in manifest.partitions.values()}
+    live = {os.path.normpath(rel) for rel in manifest.all_data_relpaths()}
     if previous is not None:
-        live |= {os.path.normpath(rel) for rel in previous.partitions.values()}
+        live |= {os.path.normpath(rel) for rel in previous.all_data_relpaths()}
     versions = list_versions(lake_dir, store=store)
     keep_versions = (
         set(versions) if retain_versions is None
@@ -535,7 +580,7 @@ def gc_unreferenced(
         if v in keep_versions:
             try:
                 m = LakeManifest.from_json(json.loads(store.get_bytes(snap)))
-                live |= {os.path.normpath(rel) for rel in m.partitions.values()}
+                live |= {os.path.normpath(rel) for rel in m.all_data_relpaths()}
             except FileNotFoundError:
                 continue  # vacuumed between listing and read
             except (json.JSONDecodeError, KeyError) as e:
