@@ -295,6 +295,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             t_cdc, report = dt, rep
         i += 1
 
+    # Merge-on-read vs copy-on-write under a TRICKLE-UPDATE shape (8
+    # micro-batch commits over the same WAL): the MOR write path never
+    # rewrites a partition base, so per-commit cost tracks the delta,
+    # not the partition — the dial that matters when 10^10 events
+    # trickle into a 100-TB lake. SKIPPED at scaling volumes (adds two
+    # full ingests per leg).
+    t_mor = t_cow_micro = None
+    if n_events <= 2_000_000:
+        for mode in ("mor", "cow"):
+            mdir = f"{lake}_micro_{mode}"
+            shutil.rmtree(mdir, ignore_errors=True)
+            cfg_m = CdcConfig(
+                wal_dir=wal, lake_dir=mdir, num_partitions=64,
+                max_segments_per_batch=8, staging_root=staging_root,
+                merge_mode=mode,
+            )
+            t0 = time.perf_counter()
+            run_ingest(cfg_m)
+            dt = time.perf_counter() - t0
+            if mode == "mor":
+                t_mor = dt
+            else:
+                t_cow_micro = dt
+            shutil.rmtree(mdir, ignore_errors=True)
+
     # Change-feed + incremental-view timings on the committed bench
     # lake: the 0->1 feed scans every partition once (insert-only), so
     # rows/s here is the feed's lake-scan throughput; the view build is
@@ -410,6 +435,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "view_build_s": None if t_view is None else round(t_view, 3),
             "replica_full_sync_s": (
                 None if t_rep is None else round(t_rep, 3)
+            ),
+            "mor_microbatch_s": None if t_mor is None else round(t_mor, 3),
+            "cow_microbatch_s": (
+                None if t_cow_micro is None else round(t_cow_micro, 3)
             ),
             "cluster_s": None if t_cluster is None else round(t_cluster, 3),
             "clustered_point_lookup_s": (

@@ -373,6 +373,41 @@ def test_entity_lake_mor_matches_cow(tmp_path):
     assert entity_snapshot(mor.lake_dir) == entity_snapshot(cow.lake_dir)
 
 
+def test_mor_schema_evolution_across_delta_files(tmp_path):
+    """Schema evolution lands mid-MOR-stream: v1-era delta files pend
+    under the evolved (v2) manifest schema. The merge-on-read scan
+    null-fills / widens the old delta files on the fly — same union
+    semantics the CoW path applies — and folding afterwards changes
+    nothing observable."""
+    import pyarrow as pa
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal"), seed=5, n_urls=30, n_events=300,
+                 n_segments=6, v2_from_segment=3, delete_fraction=0.08)
+    mor = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake_mor"),
+                    num_partitions=8, extract_concurrency=2,
+                    merge_mode="mor", max_segments_per_batch=2)
+    cow = CdcConfig(wal_dir=os.path.join(tmp, "wal"),
+                    lake_dir=os.path.join(tmp, "lake_cow"),
+                    num_partitions=8, extract_concurrency=2,
+                    max_segments_per_batch=2)
+    run_ingest(mor)
+    run_ingest(cow)
+    m = load_manifest(mor.lake_dir)
+    assert m.delta_files
+    assert m.schema.field("fetch_status").type == pa.int64()
+    assert "content_type" in m.schema.names
+    snap_mor = lake_snapshot(mor.lake_dir)
+    assert snap_mor.equals(lake_snapshot(cow.lake_dir))
+    assert snap_mor.schema.field("fetch_status").type == pa.int64()
+    by_url = {r["url"]: r for r in snap_mor.to_pylist()}
+    assert any(r["content_type"] is None for r in by_url.values())
+    assert any(r["content_type"] is not None for r in by_url.values())
+    compact_deltas(mor.lake_dir)
+    assert lake_snapshot(mor.lake_dir).equals(snap_mor)
+
+
 def test_unknown_merge_mode_rejected(small_wal):
     with pytest.raises(ValueError, match="unknown merge mode"):
         run_ingest(_cfg(small_wal, merge_mode="upsert"))
