@@ -193,6 +193,16 @@ def main(argv: list[str] | None = None) -> int:
         "versions", help="list retained snapshot versions (time travel)")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
+        "tag", help="pin/list/delete named version tags (tagged "
+                    "versions survive retention and vacuum)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--name", default=None,
+                    help="tag to create (omit to list tags)")
+    sp.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
+    sp.add_argument("--delete", action="store_true",
+                    help="delete --name instead of creating it")
+    sp = sub.add_parser(
         "vacuum", help="prune version history to the newest K snapshots")
     add_common(sp, lake_only=True)
     sp.add_argument("--keep", type=int, default=1)
@@ -225,6 +235,8 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sp, lake_only=True)
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--tag", default=None,
+                    help="named tag: export the version it pins")
     sp.add_argument("--timestamp", default=None,
                     help="ISO instant: export the version current then")
     sp.add_argument("--columns", default=None,
@@ -276,8 +288,22 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CdcConfig(wal_dir="", lake_dir=args.lake_dir)
         print(json.dumps(redrive_errors(cfg)))
         return 0
+    if args.cmd == "tag":
+        from .state.checkpoint import delete_tag, list_tags, tag_version
+
+        if args.name is None:
+            print(json.dumps({"lake": args.lake_dir,
+                              "tags": list_tags(args.lake_dir)}))
+        elif args.delete:
+            removed = delete_tag(args.lake_dir, args.name)
+            print(json.dumps({"deleted": args.name, "existed": removed}))
+        else:
+            v = tag_version(args.lake_dir, args.name, args.version)
+            print(json.dumps({"tag": args.name, "version": v}))
+        return 0
     if args.cmd == "versions":
         from .state.checkpoint import (
+            list_tags,
             list_versions,
             load_manifest,
             version_committed_at,
@@ -292,7 +318,8 @@ def main(argv: list[str] | None = None) -> int:
                 "partitions": len(m.partitions),
                 "rows": sum(x.get("rows", 0) for x in m.partition_meta.values()),
             })
-        print(json.dumps({"lake": args.lake_dir, "versions": out}))
+        print(json.dumps({"lake": args.lake_dir, "versions": out,
+                          "tags": list_tags(args.lake_dir)}))
         return 0
     if args.cmd == "vacuum":
         from .pipelines.maintenance import vacuum
@@ -420,6 +447,10 @@ def main(argv: list[str] | None = None) -> int:
                 }))
                 return 2
             version = args.version
+            if version is None and getattr(args, "tag", None):
+                from .state.checkpoint import resolve_tag
+
+                version = resolve_tag(args.lake_dir, args.tag)
             if version is None and args.timestamp is not None:
                 version = resolve_version_at(args.lake_dir, args.timestamp)
             ds = read_lake(

@@ -220,6 +220,113 @@ def list_versions(lake_dir: str, *, store: Store | None = None) -> list[int]:
     return sorted(out)
 
 
+TAGS_NAME = "_tags.json"
+
+
+def tags_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, TAGS_NAME)
+
+
+def list_tags(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
+    """Named refs -> pinned snapshot version (the Iceberg TAG analog).
+    Empty dict when no tag was ever created."""
+    store = store or LOCAL_STORE
+    try:
+        raw = store.get_bytes(tags_path(lake_dir))
+    except FileNotFoundError:
+        return {}
+    return {str(k): int(v) for k, v in json.loads(raw).items()}
+
+
+def _cas_update_tags(
+    lake_dir: str, store: Store, update_fn,
+) -> dict[str, int]:
+    """Read-modify-write of the tags doc through the store seam's CAS
+    primitives (bounded retry) — same rename-free publish contract as
+    the manifest pointer, so tags are safe on object stores too."""
+    path = tags_path(lake_dir)
+    for _ in range(16):
+        try:
+            raw = store.get_bytes(path)
+        except FileNotFoundError:
+            raw = None
+        cur = (
+            {} if raw is None
+            else {str(k): int(v) for k, v in json.loads(raw).items()}
+        )
+        new = update_fn(dict(cur))
+        data = json.dumps(new, sort_keys=True).encode()
+        if raw is None:
+            if store.put_if_absent(path, data):
+                return new
+        elif store.replace_if_matches(path, raw, data):
+            return new
+    raise ConcurrentWriterError(
+        f"tags update at {lake_dir} kept losing CAS races"
+    )
+
+
+def tag_version(
+    lake_dir: str, name: str, version: int | None = None,
+    *, store: Store | None = None,
+) -> int:
+    """Pin a NAMED TAG to a retained snapshot version (Iceberg tags /
+    Delta named versions): ``read_lake(version=resolve_tag(...))`` time-
+    travels by name, and — the point of tags — a tagged version is
+    EXEMPT from retention pruning and :func:`vacuum` until the tag is
+    deleted, so audits/releases keep a reproducible pinned state while
+    normal history rolls. Re-tagging an existing name moves it (the
+    doc's last-writer-wins is CAS-serialized). Default version = the
+    current committed one."""
+    import re as _re
+
+    store = store or LOCAL_STORE
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
+        raise ValueError(
+            f"invalid tag name {name!r} (alnum first, then [A-Za-z0-9._-])"
+        )
+    if version is None:
+        m = load_manifest(lake_dir, store=store)
+        if m is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        version = m.version
+    if not store.exists(snapshot_path(lake_dir, int(version))):
+        raise FileNotFoundError(
+            f"no retained snapshot v{version} at {lake_dir} to tag "
+            f"(retained: {list_versions(lake_dir, store=store)})"
+        )
+    _cas_update_tags(
+        lake_dir, store, lambda t: {**t, name: int(version)}
+    )
+    return int(version)
+
+
+def delete_tag(
+    lake_dir: str, name: str, *, store: Store | None = None,
+) -> bool:
+    """Remove a tag (its pinned version becomes prunable again on the
+    next retention/vacuum pass). True = removed, False = didn't exist."""
+    store = store or LOCAL_STORE
+    existed = name in list_tags(lake_dir, store=store)
+    _cas_update_tags(
+        lake_dir, store,
+        lambda t: {k: v for k, v in t.items() if k != name},
+    )
+    return existed
+
+
+def resolve_tag(
+    lake_dir: str, name: str, *, store: Store | None = None,
+) -> int:
+    """Tag name -> pinned version; KeyError when the tag doesn't exist."""
+    tags = list_tags(lake_dir, store=store)
+    if name not in tags:
+        raise KeyError(
+            f"no tag {name!r} at {lake_dir} (tags: {sorted(tags)})"
+        )
+    return tags[name]
+
+
 def version_committed_at(m: "LakeManifest") -> str | None:
     """ISO commit time of a manifest's own version, from its lineage."""
     for e in reversed(m.lineage):
@@ -570,6 +677,11 @@ def gc_unreferenced(
     keep_versions = (
         set(versions) if retain_versions is None
         else set(versions[-max(int(retain_versions), 1):])
+    )
+    # tagged versions are PINNED: exempt from retention/vacuum pruning
+    # until the tag is deleted (Iceberg tag semantics)
+    keep_versions |= (
+        set(list_tags(lake_dir, store=store).values()) & set(versions)
     )
     # a snapshot newer than the committed manifest is a crashed commit's
     # orphan ONLY if its version > current; keep it out of caution is
