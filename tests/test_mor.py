@@ -408,6 +408,72 @@ def test_mor_schema_evolution_across_delta_files(tmp_path):
     assert lake_snapshot(mor.lake_dir).equals(snap_mor)
 
 
+def test_nested_lake_mor_across_struct_evolution(tmp_path):
+    """The nested list<struct> lake rides MOR too: v1-struct delta
+    files pending under the evolved v2 manifest null-fill the new
+    struct field element-wise at scan time (recursive conform), and
+    MOR equals CoW for the same WAL."""
+    import shutil
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import run_nested_ingest
+
+    tmp = str(tmp_path)
+    # wal1 = segments 0-3 (ingested under struct v1); wal2 = wal1 plus
+    # segments 4-5 (the v2-era tail) — both builds see identical WALs
+    wal1 = os.path.join(tmp, "wal1")
+    generate_wal(wal1, seed=41, n_urls=20, n_events=120, n_segments=4,
+                 delete_fraction=0.1, rich_pages=True)
+    wal2 = os.path.join(tmp, "wal2")
+    shutil.copytree(wal1, wal2)
+    generate_wal(wal2, seed=43, n_urls=20, n_events=60, n_segments=2,
+                 start_segment=4, delete_fraction=0.1, rich_pages=True)
+
+    def build(lake, mode):
+        cfg = CdcConfig(wal_dir=wal1, lake_dir=lake, num_partitions=8,
+                        extract_concurrency=2, merge_mode=mode,
+                        max_segments_per_batch=2)
+        run_nested_ingest(cfg, struct_version=1)
+        cfg2 = CdcConfig(wal_dir=wal2, lake_dir=lake, num_partitions=8,
+                         extract_concurrency=2, merge_mode=mode,
+                         max_segments_per_batch=2)
+        run_nested_ingest(cfg2, struct_version=2)
+        return lake_snapshot(lake)
+
+    snap_mor = build(os.path.join(tmp, "lake_mor"), "mor")
+    m = load_manifest(os.path.join(tmp, "lake_mor"))
+    assert m.delta_files
+    assert "rel" in str(m.schema.field("links").type)  # evolved
+    snap_cow = build(os.path.join(tmp, "lake_cow"), "cow")
+    assert snap_mor.equals(snap_cow)
+    compact_deltas(os.path.join(tmp, "lake_mor"))
+    assert lake_snapshot(os.path.join(tmp, "lake_mor")).equals(snap_cow)
+
+
+def test_incremental_view_over_mor_lake(small_wal):
+    """A feed-driven materialized view refreshed across MOR commits
+    equals a from-scratch recount — the change feed hides the delta
+    layout from downstream consumers."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_view,
+        refresh_live_counts,
+    )
+
+    cfg = _cfg(small_wal, merge_mode="mor", max_segments_per_batch=4,
+               retain_versions=None)
+    view_dir = os.path.join(small_wal, "view")
+    run_ingest(cfg)  # two MOR commits
+    # full build pinned at v1, then an INCREMENTAL refresh rides the
+    # v1->v2 change feed — both over pure-delta-file versions
+    r1 = refresh_live_counts(cfg.lake_dir, view_dir, at_version=1)
+    r2 = refresh_live_counts(cfg.lake_dir, view_dir)
+    assert r1["mode"] == "full" and r2["mode"] == "incremental"
+    expected = {}
+    for v in _expected_lake(cfg.wal_dir).values():
+        expected[v["lang"]] = expected.get(v["lang"], 0) + 1
+    got = {r["lang"]: r["n"] for r in read_view(view_dir).to_pylist()}
+    assert got == expected
+
+
 def test_unknown_merge_mode_rejected(small_wal):
     with pytest.raises(ValueError, match="unknown merge mode"):
         run_ingest(_cfg(small_wal, merge_mode="upsert"))
