@@ -620,6 +620,79 @@ def q_pack_token_shards(sf_dir: str):
     return toks.groupby("_rb").map_groups(pack, batch_format="pyarrow")
 
 
+def q_mixture_by_token_budget(sf_dir: str):
+    """Data-MIXTURE sampling for LLM training (the per-source token
+    budgets a mixture recipe prescribes — LLaMA/Pile-style domain
+    weighting): admit each source's documents in deterministic doc_id
+    order until the source's budget is exhausted (here budget = HALF
+    the source's own total tokens, so the gate is derived from the
+    corpus and scales with the tier; a real recipe would pass explicit
+    per-domain budgets). Greedy prefix fill: a doc is admitted iff the
+    tokens admitted before it are still under budget (bounded
+    overshoot by at most one document — the standard rule).
+
+    Distributed as a GROUPED ordered prefix sum (the per-source
+    generalization of ``q_pack_token_shards``): per-(source, id-range)
+    token sums -> the driver folds a tiny offset table (sources x
+    ranges entries) plus per-source totals/budgets -> each
+    (source, range) bucket admits its own rows vectorized. No task
+    holds a source's corpus; the driver holds counters only."""
+    ds = _read(
+        sf_dir, "documents", ["doc_id", "text", "source"],
+        rows_per_block=2_000,
+    )
+    range_docs = _pack_range_docs(
+        pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    )
+
+    def tok(t: pa.Table) -> pa.Table:
+        ann = annotate_text_stats(t)
+        rb = pc.cast(pc.divide(ann.column("doc_id"), range_docs), pa.int64())
+        return pa.table(
+            {"doc_id": ann.column("doc_id"),
+             "source": t.column("source"),
+             "n_tokens": ann.column("n_tokens"),
+             "_rb": rb}
+        )
+
+    toks = ds.map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    sums = toks.groupby(["source", "_rb"]).aggregate(
+        Sum("n_tokens", alias_name="_s")
+    ).take_all()
+    offsets: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(sums, key=lambda x: (x["source"], x["_rb"])):
+        offsets[(r["source"], int(r["_rb"]))] = totals.get(r["source"], 0)
+        totals[r["source"]] = (
+            totals.get(r["source"], 0) + int(r["_s"])
+        )
+    budgets = {s: t // 2 for s, t in totals.items()}
+
+    def admit(group: pa.Table) -> pa.Table:
+        src = group.column("source")[0].as_py()
+        rb = int(group.column("_rb")[0].as_py())
+        idx = pc.sort_indices(group.column("doc_id"))
+        g = group.take(idx)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        before = np.cumsum(nt) - nt + offsets[(src, rb)]
+        g = g.filter(pa.array(before < budgets[src]))
+        return pa.table(
+            {"doc_id": g.column("doc_id"),
+             "source": g.column("source"),
+             "n_tokens": pc.cast(g.column("n_tokens"), pa.int64())}
+        )
+
+    return toks.groupby(["source", "_rb"]).map_groups(
+        admit, batch_format="pyarrow"
+    )
+
+
 def q_quality_gate_by_lang(sf_dir: str):
     """Per-language quality gate at the language's own MEDIAN: keep
     documents strictly above the per-lang median quality score — the
@@ -6725,6 +6798,7 @@ QUERIES = {
     "top_terms_sketch": q_top_terms_sketch,
     "hourly_distinct_users": q_hourly_distinct_users,
     "pack_token_shards": q_pack_token_shards,
+    "mixture_by_token_budget": q_mixture_by_token_budget,
     "quality_gate_by_lang": q_quality_gate_by_lang,
     "sessionize": q_sessionize,
     "asof_last_signup": q_asof_last_signup,
@@ -6957,6 +7031,27 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                cum_before // {PACK_SHARD_TOKENS} AS shard_id
         FROM c
+    """,
+    # per-source greedy prefix fill: admitted iff the source's tokens
+    # BEFORE this doc are under budget (= half the source's total)
+    "mixture_by_token_budget": f"""
+        WITH t AS (
+          SELECT doc_id, source, {_TOKEN_SQL} AS n_tokens FROM documents
+        ),
+        b AS (
+          SELECT source, CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget
+          FROM t GROUP BY source
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+          FROM t)
+        SELECT c.doc_id, c.source, CAST(c.n_tokens AS BIGINT) AS n_tokens
+        FROM c JOIN b ON c.source = b.source
+        WHERE c.cum_before < b.budget
     """,
     # the full training-prep flow as ONE statement (gate ->
     # decontaminate -> exact dedup -> stratified sample -> pack)

@@ -774,3 +774,45 @@ def test_weighted_quantiles_matches_naive(tmp_path):
             thr = (num * W + den - 1) // den
             expect = float(uniq[int(np.searchsorted(cw, thr))])
             assert got.loc[t, col] == expect, (t, col)
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_mixture_by_token_budget_matches_naive_fill(tmp_path, seed):
+    """Independent of the SQL oracle: the grouped ordered prefix-sum
+    admission equals a naive per-source greedy fill on the driver —
+    including a single-doc source (budget = half its tokens: admitted
+    iff it has >= 2 tokens, since a 1-token doc's budget is 0)."""
+    import re
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(seed)
+    n = 1200
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y22", "zz"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 40)))
+        for _ in range(n)
+    ]
+    sources = rng.choice(["a", "b", "c"], n).tolist()
+    sources[0] = "solo"  # a source with exactly one document
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(sources),
+    })
+    sf = _write_docs(tmp_path, tbl)
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"])
+        for r in q.QUERIES["mixture_by_token_budget"](sf).take_all()
+    )
+    ntok = [len(re.findall(r"[A-Za-z0-9]+", t)) for t in texts]
+    expected = []
+    for src in set(sources):
+        ids = [i for i in range(n) if sources[i] == src]
+        budget = sum(ntok[i] for i in ids) // 2
+        run = 0
+        for i in ids:  # doc_id order
+            if run < budget:
+                expected.append((i, src, ntok[i]))
+            run += ntok[i]
+    assert got == sorted(expected)
