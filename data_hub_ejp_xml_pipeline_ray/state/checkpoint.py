@@ -327,6 +327,30 @@ def resolve_tag(
     return tags[name]
 
 
+@contextlib.contextmanager
+def pinned_snapshot(
+    lake_dir: str, version: int | None = None, *, store: Store | None = None,
+) -> Iterator[int]:
+    """READER LEASE: pin a snapshot version for the duration of a long
+    read (a multi-hour training scan at 100 TB outlives the one-version
+    GC grace window and any retention policy). Implemented as a
+    uniquely-named tag (``pin-<uuid>``), so retention pruning and
+    vacuum skip the pinned version while the reader runs; the tag is
+    deleted on exit (also on error). The yielded value is the pinned
+    version number — pass it to ``read_lake(version=...)``.
+
+    A reader that dies without cleanup leaves a ``pin-`` tag behind;
+    list_tags makes them visible and delete_tag reclaims them — an
+    operator decision, exactly like abandoned Iceberg refs."""
+    store = store or LOCAL_STORE
+    name = f"pin-{uuid.uuid4().hex[:12]}"
+    v = tag_version(lake_dir, name, version, store=store)
+    try:
+        yield v
+    finally:
+        delete_tag(lake_dir, name, store=store)
+
+
 def version_committed_at(m: "LakeManifest") -> str | None:
     """ISO commit time of a manifest's own version, from its lineage."""
     for e in reversed(m.lineage):

@@ -136,3 +136,36 @@ def test_tag_cli(versioned_lake, capsys):
     assert json.loads(capsys.readouterr().out) == {
         "deleted": "rel", "existed": True,
     }
+
+
+def test_pinned_snapshot_reader_lease(versioned_lake):
+    """A long reader pins its snapshot: vacuum during the read cannot
+    prune it; the pin is released (tag deleted) on exit — including on
+    error — and the version becomes prunable again."""
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        pinned_snapshot,
+    )
+
+    lake = versioned_lake.lake_dir
+    with pinned_snapshot(lake, 2) as v:
+        assert v == 2
+        pinned_state = lake_snapshot(lake, version=2)
+        vacuum(lake, keep=1)
+        assert lake_snapshot(lake, version=2).equals(pinned_state)
+        assert len(list_tags(lake)) == 1
+    assert list_tags(lake) == {}  # lease released
+    vacuum(lake, keep=1)
+    with pytest.raises(FileNotFoundError):
+        lake_snapshot(lake, version=2)
+
+
+def test_pinned_snapshot_releases_on_error(versioned_lake):
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        pinned_snapshot,
+    )
+
+    lake = versioned_lake.lake_dir
+    with pytest.raises(RuntimeError, match="reader died"):
+        with pinned_snapshot(lake):  # default: current version
+            raise RuntimeError("reader died")
+    assert list_tags(lake) == {}
