@@ -477,3 +477,51 @@ def test_incremental_view_over_mor_lake(small_wal):
 def test_unknown_merge_mode_rejected(small_wal):
     with pytest.raises(ValueError, match="unknown merge mode"):
         run_ingest(_cfg(small_wal, merge_mode="upsert"))
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_random_mode_and_maintenance_interleaving_converges(tmp_path, seed):
+    """Property: ANY interleaving of MOR/CoW ingest phases with
+    maintenance ops (delta fold, tombstone compact, split, cluster,
+    vacuum) converges to the replay oracle, and the lake stays
+    fsck-clean (deep) at the end — the operational safety net for
+    mixing the write-amplification dial with background maintenance."""
+    import random
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        cluster_lake,
+        compact_lake,
+    )
+
+    rng = random.Random(seed)
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    lake = os.path.join(tmp, "lake")
+    phases = [(0, 4), (4, 3), (7, 3)]
+    for i, (start, n) in enumerate(phases):
+        generate_wal(wal, seed=seed * 7 + i, n_urls=30, n_events=n * 40,
+                     n_segments=n, start_segment=start,
+                     delete_fraction=0.1, tie_fraction=0.1)
+        mode = rng.choice(["mor", "cow"])
+        cfg = CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=8,
+                        extract_concurrency=2, merge_mode=mode,
+                        max_segments_per_batch=rng.choice([1, 2, 4]))
+        run_ingest(cfg)
+        op = rng.choice(["none", "fold", "compact", "split", "cluster",
+                         "vacuum"])
+        if op == "fold":
+            compact_deltas(lake)
+        elif op == "compact":
+            compact_lake(lake)
+        elif op == "cluster":
+            cluster_lake(lake, "url")
+        elif op == "vacuum":
+            vacuum(lake, keep=1)
+        elif op == "split":
+            m = load_manifest(lake)
+            parts = m.all_parts()
+            if parts:
+                split_partition(lake, rng.choice(parts))
+    assert _snapshot_dict(lake) == _expected_lake(wal)
+    report = fsck_lake(lake, deep=True)
+    assert report["ok"], report["errors"]
