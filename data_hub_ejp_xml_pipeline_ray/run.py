@@ -133,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--replica-dir", default=None,
                     help="keep this replica table synced from the "
                          "change feed after every commit")
+    sp.add_argument("--auto-maintain", action="store_true",
+                    help="run the stat-driven maintenance policy "
+                         "(delta fold / compact / split) after each "
+                         "commit — the one-process operational loop")
     sp = sub.add_parser("compact", help="drop persisted tombstones")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
@@ -315,8 +319,9 @@ def main(argv: list[str] | None = None) -> int:
             out.append({
                 "version": v, "watermark": m.watermark,
                 "committed_at": version_committed_at(m),
-                "partitions": len(m.partitions),
-                "rows": sum(x.get("rows", 0) for x in m.partition_meta.values()),
+                "partitions": len(m.all_parts()),
+                "rows": sum(x.get("rows", 0) + x.get("delta_rows", 0)
+                            for x in m.partition_meta.values()),
             })
         print(json.dumps({"lake": args.lake_dir, "versions": out,
                           "tags": list_tags(args.lake_dir)}))
@@ -335,9 +340,13 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps({
             "lake": args.lake_dir, "committed": True, "version": m.version,
-            "watermark": m.watermark, "partitions": len(m.partitions),
-            "rows": sum(v.get("rows", 0) for v in m.partition_meta.values()),
-            "tombstones": sum(v.get("tombstones", 0) for v in m.partition_meta.values()),
+            "watermark": m.watermark, "partitions": len(m.all_parts()),
+            # physical rows: base + pending MOR delta rows (upper bound
+            # on live rows — supersessions/tombstones fold at read)
+            "rows": sum(v.get("rows", 0) + v.get("delta_rows", 0)
+                        for v in m.partition_meta.values()),
+            "tombstones": sum(v.get("tombstones", 0) + v.get("delta_tombstones", 0)
+                              for v in m.partition_meta.values()),
             "delta_files": sum(len(v) for v in m.delta_files.values()),
             "counters": m.counters,
             "schema": None if m.schema is None else m.schema.names,
@@ -396,6 +405,10 @@ def main(argv: list[str] | None = None) -> int:
                         out["replica"] = sync_replica(
                             cfg.lake_dir, args.replica_dir
                         )
+                    if getattr(args, "auto_maintain", False):
+                        from .pipelines.maintenance import auto_maintain
+
+                        out["maintenance"] = auto_maintain(cfg.lake_dir)
                     print(json.dumps(out), flush=True)
                     deadline = time.monotonic() + args.timeout
                 else:

@@ -233,3 +233,23 @@ def test_parse_constraint_forms():
         "url", "matches", "^https://"
     ]
     assert _parse_constraint("value,>=,1.5") == ["value", ">=", 1.5]
+
+
+def test_cli_poll_mor_with_auto_maintain(tmp_path):
+    """The one-process operational loop: poll ingests in merge-on-read
+    mode and --auto-maintain folds the delta files after each commit
+    (max_delta_files defaults to 8, so a single 8-commit burst
+    triggers the fold)."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=9, n_urls=12, n_events=160, n_segments=8,
+                 delete_fraction=0.1)
+    r = _run(["poll", "--wal-dir", wal, "--lake-dir", lake,
+              "--num-partitions", "4", "--num-cpus", "4",
+              "--merge-mode", "mor", "--max-segments-per-batch", "1",
+              "--interval", "0.5", "--timeout", "5", "--auto-maintain"])
+    assert r["commits"] == 8
+    assert r["maintenance"]["deltas_folded"] is True
+    s = _run(["show", "--lake-dir", lake])
+    assert s["delta_files"] == 0  # folded back off the ingest path
+    assert s["rows"] > 0
