@@ -356,7 +356,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # Sort clustering + the point lookup it exists for: after
     # cluster_lake the url row-group stats are disjoint, so the pushed
     # filter reads O(1) row groups per partition instead of the lake.
-    t_cluster = t_lookup = None
+    t_cluster = t_lookup = t_routed = None
     if n_events <= 2_000_000:
         import pyarrow.compute as pa_compute
 
@@ -375,6 +375,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             filter=(pa_compute.field("url") == target_url),
         ).count()
         t_lookup = time.perf_counter() - t0
+        # same lookup through the scan PLANNER (crc32 hash routing,
+        # state/zones.py): opens 1 of 64 partitions instead of pushing
+        # a filter through all of them — the 100-TB point-read shape
+        t0 = time.perf_counter()
+        read_lake(
+            f"{lake}_0", columns=["url", "warc_ts"],
+            constraints=[["url", "==", target_url]],
+        ).count()
+        t_routed = time.perf_counter() - t0
     shutil.rmtree(f"{lake}_0", ignore_errors=True)
 
     from data_hub_ejp_xml_pipeline_ray.pipelines.queries import OBSERVED
@@ -443,6 +452,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "cluster_s": None if t_cluster is None else round(t_cluster, 3),
             "clustered_point_lookup_s": (
                 None if t_lookup is None else round(t_lookup, 3)
+            ),
+            "routed_point_lookup_s": (
+                None if t_routed is None else round(t_routed, 3)
             ),
         },
         "capped_dropped_pairs": {

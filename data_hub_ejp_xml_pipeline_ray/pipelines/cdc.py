@@ -535,6 +535,7 @@ def _read_lake_mor(
     lake_dir: str, manifest, *,
     columns: list[str] | None = None,
     filter: "pc.Expression | None" = None,
+    parts: list[int] | None = None,
 ) -> ray.data.Dataset:
     """Merge-on-read scan: one task per partition reads its base file
     plus pending delta files, applies the kind-appropriate LWW
@@ -542,7 +543,10 @@ def _read_lake_mor(
     Parquet reads stay column-pruned (plus the LWW key columns, which
     a correct merge always needs); a payload ``filter`` is applied
     AFTER the reduction — pushing it below LWW could drop the winning
-    version of a url and resurrect an older row."""
+    version of a url and resurrect an older row. ``parts`` (from the
+    zone-map / hash-routing scan planner) restricts the scan to the
+    listed partitions — each is still read WHOLE (base + every delta),
+    the only sound pruning granularity under LWW."""
     import json as _json
 
     from ..stages.merge import read_effective_partition
@@ -553,7 +557,10 @@ def _read_lake_mor(
         f.name for f in schema
         if f.name != DELETED_COL and (columns is None or f.name in set(columns))
     ]
-    parts = manifest.all_parts()
+    parts = manifest.all_parts() if parts is None else sorted(parts)
+    if not parts:
+        target = pa.schema([schema.field(n) for n in out_names])
+        return ray.data.from_arrow(target.empty_table())
     work = pa.table({
         "part": pa.array(parts, pa.int64()),
         "rels": pa.array(
@@ -593,6 +600,7 @@ def read_lake(
     lake_dir: str, *, version: int | None = None,
     columns: list[str] | None = None,
     filter: "pc.Expression | None" = None,
+    constraints: list | None = None,
 ) -> ray.data.Dataset:
     """Read the committed lake as a Dataset under the unified schema
     (old partitions null-filled / widened on the fly). ``version`` time-
@@ -603,24 +611,60 @@ def read_lake(
     pushed into the scan (row-group statistics prune before bytes
     move). Tombstone filtering still happens regardless — and because
     tombstones carry NULL payload, a payload predicate never
-    resurrects them."""
+    resurrects them.
+
+    ``constraints`` — ``[col, op[, value]]`` triples (the CLI
+    ``--constraint`` grammar, ANDed) — additionally drive the SCAN
+    PLANNER (``state.zones``): ``url ==`` / ``url in`` constraints
+    hash-route to the owning partitions (index-free point lookup), and
+    manifest zone maps skip partitions whose per-file min/max prove no
+    match, BEFORE any data byte moves. The same constraints are always
+    re-applied as a compiled expression on the scan output, so pruning
+    is never load-bearing for correctness; see :func:`scan_plan` for
+    the observable plan."""
     from ..schemas import conform_table
 
     manifest = load_manifest(lake_dir, version=version)
-    if manifest is not None and manifest.delta_files:
-        return _read_lake_mor(
-            lake_dir, manifest, columns=columns, filter=filter
+    kept_parts: list[int] | None = None
+    read_cols = columns
+    if constraints:
+        from ..state.zones import constraints_to_expression, plan_parts
+
+        if manifest is not None:
+            kept_parts, _ = plan_parts(manifest, constraints)
+        cexpr = constraints_to_expression(
+            constraints, manifest.schema if manifest is not None else None
         )
+        if cexpr is not None:
+            filter = cexpr if filter is None else (filter & cexpr)
+        if columns is not None:
+            extra = [c[0] for c in constraints if c[0] not in set(columns)]
+            read_cols = columns + sorted(set(extra))
+    if manifest is not None and manifest.delta_files:
+        ds = _read_lake_mor(
+            lake_dir, manifest, columns=read_cols, filter=filter,
+            parts=kept_parts,
+        )
+        if read_cols is not columns and columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
     target = manifest.schema if manifest else None
-    if columns is not None and target is not None:
-        need = set(columns) | {DELETED_COL}
+    if read_cols is not None and target is not None:
+        need = set(read_cols) | {DELETED_COL}
         target = pa.schema([f for f in target if f.name in need])
-    if manifest is None or not manifest.partitions:
+    if manifest is None or not manifest.partitions or kept_parts == []:
         if target is None:
             raise FileNotFoundError(f"no committed lake at {lake_dir}")
-        return ray.data.from_arrow(target.empty_table())
+        out = ray.data.from_arrow(
+            pa.schema(
+                [f for f in target if f.name != DELETED_COL]
+            ).empty_table()
+        )
+        return out.select_columns(columns) if columns is not None else out
     paths = [
-        os.path.join(lake_dir, rel) for _, rel in sorted(manifest.partitions.items())
+        os.path.join(lake_dir, rel)
+        for part, rel in sorted(manifest.partitions.items())
+        if kept_parts is None or part in set(kept_parts)
     ]
 
     def conform(batch: pa.Table) -> pa.Table:
@@ -633,15 +677,37 @@ def read_lake(
         return batch
 
     read_kwargs: dict = {}
-    if columns is not None:
+    if read_cols is not None:
         # explicit schema: partitions predating an evolution-added
         # column null-fill it in the scanner instead of erroring
         read_kwargs = dict(columns=target.names, schema=target)
     if filter is not None:
         read_kwargs["filter"] = filter
-    return ray.data.read_parquet(paths, **read_kwargs).map_batches(
+    out = ray.data.read_parquet(paths, **read_kwargs).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )
+    if read_cols is not columns and columns is not None:
+        out = out.select_columns(columns)
+    return out
+
+
+def scan_plan(
+    lake_dir: str, constraints: list, *, version: int | None = None,
+) -> dict:
+    """The scan plan a constrained :func:`read_lake` would execute —
+    metadata only, no data read: how many partitions/files the
+    predicate touches and why the rest were skipped (hash routing vs
+    zone maps). The observability hook for the planner, and the thing
+    a test asserts when it claims "this point lookup reads one
+    partition"."""
+    from ..state.zones import plan_parts
+
+    manifest = load_manifest(lake_dir, version=version)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    kept, stats = plan_parts(manifest, constraints)
+    return {"lake": lake_dir, "version": manifest.version,
+            "parts": kept, **stats}
 
 
 CHANGE_OP_COL = "change_op"

@@ -3035,6 +3035,64 @@ def q_cdc_lake_state_mor(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def _derived_lake_constrained_read(
+    sf_dir: str, tag: str, constraints: list, *, max_parts: int | None = None,
+):
+    """Shared engine side of the CONSTRAINED-READ oracle queries: build
+    the derived lake, then scan it through the real planner path —
+    ``read_lake(constraints=...)`` (hash routing + manifest zone maps +
+    compiled residual filter, ``state/zones.py``). ``max_parts`` guards
+    the plan SHAPE (a point lookup that scans is a bug, not just slow);
+    value correctness is the driver's hash compare."""
+    from .cdc import read_lake, scan_plan
+
+    _run_derived_cdc(sf_dir, tag, entity=False)
+    lake = os.path.join(derived_cdc_workdir(sf_dir, tag), "lake")
+    plan = scan_plan(lake, constraints)
+    if max_parts is not None and plan["parts_read"] > max_parts:
+        raise AssertionError(f"planner failed to prune: {plan}")
+    ds = read_lake(
+        lake, columns=["url", "warc_ts", "seq", "text", "lang"],
+        constraints=constraints,
+    )
+
+    def decast(t: pa.Table) -> pa.Table:
+        # oracle comparison: tz-aware UTC -> naive (events.ts is naive)
+        i = t.column_names.index("warc_ts")
+        return t.set_column(
+            i, "warc_ts", t.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(decast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lake_point_lookup(sf_dir: str):
+    """Index-free point lookup on the lake, DRIVER-ORACLE-CHECKED: a
+    ``url ==`` constraint hash-routes through the writer's own crc32
+    partitioner (``state.zones.routed_parts``) so the distributed scan
+    touches exactly ONE partition of the lake — asserted on the plan,
+    then hash-compared against the window-LWW SQL with the same WHERE.
+    The 100-TB read path for "give me this page's current state"."""
+    return _derived_lake_constrained_read(
+        sf_dir, "lake_pt",
+        [["url", "==", "https://u7.example/page"]],
+        max_parts=1,
+    )
+
+
+def q_lake_time_slice(sf_dir: str):
+    """Zone-map-constrained lake scan, DRIVER-ORACLE-CHECKED: a
+    ``warc_ts >=`` predicate drives the manifest zone maps (per-file
+    min/max recorded from parquet footers at commit,
+    ``state.zones.refresh_zones``) and is re-applied as the compiled
+    residual filter — statistics accelerate, the expression decides.
+    Hash-equal to the window-LWW SQL with the same time predicate."""
+    return _derived_lake_constrained_read(
+        sf_dir, "lake_slice",
+        [["warc_ts", ">=", "2024-01-16T00:00:00"]],
+    )
+
+
 def q_cdc_change_feed(sf_dir: str):
     """Change-data-feed, DRIVER-ORACLE-CHECKED: ingest the derived WAL
     in TWO micro-batches (segments 1-4 -> lake v1, 5-8 -> v2), then
@@ -6839,6 +6897,8 @@ QUERIES = {
     "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
+    "lake_point_lookup": q_lake_point_lookup,
+    "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
     "entity_change_feed": q_entity_change_feed,
@@ -7369,6 +7429,38 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Constrained lake reads: the SAME window-LWW state, with the read
+    # predicate as the WHERE — the engine side goes through the scan
+    # planner (url hash routing / manifest zone maps) and must land on
+    # identical rows.
+    "lake_point_lookup": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+          AND url = 'https://u7.example/page'
+    """,
+    "lake_time_slice": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+          AND warc_ts >= TIMESTAMP '2024-01-16 00:00:00'
     """,
     # Change feed between lake v1 (first 4 of 8 derived segments =
     # first ceil(n/8)*4 events in event_id order) and v2 (all events):

@@ -245,6 +245,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="ISO instant: export the version current then")
     sp.add_argument("--columns", default=None,
                     help="comma-separated columns to export")
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    help="read predicate (repeatable, ANDed): drives "
+                         "the zone-map/hash-routing scan planner and "
+                         "filters the exported rows")
+    sp = sub.add_parser(
+        "plan", help="show the scan plan a constrained read would "
+                     "execute (partitions/files touched vs skipped) — "
+                     "metadata only, no data read")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    required=True)
 
     args = p.parse_args(argv)
 
@@ -351,6 +365,17 @@ def main(argv: list[str] | None = None) -> int:
             "counters": m.counters,
             "schema": None if m.schema is None else m.schema.names,
         }))
+        return 0
+
+    if args.cmd == "plan":
+        # metadata-only (manifest zones + hash routing): no ray session
+        from .pipelines.cdc import scan_plan
+
+        print(json.dumps(scan_plan(
+            args.lake_dir,
+            [_parse_constraint(c) for c in args.constraints],
+            version=args.version,
+        )))
         return 0
 
     _init_ray(args.num_cpus)
@@ -470,6 +495,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake_dir, version=version,
                 columns=(
                     args.columns.split(",") if args.columns else None
+                ),
+                constraints=(
+                    [_parse_constraint(c) for c in args.constraints]
+                    if getattr(args, "constraints", None) else None
                 ),
             )
             ds.write_parquet(args.out_dir)

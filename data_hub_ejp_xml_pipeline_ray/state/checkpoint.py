@@ -100,6 +100,14 @@ class LakeManifest:
     #: ``(warc_ts, seq)``, not file order. Empty dict = pure
     #: copy-on-write lake (the default; every query path is identical).
     delta_files: dict[int, list[str]] = field(default_factory=dict)
+    #: per-FILE zone maps: {relpath: {"rows": n, "cols": {col: zone}}}
+    #: (column min/max/null-count read from each file's parquet FOOTER
+    #: at commit time — see ``state.zones``). Keyed by the immutable
+    #: content-addressed relpath, so entries never go stale: commit
+    #: carries live entries forward and reads footers only for NEW
+    #: files. Purely an optimization — a missing entry costs a read,
+    #: never correctness (the scan re-applies every constraint).
+    zones: dict[str, dict] = field(default_factory=dict)
 
     def split_set(self) -> frozenset[tuple[int, int]]:
         return frozenset((int(r), int(m)) for r, m in self.splits)
@@ -142,6 +150,7 @@ class LakeManifest:
             **({"delta_files": {
                 str(k): list(v) for k, v in self.delta_files.items()
             }} if self.delta_files else {}),
+            **({"zones": self.zones} if self.zones else {}),
         }
 
     @classmethod
@@ -163,6 +172,7 @@ class LakeManifest:
             delta_files={
                 int(k): list(v) for k, v in doc.get("delta_files", {}).items()
             },
+            zones=dict(doc.get("zones", {})),
         )
 
 
@@ -601,23 +611,32 @@ def commit_manifest(
     and completes the pointer swap. Callers pass ``expected_version``
     (the version they loaded) while holding :func:`writer_lock`;
     without it the publish is unconditional (fresh lake bootstrap)."""
+    from .zones import refresh_zones
+
     store = store or LOCAL_STORE
     pointer = manifest_path(lake_dir)
-    current_bytes: bytes | None = None
+    try:
+        current_bytes: bytes | None = store.get_bytes(pointer)
+    except FileNotFoundError:
+        current_bytes = None
+    current = (
+        LakeManifest.from_json(json.loads(current_bytes))
+        if current_bytes is not None else None
+    )
     if expected_version is not None:
-        try:
-            current_bytes = store.get_bytes(pointer)
-        except FileNotFoundError:
-            current_bytes = None
-        current_version = (
-            LakeManifest.from_json(json.loads(current_bytes)).version
-            if current_bytes is not None else 0
-        )
+        current_version = current.version if current is not None else 0
         if current_version != expected_version:
             raise ConcurrentWriterError(
                 f"manifest at {lake_dir} is v{current_version}, expected "
                 f"v{expected_version}: a concurrent writer committed first"
             )
+    elif current_bytes is not None:
+        current_bytes = None  # unconditional publish: keep old pointer-swap path
+    # zone-map maintenance: carry live entries forward, footer-read only
+    # the files this commit added (see state.zones.refresh_zones)
+    manifest.zones = refresh_zones(
+        lake_dir, manifest, current.zones if current is not None else None
+    )
     manifest.lineage = manifest.lineage[-MAX_LINEAGE_ENTRIES:]
     doc_bytes = json.dumps(manifest.to_json()).encode("utf-8")
     snap = snapshot_path(lake_dir, manifest.version)

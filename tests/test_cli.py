@@ -253,3 +253,33 @@ def test_cli_poll_mor_with_auto_maintain(tmp_path):
     s = _run(["show", "--lake-dir", lake])
     assert s["delta_files"] == 0  # folded back off the ingest path
     assert s["rows"] > 0
+
+
+def test_cli_plan_and_constrained_export(tmp_path):
+    """Scan planner through the CLI: `plan` (metadata-only, no ray
+    session) reports the partitions a constrained read touches, and
+    `export --constraint` writes exactly the matching rows."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import lake_snapshot
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=13, n_urls=40, n_events=400, n_segments=2,
+                 delete_fraction=0.1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "8", "--num-cpus", "4"])
+    snap = lake_snapshot(lake)
+    url = snap.column("url")[0].as_py()
+    plan = _run(["plan", "--lake-dir", lake, "--constraint", f"url,==,{url}"])
+    assert plan["parts_read"] == 1
+    assert plan["skipped_by_routing"] == plan["parts_total"] - 1
+    out = str(tmp_path / "export")
+    e = _run(["export", "--lake-dir", lake, "--out-dir", out,
+              "--num-cpus", "4", "--constraint", f"url,==,{url}",
+              "--constraint", "seq,>=,1"])
+    want = snap.filter(pc.equal(snap.column("url"), url))
+    assert e["rows"] == want.num_rows == 1
+    got = pads.dataset(out, format="parquet").to_table()
+    assert got.column("url")[0].as_py() == url
