@@ -3134,6 +3134,48 @@ def q_cdc_change_feed(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_scd2_history(sf_dir: str):
+    """Type-2 slowly-changing-dimension history, DRIVER-ORACLE-CHECKED:
+    ingest the derived WAL in two commits, then fold the retained
+    version chain into (url, payload, valid_from, valid_to) intervals
+    via :func:`..pipelines.cdc.scd2_history` (feed union -> url-hash
+    groupby -> one vectorized lead kernel per bucket — O(changed rows),
+    never O(lake rows x versions)). The oracle rebuilds both committed
+    states as window LWW and derives the same intervals with a LEFT
+    JOIN against the v1->v2 feed. ``valid_to`` NULL = current row."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, run_ingest, scd2_history
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "scd2")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> exactly two commits: v1, v2
+    )
+    run_ingest(cfg)
+    ds = scd2_history(cfg.lake_dir)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.select(
+            ["url", "warc_ts", "seq", "text", "lang",
+             "valid_from", "valid_to"]
+        )
+        i = batch.column_names.index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts", batch.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_entity_change_feed(sf_dir: str):
     """Group-valued change feed, DRIVER-ORACLE-CHECKED: ingest the
     derived ENTITY WAL in two commits, then stream
@@ -6901,6 +6943,7 @@ QUERIES = {
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
+    "scd2_history": q_scd2_history,
     "entity_change_feed": q_entity_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
     "incremental_lang_stats": q_incremental_lang_stats,
@@ -7504,6 +7547,58 @@ ORACLE_SQL = {
            OR (NOT w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del
                AND (w.ts <> o.ts OR w.event_id <> o.event_id))
            OR (w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del)
+    """,
+    # SCD2 history over the same two committed states: v1 live rows
+    # open intervals that the v1->v2 feed closes (update AND delete
+    # both close; only non-deletes open a v2 interval). valid_to NULL
+    # = current.
+    "scd2_history": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        ), old_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked WHERE rk <= 4 * ceil(n / 8.0)) WHERE rn = 1
+        ), new_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1
+        ), feed AS (
+          SELECT w.user_id, w.ts, w.event_id, w.event_type, w.is_del
+          FROM new_state w LEFT JOIN old_state o ON w.user_id = o.user_id
+          WHERE (NOT w.is_del AND (o.user_id IS NULL OR o.is_del))
+             OR (NOT w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del
+                 AND (w.ts <> o.ts OR w.event_id <> o.event_id))
+             OR (w.is_del AND o.user_id IS NOT NULL AND NOT o.is_del)
+        )
+        SELECT 'https://u' || CAST(user_id AS VARCHAR)
+                 || '.example/page' AS url,
+               warc_ts, seq,
+               'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                 || CAST(seq AS VARCHAR) AS text,
+               lang, valid_from, valid_to
+        FROM (
+          SELECT o.user_id AS user_id, o.ts AS warc_ts,
+                 o.event_id AS seq, o.event_type AS lang,
+                 CAST(1 AS BIGINT) AS valid_from,
+                 CASE WHEN f.user_id IS NOT NULL
+                      THEN CAST(2 AS BIGINT) END AS valid_to
+          FROM old_state o LEFT JOIN feed f ON o.user_id = f.user_id
+          WHERE NOT o.is_del
+          UNION ALL
+          SELECT f.user_id, f.ts, f.event_id, f.event_type,
+                 CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+          FROM feed f WHERE NOT f.is_del
+        )
     """,
     # Incremental materialized view: final live-row count per lang ==
     # a from-scratch recount of the LWW-live state (the Ray side

@@ -251,6 +251,13 @@ def main(argv: list[str] | None = None) -> int:
                          "the zone-map/hash-routing scan planner and "
                          "filters the exported rows")
     sp = sub.add_parser(
+        "history", help="export the SCD2 (type-2) interval history of "
+                        "the retained version chain as parquet")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--to-version", type=int, default=None,
+                    help="truncate history at this version")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -508,6 +515,27 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "exported": True, "out_dir": args.out_dir,
                 "version": version, "rows": n,
+            }))
+        elif args.cmd == "history":
+            from .pipelines.cdc import scd2_history
+
+            if os.path.isdir(args.out_dir) and os.listdir(args.out_dir):
+                print(json.dumps({
+                    "error": f"out-dir {args.out_dir} is not empty — "
+                             "refusing to mix exports",
+                }))
+                return 2
+            ds = scd2_history(args.lake_dir, to_version=args.to_version)
+            ds.write_parquet(args.out_dir)
+            import pyarrow.dataset as pads
+
+            d = pads.dataset(args.out_dir, format="parquet")
+            print(json.dumps({
+                "exported": True, "out_dir": args.out_dir,
+                "rows": d.count_rows(),
+                "current_rows": d.count_rows(
+                    filter=pads.field("valid_to").is_null()
+                ),
             }))
         elif args.cmd == "sync":
             from .pipelines.replicate import sync_replica

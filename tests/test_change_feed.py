@@ -348,3 +348,86 @@ def test_feed_after_compaction_reports_gone_deletes(wal8):
         if r["change_op"] == "delete"
     }
     assert got_del == exp_del
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history (type-2 dimension view of the version chain)
+# ---------------------------------------------------------------------------
+
+def _scd2_table(lake_dir, **kw):
+    import pyarrow as pa
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import scd2_history
+
+    rows = scd2_history(lake_dir, **kw).take_all()
+    return pa.Table.from_pylist(rows) if rows else None
+
+
+def _reconstruct(hist, v, cols):
+    import pyarrow.compute as pc
+
+    open_at = pc.fill_null(pc.greater(hist.column("valid_to"), v), True)
+    mask = pc.and_(pc.less_equal(hist.column("valid_from"), v), open_at)
+    return hist.filter(mask).select(cols).sort_by(
+        [("url", "ascending")]
+    )
+
+
+def test_scd2_reconstructs_every_retained_version(wal8):
+    """THE SCD2 law: slicing the interval table at version v rebuilds
+    lake_snapshot(version=v) bit-exactly — full payload, every retained
+    v — on a WAL with updates, deletes and LWW ties."""
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)  # 4 commits
+    hist = _scd2_table(cfg.lake_dir)
+    cols = ["url", "warc_ts", "seq", "text", "lang"]
+    for v in list_versions(cfg.lake_dir):
+        rec = _reconstruct(hist, v, cols)
+        snap = lake_snapshot(cfg.lake_dir, version=v).select(cols).sort_by(
+            [("url", "ascending")]
+        )
+        assert rec.equals(snap), f"SCD2 slice at v{v} diverged"
+    # current rows (valid_to NULL) == live lake, exactly once per url
+    import pyarrow.compute as pc
+
+    current = hist.filter(pc.is_null(hist.column("valid_to")))
+    assert current.num_rows == lake_snapshot(cfg.lake_dir).num_rows
+    urls = current.column("url").to_pylist()
+    assert len(set(urls)) == current.num_rows, "duplicate open interval"
+
+
+def test_scd2_intervals_well_formed(wal8):
+    """Per url: intervals ordered, non-overlapping, at most one open;
+    a deleted-then-reinserted url leaves a GAP (closed interval, then a
+    later valid_from) rather than a merged one."""
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)
+    hist = _scd2_table(cfg.lake_dir)
+    by_url = {}
+    for r in hist.to_pylist():
+        by_url.setdefault(r["url"], []).append(
+            (r["valid_from"], r["valid_to"])
+        )
+    saw_gap = False
+    for url, ivs in by_url.items():
+        ivs.sort()
+        opens = [iv for iv in ivs if iv[1] is None]
+        assert len(opens) <= 1, f"{url}: two open intervals"
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 is not None and t1 <= f2, f"{url}: overlap"
+            saw_gap = saw_gap or t1 < f2
+    assert saw_gap, "fixture should produce at least one delete gap"
+
+
+def test_scd2_to_version_prefix(wal8):
+    """to_version truncates history to a PREFIX of the chain: identical
+    intervals except closures/openings after the cutoff."""
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=None)
+    run_ingest(cfg)
+    cols = ["url", "warc_ts", "seq", "text", "lang"]
+    hist2 = _scd2_table(cfg.lake_dir, to_version=2)
+    rec = _reconstruct(hist2, 2, cols)
+    snap = lake_snapshot(cfg.lake_dir, version=2).select(cols).sort_by(
+        [("url", "ascending")]
+    )
+    assert rec.equals(snap)

@@ -283,3 +283,23 @@ def test_cli_plan_and_constrained_export(tmp_path):
     assert e["rows"] == want.num_rows == 1
     got = pads.dataset(out, format="parquet").to_table()
     assert got.column("url")[0].as_py() == url
+
+
+def test_cli_history_export(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=29, n_urls=25, n_events=300, n_segments=4,
+                 delete_fraction=0.15)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4",
+          "--max-segments-per-batch", "2"])
+    out = str(tmp_path / "hist")
+    h = _run(["history", "--lake-dir", lake, "--out-dir", out,
+              "--num-cpus", "4"])
+    assert h["exported"] and h["rows"] >= h["current_rows"] > 0
+    import duckdb
+
+    cur = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet' WHERE valid_to IS NULL"
+    ).fetchone()[0]
+    assert cur == h["current_rows"]
