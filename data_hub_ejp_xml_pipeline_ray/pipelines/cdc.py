@@ -638,8 +638,10 @@ def read_lake(
         if cexpr is not None:
             filter = cexpr if filter is None else (filter & cexpr)
         if columns is not None:
-            extra = [c[0] for c in constraints if c[0] not in set(columns)]
-            read_cols = columns + sorted(set(extra))
+            extra = sorted({c[0] for c in constraints} - set(columns))
+            if extra:  # keep read_cols IS columns when nothing to add:
+                read_cols = columns + extra  # no select_columns tail
+
     if manifest is not None and manifest.delta_files:
         ds = _read_lake_mor(
             lake_dir, manifest, columns=read_cols, filter=filter,
