@@ -15,3 +15,10 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tmp_path_factory_bypass(tmp_path_factory):
+    """Session-scoped scratch dir usable from hypothesis-driven tests
+    (function-scoped tmp_path would trip the fixture health check)."""
+    return str(tmp_path_factory.mktemp("hypo_zones"))

@@ -383,3 +383,76 @@ def test_weighted_quantiles_equal_naive_scan(rows):
             if expect is None:  # thr == 0 with all-zero prefix
                 expect = float(sorted(seen)[0])
             assert got[g][(num, den)] == expect, (g, num, den)
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruning soundness (state/zones.py)
+# ---------------------------------------------------------------------------
+
+_zone_words = st.sampled_from(["en", "de", "fr", "zz", "", "aa", "zzz"])
+_zone_ints = st.one_of(st.none(), st.integers(-5, 25))
+_zone_strs = st.one_of(st.none(), _zone_words)
+_zone_ops = st.sampled_from(
+    ["<", "<=", ">", ">=", "==", "!=", "in", "not_in", "not_null", "matches"]
+)
+
+
+@given(
+    ints=st.lists(_zone_ints, min_size=1, max_size=12),
+    strs=st.lists(_zone_strs, min_size=1, max_size=12),
+    col=st.sampled_from(["i", "s"]),
+    op=_zone_ops,
+    iv=st.integers(-8, 30),
+    sv=_zone_words,
+    lst=st.lists(st.one_of(st.integers(-8, 30), _zone_words),
+                 min_size=1, max_size=4),
+)
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_zone_allows_is_sound(tmp_path_factory_bypass, ints, strs, col, op,
+                              iv, sv, lst):
+    """SOUNDNESS law: whenever zone_allows says a file cannot hold a
+    matching row, the brute-force SQL-WHERE evaluation over the actual
+    file finds ZERO matches — for every op, over tables with nulls,
+    all-null columns, constants and empty strings. (Completeness is not
+    required: allowing a read is always safe.)"""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from data_hub_ejp_xml_pipeline_ray.state.zones import (
+        constraints_to_expression,
+        file_zone_doc,
+        zone_allows,
+    )
+
+    n = max(len(ints), len(strs))
+    ints = (ints * n)[:n]
+    strs = (strs * n)[:n]
+    t = pa.table({
+        "i": pa.array(ints, pa.int64()),
+        "s": pa.array(strs, pa.string()),
+    })
+    path = os.path.join(tmp_path_factory_bypass, f"{uuid.uuid4().hex}.parquet")
+    pq.write_table(t, path)
+    if op == "not_null":
+        spec = [col, op]
+    elif op in ("in", "not_in"):
+        spec = [col, op, lst]
+    elif op == "matches":
+        spec = [col, op, sv or "x"]
+    else:
+        spec = [col, op, iv if col == "i" else sv]
+    doc = file_zone_doc(path)
+    if zone_allows(doc["cols"], *spec[:2], *spec[2:]):
+        return  # allowed -> nothing to prove
+    try:
+        expr = constraints_to_expression([spec], t.schema)
+        matches = t.filter(expr).num_rows
+    except Exception:
+        matches = 0  # an unevaluable predicate matches nothing
+    assert matches == 0, (
+        f"zone pruned a file with {matches} matching rows: {spec}, "
+        f"zone={doc['cols'][col] if col in doc['cols'] else None}"
+    )

@@ -291,3 +291,39 @@ def test_columns_projection_composes_with_constraints(pruning_lake):
     ).take_all()
     assert len(got) == 1 and set(got[0]) == {"url", "lang"}
     assert got[0]["url"] == url
+
+
+def test_entity_group_lake_constrained_read(tmp_path):
+    """kind="group" lake through the planner: a url point constraint
+    routes to one partition and returns the url's WHOLE entity row-set
+    (group atomicity survives pruning); an entity_type constraint
+    equals the brute-force filter."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import run_entity_ingest
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, seed=41, n_urls=50, n_events=700, n_segments=3,
+                 rich_pages=True, delete_fraction=0.1)
+    run_entity_ingest(CdcConfig(wal_dir=wal, lake_dir=lake,
+                                num_partitions=8, extract_concurrency=2))
+    snap = lake_snapshot(lake)
+    url = snap.column("url")[0].as_py()
+    plan = scan_plan(lake, [["url", "==", url]])
+    assert plan["parts_read"] == 1
+    got = pa.Table.from_pylist(
+        read_lake(lake, constraints=[["url", "==", url]]).take_all(),
+        schema=snap.schema,
+    ).sort_by([("entity_type", "ascending"), ("link_index", "ascending")])
+    want = snap.filter(pc.equal(snap.column("url"), url)).sort_by(
+        [("entity_type", "ascending"), ("link_index", "ascending")]
+    )
+    assert want.num_rows > 1 and got.equals(want)
+    # non-key constraint: equality law on the group lake
+    et = snap.column("entity_type")[0].as_py()
+    got2 = pa.Table.from_pylist(
+        read_lake(lake, constraints=[["entity_type", "==", et]]).take_all(),
+        schema=snap.schema,
+    ).sort_by([("url", "ascending"), ("link_index", "ascending")])
+    want2 = snap.filter(pc.equal(snap.column("entity_type"), et)).sort_by(
+        [("url", "ascending"), ("link_index", "ascending")]
+    )
+    assert got2.equals(want2)
