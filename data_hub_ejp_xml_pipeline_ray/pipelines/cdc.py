@@ -1053,6 +1053,58 @@ def scd2_history(
     )
 
 
+def next_changes(
+    lake_dir: str, consumer: str, *,
+    preimages: bool = False, columns: list[str] | None = None,
+) -> tuple[ray.data.Dataset | None, dict]:
+    """Consumer-group change-feed consumption (the Kafka consumer /
+    Delta streaming-checkpoint shape): return the feed from this
+    consumer's last ACKED version to the current head, plus an ack
+    TOKEN. The caller applies the batch to its side effect, then calls
+    :func:`ack_changes` with the token — crash before ack means the
+    same batch is redelivered next call (at-least-once delivery), while
+    the CAS-guarded cursor advance is exactly-once (a stale or replayed
+    ack is rejected, never double-applied). Returns ``(None, token)``
+    when the consumer is caught up.
+
+    The cursor PINS its version against retention/vacuum
+    (``state.checkpoint.gc_unreferenced``), so a slow consumer's unread
+    feed is never pruned out from under it — the lake-side backpressure
+    contract a 100-TB deployment needs (a stuck consumer holds
+    snapshots, it does not lose data)."""
+    from ..state.checkpoint import list_cursors
+
+    m = load_manifest(lake_dir)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    cur = list_cursors(lake_dir).get(consumer, 0)
+    token = {
+        "consumer": consumer, "from_version": cur, "to_version": m.version,
+    }
+    if m.version <= cur:
+        return None, token
+    ds = changes_between(
+        lake_dir, cur, m.version, preimages=preimages, columns=columns
+    )
+    return ds, token
+
+
+def ack_changes(lake_dir: str, token: dict) -> bool:
+    """Acknowledge a :func:`next_changes` batch: CAS-advance the
+    consumer cursor from the token's ``from_version`` to its
+    ``to_version``. False = the token is stale (another instance of
+    this consumer group acked first) — the side effect was applied
+    twice, the cursor only once; keep consumer side effects idempotent
+    (the same discipline every at-least-once feed requires)."""
+    from ..state.checkpoint import advance_cursor
+
+    return advance_cursor(
+        lake_dir, token["consumer"],
+        from_version=token["from_version"],
+        to_version=token["to_version"],
+    )
+
+
 def entity_changes_between(
     lake_dir: str, v_from: int, v_to: int | None = None,
     *, preimages: bool = False, columns: list[str] | None = None,

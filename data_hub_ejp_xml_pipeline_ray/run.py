@@ -258,6 +258,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-version", type=int, default=None,
                     help="truncate history at this version")
     sp = sub.add_parser(
+        "consume", help="consumer-group change-feed read: write the "
+                        "feed since this consumer's cursor as parquet, "
+                        "ack on success (at-least-once delivery, "
+                        "exactly-once cursor advance)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--consumer", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--preimages", action="store_true")
+    sp.add_argument("--no-ack", action="store_true",
+                    help="peek: read without advancing the cursor")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -537,6 +548,33 @@ def main(argv: list[str] | None = None) -> int:
                     filter=pads.field("valid_to").is_null()
                 ),
             }))
+        elif args.cmd == "consume":
+            from .pipelines.cdc import ack_changes, next_changes
+
+            if os.path.isdir(args.out_dir) and os.listdir(args.out_dir):
+                print(json.dumps({
+                    "error": f"out-dir {args.out_dir} is not empty — "
+                             "refusing to mix feed batches",
+                }))
+                return 2
+            ds, token = next_changes(
+                args.lake_dir, args.consumer, preimages=args.preimages,
+            )
+            if ds is None:
+                print(json.dumps({**token, "caught_up": True}))
+            else:
+                ds.write_parquet(args.out_dir)
+                import pyarrow.dataset as pads
+
+                n = pads.dataset(args.out_dir, format="parquet").count_rows()
+                acked = (
+                    False if args.no_ack
+                    else ack_changes(args.lake_dir, token)
+                )
+                print(json.dumps({
+                    **token, "caught_up": False, "rows": n,
+                    "out_dir": args.out_dir, "acked": acked,
+                }))
         elif args.cmd == "sync":
             from .pipelines.replicate import sync_replica
 

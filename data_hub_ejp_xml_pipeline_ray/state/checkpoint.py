@@ -248,13 +248,13 @@ def list_tags(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
     return {str(k): int(v) for k, v in json.loads(raw).items()}
 
 
-def _cas_update_tags(
-    lake_dir: str, store: Store, update_fn,
+def _cas_update_intmap(
+    path: str, store: Store, update_fn, label: str,
 ) -> dict[str, int]:
-    """Read-modify-write of the tags doc through the store seam's CAS
-    primitives (bounded retry) — same rename-free publish contract as
-    the manifest pointer, so tags are safe on object stores too."""
-    path = tags_path(lake_dir)
+    """Read-modify-write of a {name: version} doc through the store
+    seam's CAS primitives (bounded retry) — same rename-free publish
+    contract as the manifest pointer, so the doc is safe on object
+    stores too. Shared by tags and consumer cursors."""
     for _ in range(16):
         try:
             raw = store.get_bytes(path)
@@ -272,7 +272,15 @@ def _cas_update_tags(
         elif store.replace_if_matches(path, raw, data):
             return new
     raise ConcurrentWriterError(
-        f"tags update at {lake_dir} kept losing CAS races"
+        f"{label} update at {path} kept losing CAS races"
+    )
+
+
+def _cas_update_tags(
+    lake_dir: str, store: Store, update_fn,
+) -> dict[str, int]:
+    return _cas_update_intmap(
+        tags_path(lake_dir), store, update_fn, "tags"
     )
 
 
@@ -359,6 +367,72 @@ def pinned_snapshot(
         yield v
     finally:
         delete_tag(lake_dir, name, store=store)
+
+
+CURSORS_NAME = "_cursors.json"
+
+
+def cursors_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, CURSORS_NAME)
+
+
+def list_cursors(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
+    """Consumer-group cursors: consumer name -> last ACKNOWLEDGED lake
+    version (the Kafka consumer-offset / Delta streaming-checkpoint
+    analog for the change feed). A consumer with no cursor starts at 0
+    (the empty pre-lake). Cursor versions are PINNED against retention
+    and vacuum like tags — the feed a consumer has not yet read can
+    never be pruned out from under it."""
+    store = store or LOCAL_STORE
+    try:
+        raw = store.get_bytes(cursors_path(lake_dir))
+    except FileNotFoundError:
+        return {}
+    return {str(k): int(v) for k, v in json.loads(raw).items()}
+
+
+def advance_cursor(
+    lake_dir: str, consumer: str, *, from_version: int, to_version: int,
+    store: Store | None = None,
+) -> bool:
+    """CAS-advance a consumer cursor: succeeds ONLY when the stored
+    cursor still equals ``from_version`` (0 = never consumed), so of N
+    racing instances of one consumer group exactly one ack wins and a
+    stale/replayed ack can never regress or double-advance the cursor
+    — delivery is at-least-once, the cursor advance is exactly-once.
+    Returns False on a lost race or a stale token."""
+    import re as _re
+
+    store = store or LOCAL_STORE
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", consumer):
+        raise ValueError(f"invalid consumer name {consumer!r}")
+    if int(to_version) < int(from_version):
+        raise ValueError("cursor cannot move backwards")
+    ok = {"v": False}
+
+    def upd(cur: dict[str, int]) -> dict[str, int]:
+        ok["v"] = cur.get(consumer, 0) == int(from_version)
+        if ok["v"]:
+            cur[consumer] = int(to_version)
+        return cur
+
+    _cas_update_intmap(cursors_path(lake_dir), store, upd, "cursors")
+    return ok["v"]
+
+
+def delete_cursor(
+    lake_dir: str, consumer: str, *, store: Store | None = None,
+) -> bool:
+    """Drop a consumer cursor (its pinned version becomes prunable on
+    the next retention/vacuum pass). True = removed."""
+    store = store or LOCAL_STORE
+    existed = consumer in list_cursors(lake_dir, store=store)
+    _cas_update_intmap(
+        cursors_path(lake_dir), store,
+        lambda c: {k: v for k, v in c.items() if k != consumer},
+        "cursors",
+    )
+    return existed
 
 
 def version_committed_at(m: "LakeManifest") -> str | None:
@@ -725,6 +799,12 @@ def gc_unreferenced(
     # until the tag is deleted (Iceberg tag semantics)
     keep_versions |= (
         set(list_tags(lake_dir, store=store).values()) & set(versions)
+    )
+    # consumer-group cursors pin THEIR last-acked version the same way:
+    # the next next_changes() diffs FROM that snapshot, so pruning it
+    # would strand the consumer (it would have to re-read from 0)
+    keep_versions |= (
+        set(list_cursors(lake_dir, store=store).values()) & set(versions)
     )
     # a snapshot newer than the committed manifest is a crashed commit's
     # orphan ONLY if its version > current; keep it out of caution is

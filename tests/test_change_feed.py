@@ -431,3 +431,92 @@ def test_scd2_to_version_prefix(wal8):
         [("url", "ascending")]
     )
     assert rec.equals(snap)
+
+
+# ---------------------------------------------------------------------------
+# consumer-group cursors (next_changes / ack_changes)
+# ---------------------------------------------------------------------------
+
+def test_consumer_cursor_delivery_and_ack(wal8):
+    """At-least-once delivery, exactly-once cursor advance: unacked
+    batches redeliver identically; after ack the consumer sees only the
+    NEXT delta; a caught-up consumer gets None."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        ack_changes,
+        next_changes,
+    )
+
+    cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
+    run_ingest(cfg)  # v1, v2
+    ds, token = next_changes(cfg.lake_dir, "warehouse")
+    assert token == {"consumer": "warehouse", "from_version": 0,
+                     "to_version": 2}
+    first = sorted(r["url"] for r in ds.take_all())
+    # crash-before-ack: the SAME batch redelivers
+    ds2, token2 = next_changes(cfg.lake_dir, "warehouse")
+    assert token2 == token
+    assert sorted(r["url"] for r in ds2.take_all()) == first
+    assert ack_changes(cfg.lake_dir, token) is True
+    # caught up now
+    ds3, token3 = next_changes(cfg.lake_dir, "warehouse")
+    assert ds3 is None and token3["from_version"] == 2
+    # replayed/stale ack is REJECTED, cursor unmoved
+    assert ack_changes(cfg.lake_dir, token) is False
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import list_cursors
+
+    assert list_cursors(cfg.lake_dir) == {"warehouse": 2}
+
+
+def test_consumer_groups_are_independent(wal8):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        ack_changes,
+        next_changes,
+    )
+
+    cfg = _cfg(wal8, max_segments_per_batch=4, retain_versions=None)
+    run_ingest(cfg)
+    ds_a, tok_a = next_changes(cfg.lake_dir, "a")
+    assert ack_changes(cfg.lake_dir, tok_a)
+    ds_b, tok_b = next_changes(cfg.lake_dir, "b")
+    assert tok_b["from_version"] == 0 and ds_b is not None
+    assert ds_b.count() == ds_a.count()
+
+
+def test_consumer_cursor_pins_retention(wal8):
+    """A slow consumer's last-acked snapshot survives retention AND an
+    explicit vacuum; deleting the cursor releases the pin."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        ack_changes,
+        next_changes,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import vacuum
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        delete_cursor,
+        list_cursors,
+    )
+
+    import shutil
+
+    cfg = _cfg(wal8, max_segments_per_batch=2, retain_versions=2)
+    # stage only the first 2 segments -> commit v1, ack the consumer
+    first_wal = os.path.join(wal8, "wal_first")
+    os.makedirs(first_wal)
+    for s in list_segments(cfg.wal_dir)[:2]:
+        shutil.copy(s.path, first_wal)
+    run_ingest(_cfg(wal8, wal_dir=first_wal, max_segments_per_batch=2,
+                    retain_versions=2))
+    _, tok = next_changes(cfg.lake_dir, "slow")
+    assert tok["to_version"] == 1 and ack_changes(cfg.lake_dir, tok)
+    run_ingest(cfg)  # v2..v4: retention keeps last 2 + the pinned v1
+    assert 1 in list_versions(cfg.lake_dir)
+    vacuum(cfg.lake_dir, keep=1)
+    assert 1 in list_versions(cfg.lake_dir), "vacuum must honor the pin"
+    # the slow consumer can still diff FROM v1 (its snapshot survived)
+    ds, tok2 = next_changes(cfg.lake_dir, "slow")
+    assert tok2["from_version"] == 1 and ds is not None
+    assert ds.count() > 0
+    # releasing the cursor releases the pin on the next vacuum
+    assert delete_cursor(cfg.lake_dir, "slow")
+    vacuum(cfg.lake_dir, keep=1)
+    assert 1 not in list_versions(cfg.lake_dir)
+    assert list_cursors(cfg.lake_dir) == {}

@@ -303,3 +303,37 @@ def test_cli_history_export(tmp_path):
         f"SELECT count(*) FROM '{out}/*.parquet' WHERE valid_to IS NULL"
     ).fetchone()[0]
     assert cur == h["current_rows"]
+
+
+def test_cli_consume_ack_loop(tmp_path):
+    """Consumer-group feed through the CLI: first consume delivers the
+    0->head feed and acks; second is caught up; a new commit delivers
+    only the delta; --no-ack peeks without advancing."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=37, n_urls=30, n_events=240, n_segments=4,
+                 delete_fraction=0.1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    out1 = str(tmp_path / "b1")
+    r1 = _run(["consume", "--lake-dir", lake, "--consumer", "wh",
+               "--out-dir", out1, "--num-cpus", "4"])
+    assert r1["from_version"] == 0 and r1["to_version"] == 1
+    assert r1["acked"] and r1["rows"] > 0
+    r2 = _run(["consume", "--lake-dir", lake, "--consumer", "wh",
+               "--out-dir", str(tmp_path / "b2"), "--num-cpus", "4"])
+    assert r2["caught_up"] is True
+    # new data arrives -> only the delta is delivered
+    generate_wal(wal, seed=38, n_urls=30, n_events=60, n_segments=1,
+                 start_segment=4, delete_fraction=0.0)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    out3 = str(tmp_path / "b3")
+    r3 = _run(["consume", "--lake-dir", lake, "--consumer", "wh",
+               "--out-dir", out3, "--num-cpus", "4", "--no-ack"])
+    assert r3["from_version"] == 1 and r3["to_version"] == 2
+    assert r3["acked"] is False and 0 < r3["rows"] < r1["rows"]
+    # peek did not advance: the same delta redelivers
+    r4 = _run(["consume", "--lake-dir", lake, "--consumer", "wh",
+               "--out-dir", str(tmp_path / "b4"), "--num-cpus", "4"])
+    assert r4["rows"] == r3["rows"] and r4["acked"] is True
