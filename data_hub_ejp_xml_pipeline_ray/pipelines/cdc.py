@@ -1053,6 +1053,44 @@ def scd2_history(
     )
 
 
+def wal_lag(
+    lake_dir: str, wal_dir: str, *, segment_glob: str | None = None,
+) -> dict:
+    """Tail backlog behind the committed watermark — metadata only (a
+    directory listing plus one parquet FOOTER per pending segment, no
+    data read, no ray session): how many segments/bytes/events the next
+    ingest will face. The ops dial for "is the tailer keeping up"
+    (reference analog: the sensor's last-download-date comparison,
+    ``S3NewKeyFromLastDataDownloadDateSensor``). ``pending_events`` is
+    None when a pending segment's format carries no footer row count
+    (JSONL)."""
+    import pyarrow.parquet as pq
+
+    m = load_manifest(lake_dir)
+    wm = m.watermark if m is not None else None
+    segs = wal_source.segments_after(
+        wal_source.list_segments(
+            wal_dir, segment_glob or wal_source.SEGMENT_GLOB
+        ),
+        wm,
+    )
+    events: int | None = 0
+    for s in segs:
+        if s.path.endswith(".parquet"):
+            events += pq.ParquetFile(s.path).metadata.num_rows
+        else:
+            events = None
+            break
+    return {
+        "lake": lake_dir, "wal": wal_dir, "watermark": wm,
+        "lake_version": 0 if m is None else m.version,
+        "pending_segments": len(segs),
+        "pending_bytes": sum(s.size_bytes for s in segs),
+        "pending_events": events,
+        "next_segment": segs[0].name if segs else None,
+    }
+
+
 def next_changes(
     lake_dir: str, consumer: str, *,
     preimages: bool = False, columns: list[str] | None = None,

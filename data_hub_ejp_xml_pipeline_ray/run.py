@@ -258,6 +258,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-version", type=int, default=None,
                     help="truncate history at this version")
     sp = sub.add_parser(
+        "lag", help="tail backlog behind the committed watermark "
+                    "(pending segments/bytes/events) — metadata only")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--wal-dir", required=True)
+    sp.add_argument("--segment-glob", default=None)
+    sp = sub.add_parser(
         "consume", help="consumer-group change-feed read: write the "
                         "feed since this consumer's cursor as parquet, "
                         "ack on success (at-least-once delivery, "
@@ -383,6 +389,16 @@ def main(argv: list[str] | None = None) -> int:
             "counters": m.counters,
             "schema": None if m.schema is None else m.schema.names,
         }))
+        return 0
+
+    if args.cmd == "lag":
+        # metadata-only (listing + pending parquet footers): no ray
+        from .pipelines.cdc import wal_lag
+
+        print(json.dumps(wal_lag(
+            args.lake_dir, args.wal_dir,
+            segment_glob=getattr(args, "segment_glob", None),
+        )))
         return 0
 
     if args.cmd == "plan":

@@ -337,3 +337,19 @@ def test_cli_consume_ack_loop(tmp_path):
     r4 = _run(["consume", "--lake-dir", lake, "--consumer", "wh",
                "--out-dir", str(tmp_path / "b4"), "--num-cpus", "4"])
     assert r4["rows"] == r3["rows"] and r4["acked"] is True
+
+
+def test_cli_lag(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=43, n_urls=20, n_events=200, n_segments=4)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    r = _run(["lag", "--lake-dir", lake, "--wal-dir", wal])
+    assert r["pending_segments"] == 0 and r["pending_events"] == 0
+    generate_wal(wal, seed=44, n_urls=20, n_events=100, n_segments=2,
+                 start_segment=4)
+    r2 = _run(["lag", "--lake-dir", lake, "--wal-dir", wal])
+    assert r2["pending_segments"] == 2 and r2["pending_events"] == 100
+    assert r2["next_segment"] == "segment-00004.parquet"
+    assert r2["pending_bytes"] > 0 and r2["watermark"] == "segment-00003.parquet"
