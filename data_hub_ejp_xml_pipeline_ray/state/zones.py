@@ -347,7 +347,11 @@ def constraints_to_expression(
         elif op == "in":
             e = f.isin(value)
         elif op == "not_in":
-            e = ~f.isin(value)
+            # SQL WHERE semantics: NULL NOT IN (...) is NULL -> false.
+            # Arrow's is_in maps null -> false, so a bare invert would
+            # KEEP null rows; reject them explicitly (the hypothesis
+            # soundness law caught exactly this divergence).
+            e = (~f.isin(value)) & f.is_valid()
         elif op == "not_null":
             e = f.is_valid()
         else:  # matches
