@@ -327,3 +327,46 @@ def test_entity_group_lake_constrained_read(tmp_path):
         [("url", "ascending"), ("link_index", "ascending")]
     )
     assert got2.equals(want2)
+
+
+def test_zones_identical_across_crashed_commit_retry(tmp_path, monkeypatch):
+    """Crash between the snapshot CAS and the pointer publish, then
+    retry: the retried commit recomputes byte-identical zones (footers
+    are immutable, refresh is deterministic), and the final manifest's
+    zones equal a clean never-crashed lake's."""
+    from data_hub_ejp_xml_pipeline_ray.state import checkpoint as ckpt
+
+    wal = str(tmp_path / "wal")
+    generate_wal(wal, seed=51, n_urls=40, n_events=500, n_segments=2)
+
+    real_store = ckpt.LOCAL_STORE
+    crashed = {"done": False}
+
+    class CrashingStore:
+        def __getattr__(self, name):
+            return getattr(real_store, name)
+
+        def put_atomic(self, path, data):
+            if path.endswith("_manifest.json") and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("simulated crash before pointer publish")
+            real_store.put_atomic(path, data)
+
+    lake_a = str(tmp_path / "lake_a")
+    cfg = CdcConfig(wal_dir=wal, lake_dir=lake_a, num_partitions=4,
+                    extract_concurrency=2)
+    monkeypatch.setattr(ckpt, "LOCAL_STORE", CrashingStore())
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_ingest(cfg)
+    assert crashed["done"] and load_manifest(lake_a) is None
+    run_ingest(cfg)  # retry completes the v1 commit
+    monkeypatch.setattr(ckpt, "LOCAL_STORE", real_store)
+
+    lake_b = str(tmp_path / "lake_b")
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake_b, num_partitions=4,
+                         extract_concurrency=2))
+    ma, mb = load_manifest(lake_a), load_manifest(lake_b)
+    assert ma.zones and ma.zones == mb.zones
+    assert lake_snapshot(lake_a).sort_by([("url", "ascending")]).equals(
+        lake_snapshot(lake_b).sort_by([("url", "ascending")])
+    )
