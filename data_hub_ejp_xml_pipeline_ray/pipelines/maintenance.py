@@ -118,6 +118,66 @@ def auto_maintain(
     return actions
 
 
+def clone_lake(
+    src_dir: str, dst_dir: str, *, version: int | None = None,
+) -> dict:
+    """DEEP CLONE a committed snapshot into a fresh independent lake
+    (the DR / dev-copy / migration shape): every data file the snapshot
+    references is copied byte-for-byte under the SAME content-addressed
+    relpath, and a fresh v1 manifest carries the source's schema,
+    partition map, split history, MOR delta references, stats, zone
+    maps AND watermark — so ``run_ingest`` against the clone resumes
+    tailing the same WAL exactly where the source stood (strictly-
+    greater watermark semantics make the handoff seamless). The clone
+    owns its files: vacuum/GC on either side never touches the other.
+    Version history does NOT carry (time travel stays at the source) —
+    the clone starts a new chain at v1.
+
+    Deep copy by design: a shallow (manifest-only) clone would let the
+    source's retention sweep delete files the clone still references —
+    the classic shallow-clone footgun; at 100 TB, clone cost is one
+    sequential copy of the LIVE snapshot (not the history)."""
+    import shutil
+
+    m = load_manifest(src_dir, version=version)
+    if m is None:
+        raise FileNotFoundError(f"no committed lake at {src_dir}")
+    if os.path.isdir(dst_dir) and os.listdir(dst_dir):
+        raise FileExistsError(f"dst {dst_dir} is not empty")
+    rels = sorted(m.all_data_relpaths())
+    copied_bytes = 0
+    for rel in rels:
+        src = os.path.join(src_dir, rel)
+        dst = os.path.join(dst_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        copied_bytes += os.path.getsize(dst)
+    clone = LakeManifest(
+        num_partitions=m.num_partitions,
+        version=1,
+        watermark=m.watermark,
+        schema=m.schema,
+        partitions=dict(m.partitions),
+        partition_meta={k: dict(v) for k, v in m.partition_meta.items()},
+        splits=[list(s) for s in m.splits],
+        lineage=[{
+            "version": 1, "committed_at": utcnow_iso(),
+            "cloned_from": src_dir, "src_version": m.version,
+        }],
+        counters=dict(m.counters),
+        retain_versions=m.retain_versions,
+        kind=m.kind,
+        delta_files={k: list(v) for k, v in m.delta_files.items()},
+        zones=dict(m.zones),  # same relpaths + identical bytes -> valid
+    )
+    commit_manifest(dst_dir, clone)
+    return {
+        "src": src_dir, "dst": dst_dir, "src_version": m.version,
+        "files_copied": len(rels), "bytes_copied": copied_bytes,
+        "watermark": m.watermark, "kind": m.kind,
+    }
+
+
 def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
     """Controlled BACKFILL: move the tailer high-watermark BACKWARD so
     the next ingest reprocesses WAL segments after ``to`` (``None`` =

@@ -258,6 +258,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-version", type=int, default=None,
                     help="truncate history at this version")
     sp = sub.add_parser(
+        "clone", help="deep-clone a committed snapshot into a fresh "
+                      "independent lake (carries schema/partitions/"
+                      "watermark; tailing resumes on the clone)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--dst-dir", required=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--tag", default=None,
+                    help="named tag: clone the version it pins")
+    sp = sub.add_parser(
         "lag", help="tail backlog behind the committed watermark "
                     "(pending segments/bytes/events) — metadata only")
     add_common(sp, lake_only=True)
@@ -389,6 +398,20 @@ def main(argv: list[str] | None = None) -> int:
             "counters": m.counters,
             "schema": None if m.schema is None else m.schema.names,
         }))
+        return 0
+
+    if args.cmd == "clone":
+        # pure file copy + manifest commit: no ray session
+        from .pipelines.maintenance import clone_lake
+
+        version = args.version
+        if version is None and getattr(args, "tag", None):
+            from .state.checkpoint import resolve_tag
+
+            version = resolve_tag(args.lake_dir, args.tag)
+        print(json.dumps(clone_lake(
+            args.lake_dir, args.dst_dir, version=version,
+        )))
         return 0
 
     if args.cmd == "lag":

@@ -375,10 +375,13 @@ def refresh_zones(lake_dir: str, manifest, prev_zones: dict | None) -> dict:
     deterministic (sorted paths, pure function of immutable bytes), so
     a crashed-and-retried commit rebuilds byte-identical zones."""
     prev = prev_zones or {}
+    seeded = getattr(manifest, "zones", None) or {}
     live = manifest.all_data_relpaths()
-    out = {rel: prev[rel] for rel in sorted(live) if rel in prev}
-    for rel in sorted(live - set(out)):
-        doc = file_zone_doc(os.path.join(lake_dir, rel))
+    out: dict = {}
+    for rel in sorted(live):
+        doc = seeded.get(rel) or prev.get(rel)
+        if doc is None:
+            doc = file_zone_doc(os.path.join(lake_dir, rel))
         if doc is not None:
             out[rel] = doc
     return out

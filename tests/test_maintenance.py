@@ -422,3 +422,86 @@ def test_auto_maintain_policy_runs_due_actions(tmp_path):
     a = auto_maintain(cfg.lake_dir, tombstone_ratio=0.0,
                       max_partition_bytes=1 << 40)
     assert not a["compacted"] and a["tombstones"] == 0
+
+
+# ---------------------------------------------------------------------------
+# clone_lake (deep snapshot clone)
+# ---------------------------------------------------------------------------
+
+def test_clone_lake_state_and_resume(tmp_path):
+    """Clone == source snapshot bit-exactly; the carried watermark means
+    re-tailing the same WAL is a no-op, and NEW segments apply to the
+    clone independently of the source."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        clone_lake,
+    )
+
+    wal = str(tmp_path / "wal")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    generate_wal(wal, seed=61, n_urls=30, n_events=400, n_segments=4,
+                 delete_fraction=0.1)
+    cfg_src = CdcConfig(wal_dir=wal, lake_dir=src, num_partitions=4,
+                        extract_concurrency=2)
+    run_ingest(cfg_src)
+    r = clone_lake(src, dst)
+    assert r["files_copied"] > 0 and r["watermark"] == "segment-00003.parquet"
+    a = lake_snapshot(src).sort_by([("url", "ascending")])
+    b = lake_snapshot(dst).sort_by([("url", "ascending")])
+    assert a.equals(b)
+    mc = load_manifest(dst)
+    assert mc.version == 1 and mc.zones and mc.watermark == r["watermark"]
+    # same WAL -> watermark makes re-ingest a no-op on the clone
+    cfg_dst = CdcConfig(wal_dir=wal, lake_dir=dst, num_partitions=4,
+                        extract_concurrency=2)
+    assert run_ingest(cfg_dst).commits == 0
+    # new segments apply to the clone only
+    generate_wal(wal, seed=62, n_urls=30, n_events=100, n_segments=1,
+                 start_segment=4, delete_fraction=0.0)
+    assert run_ingest(cfg_dst).commits == 1
+    assert lake_snapshot(dst).num_rows >= lake_snapshot(src).num_rows
+    # source untouched by the clone's progress
+    assert load_manifest(src).version == 1
+
+
+def test_clone_lake_independent_of_source_vacuum(tmp_path):
+    """The clone owns its files: vacuuming (even deleting) the source
+    cannot break the clone, and vice versa."""
+    import shutil
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        clone_lake,
+        vacuum,
+    )
+
+    wal = str(tmp_path / "wal")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    generate_wal(wal, seed=63, n_urls=25, n_events=300, n_segments=2)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=src, num_partitions=4,
+                         extract_concurrency=2))
+    clone_lake(src, dst)
+    before = lake_snapshot(dst)
+    vacuum(src, keep=1)
+    shutil.rmtree(src)  # even total source loss
+    assert lake_snapshot(dst).equals(before)
+
+
+def test_clone_refuses_nonempty_dst(tmp_path):
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        clone_lake,
+    )
+
+    wal = str(tmp_path / "wal")
+    src = str(tmp_path / "src")
+    generate_wal(wal, seed=64, n_urls=10, n_events=100, n_segments=1)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=src, num_partitions=2,
+                         extract_concurrency=2))
+    dst = str(tmp_path / "dst")
+    os.makedirs(dst)
+    with open(os.path.join(dst, "junk"), "w") as f:
+        f.write("x")
+    with pytest.raises(FileExistsError):
+        clone_lake(src, dst)
