@@ -829,6 +829,15 @@ def changes_between(
             f"lake {lake_dir} is kind={m_to.kind!r}: use "
             "entity_changes_between for group-valued lakes"
         )
+    if m_from is not None and not (m_from.split_set() <= m_to.split_set()):
+        # the ancestor pairing assumes the split map only GROWS from
+        # v_from to v_to; a restore_lake that rolled back past a split
+        # breaks that — refuse instead of mis-pairing partitions
+        raise ValueError(
+            f"split map regressed between v{m_from.version} and "
+            f"v{m_to.version} (a restore crossed a partition split); "
+            "this version pair cannot be diffed"
+        )
     schema = m_to.schema
     if columns is not None:
         need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)

@@ -178,6 +178,64 @@ def clone_lake(
     }
 
 
+def restore_lake(lake_dir: str, version: int) -> dict:
+    """ROLLBACK the lake head to a retained snapshot (Delta RESTORE):
+    commit a NEW version whose file set, schema, partition/split map,
+    MOR deltas, zones AND watermark are the old snapshot's — no data
+    copied (the retained snapshot's files are still on disk), history
+    preserved (the bad versions stay time-travelable until retention
+    ages them out), and the carried-back watermark means the next
+    ingest REPLAYS the rolled-back WAL range, converging by LWW
+    idempotence. Change-feed consumers see the restore as one more
+    version whose diff is exactly the INVERSE of the rolled-back
+    changes — downstreams un-apply naturally; the only refusal is a
+    feed crossing a restore that REGRESSED the partition split map
+    (``changes_between`` guards it — split-pair resolution assumes the
+    map only grows)."""
+    with writer_lock(lake_dir) as lock_token:
+        cur = load_manifest(lake_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        if int(version) >= cur.version:
+            raise ValueError(
+                f"restore target v{version} is not older than the head "
+                f"v{cur.version}"
+            )
+        old = load_manifest(lake_dir, version=int(version))  # raises if pruned
+        new_manifest = LakeManifest(
+            num_partitions=old.num_partitions,
+            version=cur.version + 1,
+            watermark=old.watermark,
+            schema=old.schema,
+            partitions=dict(old.partitions),
+            partition_meta={k: dict(v) for k, v in old.partition_meta.items()},
+            splits=[list(s) for s in old.splits],
+            lineage=cur.lineage + [{
+                "version": cur.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "restore",
+                "restored_version": int(version),
+                "from_watermark": cur.watermark,
+                "to_watermark": old.watermark,
+            }],
+            counters=dict(old.counters),
+            retain_versions=cur.retain_versions,
+            kind=old.kind,
+            delta_files={k: list(v) for k, v in old.delta_files.items()},
+            zones=dict(old.zones),
+        )
+        commit_manifest(
+            lake_dir, new_manifest, expected_version=cur.version
+        )
+        verify_lock(lake_dir, lock_token)
+        gc_unreferenced(lake_dir, new_manifest, previous=cur)
+    return {
+        "restored": True, "to_version": int(version),
+        "new_version": new_manifest.version,
+        "watermark": new_manifest.watermark,
+    }
+
+
 def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
     """Controlled BACKFILL: move the tailer high-watermark BACKWARD so
     the next ingest reprocesses WAL segments after ``to`` (``None`` =

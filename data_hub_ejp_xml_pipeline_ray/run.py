@@ -267,6 +267,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--tag", default=None,
                     help="named tag: clone the version it pins")
     sp = sub.add_parser(
+        "restore", help="roll the lake head back to a retained snapshot "
+                        "(new commit, no data copy; the watermark "
+                        "carries back so ingest replays)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--tag", default=None,
+                    help="named tag: restore the version it pins")
+    sp = sub.add_parser(
         "lag", help="tail backlog behind the committed watermark "
                     "(pending segments/bytes/events) — metadata only")
     add_common(sp, lake_only=True)
@@ -412,6 +420,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(clone_lake(
             args.lake_dir, args.dst_dir, version=version,
         )))
+        return 0
+
+    if args.cmd == "restore":
+        # manifest-only rollback: no ray session
+        from .pipelines.maintenance import restore_lake
+
+        version = args.version
+        if version is None and getattr(args, "tag", None):
+            from .state.checkpoint import resolve_tag
+
+            version = resolve_tag(args.lake_dir, args.tag)
+        if version is None:
+            p.error("restore needs --version or --tag")
+        print(json.dumps(restore_lake(args.lake_dir, version)))
         return 0
 
     if args.cmd == "lag":

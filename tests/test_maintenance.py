@@ -505,3 +505,77 @@ def test_clone_refuses_nonempty_dst(tmp_path):
         f.write("x")
     with pytest.raises(FileExistsError):
         clone_lake(src, dst)
+
+
+# ---------------------------------------------------------------------------
+# restore_lake (Delta RESTORE: head rollback to a retained snapshot)
+# ---------------------------------------------------------------------------
+
+def test_restore_rolls_back_and_replay_converges(tmp_path):
+    """Restore == old snapshot bit-exactly as a NEW version (history
+    kept); the carried-back watermark makes the next ingest REPLAY the
+    rolled-back range and converge to the pre-restore head state; the
+    feed across the restore is the inverse diff."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        restore_lake,
+    )
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=71, n_urls=30, n_events=400, n_segments=4,
+                 delete_fraction=0.15)
+    cfg = CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=4,
+                    extract_concurrency=2, max_segments_per_batch=2,
+                    retain_versions=None)
+    run_ingest(cfg)  # v1 (segments 0-1), v2 (segments 2-3)
+    head = lake_snapshot(lake).sort_by([("url", "ascending")])
+    v1 = lake_snapshot(lake, version=1).sort_by([("url", "ascending")])
+
+    r = restore_lake(lake, 1)
+    assert r["new_version"] == 3 and r["watermark"] == "segment-00001.parquet"
+    assert lake_snapshot(lake).sort_by([("url", "ascending")]).equals(v1)
+    # history preserved: the bad v2 is still time-travelable
+    assert lake_snapshot(lake, version=2).num_rows > 0
+    # restore feed (v2 -> v3) is the INVERSE of the rolled-back feed
+    fwd = {r_["url"]: r_["change_op"]
+           for r_ in changes_between(lake, 1, 2).take_all()}
+    inv = {r_["url"]: r_["change_op"]
+           for r_ in changes_between(lake, 2, 3).take_all()}
+    assert set(fwd) == set(inv)
+    assert all(inv[u] == "delete" for u, op in fwd.items() if op == "insert")
+    # replay: same WAL re-applies segments 2-3, converging to the head
+    run_ingest(cfg)
+    assert lake_snapshot(lake).sort_by([("url", "ascending")]).equals(head)
+    # refusals: not-older target
+    with pytest.raises(ValueError):
+        restore_lake(lake, 99)
+
+
+def test_restore_across_split_guards_feed(tmp_path):
+    """Restoring past a partition split regresses the split map: reads
+    still work, but a change feed crossing that boundary is REFUSED
+    (pairing assumes the map only grows)."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import changes_between
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        restore_lake,
+        split_partition,
+    )
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=72, n_urls=40, n_events=400, n_segments=2)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=4,
+                         extract_concurrency=2, retain_versions=None))
+    v1 = lake_snapshot(lake).sort_by([("url", "ascending")])
+    split_partition(lake, 1)  # v2, split map grew
+    restore_lake(lake, 1)     # v3, split map REGRESSED vs v2
+    assert lake_snapshot(lake).sort_by([("url", "ascending")]).equals(v1)
+    with pytest.raises(ValueError, match="split map regressed"):
+        changes_between(lake, 2, 3)
+    # non-crossing feeds still fine
+    assert changes_between(lake, 1, 3).count() == 0
