@@ -3176,6 +3176,51 @@ def q_scd2_history(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_restore_feed(sf_dir: str):
+    """Head rollback as a FEED, DRIVER-ORACLE-CHECKED: ingest the
+    derived WAL in two commits, :func:`..pipelines.maintenance
+    .restore_lake` back to v1 (new v3, no data copied), then stream
+    ``changes_between(2, 3)`` — the restore's diff is the INVERSE of
+    the rolled-back changes (rolled-back inserts surface as deletes,
+    updates as counter-updates carrying the OLD winner). The oracle is
+    the change-feed SQL with the window-LWW states ROLE-SWAPPED (old =
+    all events, new = first half), including the live->ABSENT delete
+    rows with NULL identity (urls born in the second half have no
+    stored tombstone to name)."""
+    import shutil
+
+    from ..pipelines.cdc import CdcConfig, changes_between, run_ingest
+    from ..pipelines.maintenance import restore_lake
+    from ..sources.synthetic import derive_wal_from_events
+
+    work = derived_cdc_workdir(sf_dir, "restorefeed")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8, entity_html=False,
+    )
+    cfg = CdcConfig(
+        wal_dir=os.path.join(work, "wal"),
+        lake_dir=os.path.join(work, "lake"),
+        num_partitions=16,
+        max_segments_per_batch=4,  # -> v1, v2
+    )
+    run_ingest(cfg)
+    restore_lake(cfg.lake_dir, 1)  # -> v3 == v1's state
+    ds = changes_between(cfg.lake_dir, 2, 3)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.select(
+            ["url", "change_op", "warc_ts", "seq", "text", "lang"]
+        )
+        i = batch.column_names.index("warc_ts")
+        return batch.set_column(
+            i, "warc_ts", batch.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_entity_change_feed(sf_dir: str):
     """Group-valued change feed, DRIVER-ORACLE-CHECKED: ingest the
     derived ENTITY WAL in two commits, then stream
@@ -6943,6 +6988,7 @@ QUERIES = {
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
     "entity_change_feed": q_entity_change_feed,
     "incremental_lang_counts": q_incremental_lang_counts,
@@ -7599,6 +7645,55 @@ ORACLE_SQL = {
                  CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
           FROM feed f WHERE NOT f.is_del
         )
+    """,
+    # Restore feed (v2 -> restored v3 == v1): the change-feed SQL with
+    # the LWW states ROLE-SWAPPED — old = all events, new = first half.
+    # Urls born in the second half have NO first-half row at all ->
+    # delete with NULL identity/payload (the engine's live->ABSENT
+    # case); rolled-back deletes whose v1 winner is a tombstone carry
+    # that tombstone's identity.
+    "cdc_restore_feed": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        ), new_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked WHERE rk <= 4 * ceil(n / 8.0)) WHERE rn = 1
+        ), old_state AS (
+          SELECT user_id, ts, event_id, event_type, is_del FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ranked) WHERE rn = 1
+        )
+        SELECT 'https://u' || CAST(o.user_id AS VARCHAR)
+                 || '.example/page' AS url,
+               CASE WHEN w.user_id IS NOT NULL AND NOT w.is_del
+                         AND o.is_del THEN 'insert'
+                    WHEN w.user_id IS NOT NULL AND NOT w.is_del
+                         THEN 'update'
+                    ELSE 'delete' END AS change_op,
+               CASE WHEN w.user_id IS NOT NULL THEN w.ts END AS warc_ts,
+               CASE WHEN w.user_id IS NOT NULL THEN w.event_id END AS seq,
+               CASE WHEN w.user_id IS NOT NULL AND NOT w.is_del
+                      THEN 'page u' || CAST(w.user_id AS VARCHAR)
+                           || ' rev ' || CAST(w.event_id AS VARCHAR)
+               END AS text,
+               CASE WHEN w.user_id IS NOT NULL
+                      THEN w.event_type END AS lang
+        FROM old_state o LEFT JOIN new_state w ON o.user_id = w.user_id
+        WHERE (w.user_id IS NULL AND NOT o.is_del)
+           OR (w.user_id IS NOT NULL AND NOT w.is_del AND o.is_del)
+           OR (w.user_id IS NOT NULL AND NOT w.is_del AND NOT o.is_del
+               AND (w.ts <> o.ts OR w.event_id <> o.event_id))
+           OR (w.user_id IS NOT NULL AND w.is_del AND NOT o.is_del)
     """,
     # Incremental materialized view: final live-row count per lang ==
     # a from-scratch recount of the LWW-live state (the Ray side
