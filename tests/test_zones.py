@@ -370,3 +370,32 @@ def test_zones_identical_across_crashed_commit_retry(tmp_path, monkeypatch):
     assert lake_snapshot(lake_a).sort_by([("url", "ascending")]).equals(
         lake_snapshot(lake_b).sort_by([("url", "ascending")])
     )
+
+
+def test_zones_follow_maintenance_rewrites(tmp_path):
+    """cluster/compact rewrite partition files under NEW content-
+    addressed relpaths: the commit hook must record zones for every
+    rewritten file (and drop dead entries), and the pruning law must
+    keep holding on the rewritten lake."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        cluster_lake,
+        compact_lake,
+    )
+
+    wal, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    generate_wal(wal, seed=53, n_urls=60, n_events=800, n_segments=2,
+                 delete_fraction=0.2)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=8,
+                         extract_concurrency=2))
+    before = set(load_manifest(lake).zones)
+    compact_lake(lake)
+    cluster_lake(lake, "lang")
+    m = load_manifest(lake)
+    assert set(m.zones) == m.all_data_relpaths()
+    assert set(m.zones) != before, "rewrites must produce new relpaths"
+    snap = lake_snapshot(lake)
+    lang = snap.column("lang")[0].as_py()
+    _pruned_equals_bruteforce(lake, [["lang", "==", lang]])
+    url = snap.column("url")[0].as_py()
+    assert scan_plan(lake, [["url", "==", url]])["parts_read"] == 1
+    _pruned_equals_bruteforce(lake, [["url", "==", url]])
