@@ -153,3 +153,89 @@ def test_kitchen_sink_converges(tmp_path):
     assert {
         v["lang"]: v["n"] for v in read_view(view).to_pylist()
     } == dict(exp_counts)
+
+
+def test_round4_surface_chained(tmp_path):
+    """One flow through the round-4 surface: ingest (2 commits) ->
+    consumer acks the feed -> cluster -> zone-routed point lookup ->
+    deep clone (fresh cursor namespace, identical state) -> restore src
+    to v1 -> consumer receives the INVERSE feed -> replay re-converges
+    -> SCD2 slices reconstruct every retained version on the final
+    chain."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        ack_changes,
+        next_changes,
+        read_lake,
+        scan_plan,
+        scd2_history,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        clone_lake,
+        cluster_lake,
+        restore_lake,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import list_cursors
+
+    wal = str(tmp_path / "wal")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    generate_wal(wal, seed=81, n_urls=40, n_events=600, n_segments=4,
+                 delete_fraction=0.12)
+    cfg = CdcConfig(wal_dir=wal, lake_dir=src, num_partitions=8,
+                    extract_concurrency=2, max_segments_per_batch=2,
+                    retain_versions=None)
+    run_ingest(cfg)  # v1, v2
+    head = lake_snapshot(src).sort_by([("url", "ascending")])
+
+    # consumer catches up to v2
+    ds, tok = next_changes(src, "wh")
+    n_feed = ds.count()
+    assert n_feed > 0 and ack_changes(src, tok)
+
+    # cluster, then a zone-routed point lookup touches ONE partition
+    cluster_lake(src, "url")
+    url = head.column("url")[0].as_py()
+    assert scan_plan(src, [["url", "==", url]])["parts_read"] == 1
+    got = read_lake(src, constraints=[["url", "==", url]]).take_all()
+    assert len(got) == 1 and got[0]["url"] == url
+
+    # deep clone: identical state, fresh cursor namespace
+    clone_lake(src, dst)
+    assert lake_snapshot(dst).sort_by([("url", "ascending")]).equals(
+        lake_snapshot(src).sort_by([("url", "ascending")])
+    )
+    assert list_cursors(dst) == {}
+    ds_c, tok_c = next_changes(dst, "wh")
+    assert tok_c["from_version"] == 0 and ds_c is not None
+
+    # restore src to v1: the consumer sees the inverse feed and acks
+    restore_lake(src, 1)  # cluster made v3, restore -> v4
+    ds_r, tok_r = next_changes(src, "wh")  # consumer acked at v2
+    assert (tok_r["from_version"], tok_r["to_version"]) == (2, 4)
+    assert ds_r is not None
+    inv = ds_r.count()
+    assert inv > 0 and ack_changes(src, tok_r)
+    assert lake_snapshot(src).sort_by([("url", "ascending")]).equals(
+        lake_snapshot(src, version=1).sort_by([("url", "ascending")])
+    )
+
+    # replay: same WAL re-applies the rolled-back range, re-converging
+    run_ingest(cfg)
+    assert lake_snapshot(src).sort_by([("url", "ascending")]).equals(head)
+
+    # SCD2 over the whole chain (incl. cluster/restore/replay commits):
+    # slicing at every retained version reconstructs that snapshot
+    hist = pa.Table.from_pylist(scd2_history(src).take_all())
+    import pyarrow.compute as pc
+
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import list_versions
+
+    cols = ["url", "warc_ts", "seq", "text", "lang"]
+    for v in list_versions(src):
+        open_at = pc.fill_null(pc.greater(hist.column("valid_to"), v), True)
+        mask = pc.and_(pc.less_equal(hist.column("valid_from"), v), open_at)
+        rec = hist.filter(mask).select(cols).sort_by([("url", "ascending")])
+        snap = lake_snapshot(src, version=v).select(cols).sort_by(
+            [("url", "ascending")]
+        )
+        assert rec.equals(snap), f"SCD2 slice diverged at v{v}"
