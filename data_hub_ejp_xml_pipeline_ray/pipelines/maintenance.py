@@ -1026,6 +1026,25 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
             f"{orphans} unreferenced data file(s) awaiting GC"
         )
 
+    # -- named refs: tags and consumer cursors must pin RETAINED
+    # versions (a dangling ref means its time travel / feed resume is
+    # already broken — vacuum honors pins, so this only happens through
+    # out-of-band deletion; cursor value 0 = never consumed, fine)
+    from ..state.checkpoint import list_cursors, list_tags
+
+    retained = set(versions)
+    for name, v in sorted(list_tags(lake_dir).items()):
+        if v not in retained:
+            errors.append(
+                f"tag {name!r} pins v{v} which has no retained snapshot"
+            )
+    for name, v in sorted(list_cursors(lake_dir).items()):
+        if v != 0 and v not in retained:
+            errors.append(
+                f"consumer cursor {name!r} at v{v} has no retained "
+                f"snapshot: its next feed cannot be served"
+            )
+
     report: dict = {
         "ok": not errors,
         "errors": errors,

@@ -128,3 +128,38 @@ def test_fsck_deep_detects_misrouted_rows(tmp_path):
     rep = fsck_lake(cfg.lake_dir, deep=True)
     assert not rep["ok"]
     assert any("routes to a different partition" in e for e in rep["errors"])
+
+
+def test_fsck_flags_dangling_tag_and_cursor(tmp_path):
+    """Out-of-band snapshot deletion leaves a tag / consumer cursor
+    pinning a version with no retained snapshot — fsck reports both."""
+    import json
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        ack_changes,
+        next_changes,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        cursors_path,
+        snapshot_path,
+        tag_version,
+    )
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=91, n_urls=20, n_events=200, n_segments=2)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=4,
+                         extract_concurrency=2,
+                         max_segments_per_batch=1, retain_versions=None))
+    tag_version(lake, "release", 1)
+    _, tok = next_changes(lake, "wh")
+    ack_changes(lake, tok)  # cursor at v2 (head)
+    assert fsck_lake(lake)["ok"]
+    # out-of-band damage: drop v1's snapshot, point the cursor at it
+    os.remove(snapshot_path(lake, 1))
+    with open(cursors_path(lake), "w", encoding="utf-8") as f:
+        json.dump({"wh": 1}, f)
+    r = fsck_lake(lake)
+    assert not r["ok"]
+    assert any("tag 'release'" in e for e in r["errors"])
+    assert any("cursor 'wh'" in e for e in r["errors"])
