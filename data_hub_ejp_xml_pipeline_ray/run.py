@@ -292,6 +292,29 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--no-ack", action="store_true",
                     help="peek: read without advancing the cursor")
     sp = sub.add_parser(
+        "branch", help="write-audit-publish branches: fork a zero-copy "
+                       "staging ref off the lake head (ingest/compact "
+                       "against <lake>/_branches/<name>), list, or "
+                       "delete one")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--name", default=None,
+                    help="branch to create (omit to list branches)")
+    sp.add_argument("--version", type=int, default=None,
+                    help="fork point (default: current head)")
+    sp.add_argument("--delete", action="store_true",
+                    help="delete --name instead of creating it")
+    sp = sub.add_parser(
+        "publish", help="fast-forward the lake head to a branch "
+                        "(optionally gated on CHECK-constraint audit "
+                        "of the branch snapshot)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    help="audit gate (repeatable, ANDed): refuse the "
+                         "publish if any branch row violates")
+    sp.add_argument("--keep-branch", action="store_true")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -380,6 +403,34 @@ def main(argv: list[str] | None = None) -> int:
             })
         print(json.dumps({"lake": args.lake_dir, "versions": out,
                           "tags": list_tags(args.lake_dir)}))
+        return 0
+    if args.cmd == "branch":
+        from .pipelines.branching import (
+            create_branch, delete_branch, list_branches,
+        )
+
+        if args.name is None:
+            print(json.dumps({"lake": args.lake_dir,
+                              "branches": list_branches(args.lake_dir)}))
+        elif args.delete:
+            print(json.dumps(delete_branch(args.lake_dir, args.name)))
+        else:
+            print(json.dumps(create_branch(
+                args.lake_dir, args.name, version=args.version)))
+        return 0
+    if args.cmd == "publish":
+        from .pipelines.branching import publish_branch
+
+        if args.constraints:
+            _init_ray(args.num_cpus)  # the audit gate scans the branch
+        print(json.dumps(publish_branch(
+            args.lake_dir, args.name,
+            audit_constraints=(
+                [_parse_constraint(c) for c in args.constraints]
+                if args.constraints else None
+            ),
+            keep_branch=args.keep_branch,
+        )))
         return 0
     if args.cmd == "vacuum":
         from .pipelines.maintenance import vacuum

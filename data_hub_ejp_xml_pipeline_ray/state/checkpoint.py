@@ -43,6 +43,7 @@ MANIFEST_NAME = "_manifest.json"
 LOCK_NAME = "_commit.lock"
 DATA_DIR = "data"
 SNAPSHOTS_DIR = "_snapshots"
+BRANCHES_DIR = "_branches"
 MAX_LINEAGE_ENTRIES = 1000
 DEFAULT_LEASE_SECONDS = 120.0
 
@@ -246,6 +247,68 @@ def list_tags(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
     except FileNotFoundError:
         return {}
     return {str(k): int(v) for k, v in json.loads(raw).items()}
+
+
+def branch_dir(lake_dir: str, name: str) -> str:
+    """Root of branch ``name``'s state, nested under the parent lake.
+    A branch is a full virtual lake (own manifest pointer, snapshot
+    chain, writer lock, data dir for files IT writes) whose manifest
+    references parent data files through ``../../``-prefixed relpaths —
+    so every reader/feed/view built on ``load_manifest`` composes with
+    zero changes (see ``pipelines/branching.py``)."""
+    return os.path.join(lake_dir, BRANCHES_DIR, name)
+
+
+def list_branches(lake_dir: str, *, store: Store | None = None) -> list[str]:
+    """Names of branches with a committed manifest, sorted."""
+    root = os.path.join(lake_dir, BRANCHES_DIR)
+    if not os.path.isdir(root):
+        return []
+    store = store or LOCAL_STORE
+    return sorted(
+        name for name in os.listdir(root)
+        if store.exists(manifest_path(os.path.join(root, name)))
+    )
+
+
+def _branch_pinned_relpaths(
+    lake_dir: str, store: Store,
+) -> set[str]:
+    """Parent-relative data relpaths pinned by live branches: every
+    relpath any branch's head manifest OR retained snapshot references,
+    normalized into the parent's namespace (a branch's ``../../data/x``
+    becomes ``data/x``; branch-LOCAL files normalize under
+    ``_branches/<name>/data/`` and never collide with the parent's data
+    listing). Parent GC must treat these as live — a branch forked at
+    v5 still reads parent files that later parent commits superseded.
+    FAILS CLOSED on an unreadable branch manifest, like the retained-
+    snapshot path in :func:`gc_unreferenced`."""
+    pinned: set[str] = set()
+    for name in list_branches(lake_dir, store=store):
+        bdir = branch_dir(lake_dir, name)
+        raws: list[bytes] = []
+        try:
+            raws.append(store.get_bytes(manifest_path(bdir)))
+        except FileNotFoundError:
+            pass
+        for v in list_versions(bdir, store=store):
+            try:
+                raws.append(store.get_bytes(snapshot_path(bdir, v)))
+            except FileNotFoundError:
+                continue
+        for raw in raws:
+            try:
+                bm = LakeManifest.from_json(json.loads(raw))
+            except (json.JSONDecodeError, KeyError) as e:
+                raise RuntimeError(
+                    f"branch {name!r} at {lake_dir} has an unreadable "
+                    f"manifest/snapshot ({e!r}); refusing to GC"
+                ) from e
+            for rel in bm.all_data_relpaths():
+                pinned.add(os.path.normpath(
+                    os.path.join(BRANCHES_DIR, name, rel)
+                ))
+    return pinned
 
 
 def _cas_update_intmap(
@@ -790,6 +853,11 @@ def gc_unreferenced(
     live = {os.path.normpath(rel) for rel in manifest.all_data_relpaths()}
     if previous is not None:
         live |= {os.path.normpath(rel) for rel in previous.all_data_relpaths()}
+    # live branches pin every parent file they still reference (a
+    # branch forked at v5 reads parent files later commits superseded);
+    # branch CREATION runs under the same writer lock as this sweep,
+    # so a fork can never race the scan
+    live |= _branch_pinned_relpaths(lake_dir, store)
     versions = list_versions(lake_dir, store=store)
     keep_versions = (
         set(versions) if retain_versions is None

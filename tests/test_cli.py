@@ -353,3 +353,30 @@ def test_cli_lag(tmp_path):
     assert r2["pending_segments"] == 2 and r2["pending_events"] == 100
     assert r2["next_segment"] == "segment-00004.parquet"
     assert r2["pending_bytes"] > 0 and r2["watermark"] == "segment-00003.parquet"
+
+
+def test_cli_branch_publish(tmp_path):
+    """WAP over the CLI: branch -> ingest into the branch dir -> audit-
+    gated publish -> main fast-forwarded, branch consumed."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    generate_wal(wal, seed=61, n_urls=20, n_events=150, n_segments=2,
+                 delete_fraction=0.1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--num-cpus", "4"])
+    b = _run(["branch", "--lake-dir", lake, "--name", "stage"])
+    assert b["branch"] == "stage" and b["forked_from_version"] == 1
+    ls = _run(["branch", "--lake-dir", lake])
+    assert ls["branches"] == ["stage"]
+    generate_wal(wal, seed=62, n_urls=20, n_events=100, n_segments=2,
+                 start_segment=2, delete_fraction=0.1)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", b["dir"],
+          "--num-partitions", "4", "--num-cpus", "4"])
+    s_main = _run(["show", "--lake-dir", lake])
+    assert s_main["version"] == 1  # main untouched by the branch ingest
+    p = _run(["publish", "--lake-dir", lake, "--name", "stage",
+              "--constraint", "seq,>=,0", "--num-cpus", "4"])
+    assert p["published"] == "stage" and p["new_version"] == 2
+    s2 = _run(["show", "--lake-dir", lake])
+    assert s2["version"] == 2 and s2["watermark"] == p["watermark"]
+    assert _run(["branch", "--lake-dir", lake])["branches"] == []
