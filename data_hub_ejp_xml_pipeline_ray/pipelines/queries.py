@@ -40,6 +40,10 @@ from ..stages.dedup import (
 )
 from ..stages.textstats import annotate_text_stats
 
+#: redaction patterns shared verbatim between the Ray kernel and the
+#: DuckDB oracle SQL (both RE2) — parity by construction
+_PII_PATS = tuple(p for p, _ in ts.PII_RULES)
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -1606,6 +1610,27 @@ def q_doc_token_stats(sf_dir: str):
     )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub pass (emails / IPv4 / digit runs masked in rule order
+    — the standard pre-training redaction stage; kernel
+    ``functions.textstats.redact_pii``, chained vectorized RE2
+    count+replace, no row loop). Runs over ``events.props`` — the one
+    driver column with redactable spans — and is fully SQL-oracled as
+    chained ``regexp_replace(..., 'g')`` stages."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        red, n = ts.redact_pii(t.column("props"))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "props_redacted": red,
+            "n_redactions": n,
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=2_000)
     return ds.map_batches(
@@ -3031,6 +3056,51 @@ def q_cdc_lake_state_mor(sf_dir: str):
     snap = _run_derived_cdc(
         sf_dir, "lake_mor", entity=False,
         merge_mode="mor", max_segments_per_batch=4,
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def q_cdc_wap_publish(sf_dir: str):
+    """Write-audit-publish flagship, DRIVER-ORACLE-CHECKED: main ingests
+    the first half of the derived WAL, a zero-copy BRANCH
+    (``pipelines/branching.py``) tails the second half in staging while
+    main stays frozen, an audit gate (CHECK constraints over the branch
+    snapshot) admits the batch, and ``publish_branch`` fast-forwards
+    main in ONE CAS commit. The published lake must hash-equal the same
+    full-WAL window-LWW oracle as ``cdc_lake_state`` — proving fork,
+    branch ingest, watermark carry and publish lose and invent
+    nothing."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .branching import create_branch, publish_branch
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+
+    work = derived_cdc_workdir(sf_dir, "wap")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8,
+    )
+    main = os.path.join(work, "lake")
+    # main sees only the first half of the WAL
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=main,
+        num_partitions=16, segment_glob="segment-0000[0-3].parquet",
+    ))
+    b = create_branch(main, "stage")
+    # the branch tails the rest (fork carried main's watermark)
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=b["dir"],
+        num_partitions=16,
+    ))
+    publish_branch(main, "stage", audit_constraints=[
+        ["seq", ">=", 0], ["url", "not_null"],
+    ])
+    snap = lake_snapshot(main)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
     )
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
@@ -6984,6 +7054,8 @@ QUERIES = {
     "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
+    "cdc_wap_publish": q_cdc_wap_publish,
+    "pii_redact": q_pii_redact,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
@@ -7518,6 +7590,48 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Write-audit-publish: main ingests half the WAL, a branch tails
+    # the rest, publish fast-forwards — the published lake must equal
+    # the SAME full-WAL window LWW (fork/publish invent nothing).
+    "cdc_wap_publish": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # PII redaction: the exact rule chain of textstats.PII_RULES as
+    # staged regexp_replace(..., 'g') — each stage counts its matches
+    # against the previous stage's output, like the kernel does.
+    "pii_redact": f"""
+        WITH s0 AS (
+          SELECT event_id, props AS t, CAST(0 AS BIGINT) AS n FROM events
+        ),
+        s1 AS (
+          SELECT event_id,
+                 regexp_replace(t, '{_PII_PATS[0]}', '<EMAIL>', 'g') AS t,
+                 n + len(regexp_extract_all(t, '{_PII_PATS[0]}')) AS n
+          FROM s0
+        ),
+        s2 AS (
+          SELECT event_id,
+                 regexp_replace(t, '{_PII_PATS[1]}', '<IP>', 'g') AS t,
+                 n + len(regexp_extract_all(t, '{_PII_PATS[1]}')) AS n
+          FROM s1
+        )
+        SELECT event_id,
+               regexp_replace(t, '{_PII_PATS[2]}', '<NUM>', 'g')
+                 AS props_redacted,
+               n + len(regexp_extract_all(t, '{_PII_PATS[2]}'))
+                 AS n_redactions
+        FROM s2
     """,
     # Constrained lake reads: the SAME window-LWW state, with the read
     # predicate as the WHERE — the engine side goes through the scan
