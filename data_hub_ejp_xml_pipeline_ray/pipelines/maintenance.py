@@ -1015,6 +1015,14 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         for m in list(snapshots.values()) + [manifest]
         for rel in m.all_data_relpaths()
     }
+    # files only a live BRANCH references are pinned, not orphaned
+    from ..state.checkpoint import _branch_pinned_relpaths
+    from ..state.store import LOCAL_STORE
+
+    try:
+        referenced |= _branch_pinned_relpaths(lake_dir, LOCAL_STORE)
+    except RuntimeError as e:  # unreadable branch state: report, go on
+        errors.append(str(e))
     data_dir = os.path.join(lake_dir, DATA_DIR)
     orphans = 0
     if os.path.isdir(data_dir):
@@ -1025,6 +1033,31 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         warnings.append(
             f"{orphans} unreferenced data file(s) awaiting GC"
         )
+
+    # -- branches: every file a branch head references must exist (a
+    # missing inherited file means the branch is already unreadable —
+    # GC pins them, so this only happens through out-of-band deletion);
+    # a _branches/ dir without a committed manifest is debris
+    from ..state.checkpoint import branch_dir as _bdir
+    from ..state.checkpoint import list_branches
+
+    branch_names = list_branches(lake_dir)
+    for bname in branch_names:
+        bdir = _bdir(lake_dir, bname)
+        bm = load_manifest(bdir)
+        for rel in sorted(bm.all_data_relpaths()):
+            if not os.path.exists(os.path.join(bdir, rel)):
+                errors.append(
+                    f"branch {bname!r}: missing data file {rel}"
+                )
+    broot = os.path.join(lake_dir, "_branches")
+    if os.path.isdir(broot):
+        for bname in sorted(os.listdir(broot)):
+            if bname not in branch_names:
+                warnings.append(
+                    f"branch dir {bname!r} has no committed manifest "
+                    f"(debris from a crashed create?)"
+                )
 
     # -- named refs: tags and consumer cursors must pin RETAINED
     # versions (a dangling ref means its time travel / feed resume is
@@ -1057,6 +1090,7 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
             "delta_files": sum(
                 len(v) for v in manifest.delta_files.values()
             ),
+            "branches": branch_names,
         },
     }
 

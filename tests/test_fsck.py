@@ -163,3 +163,35 @@ def test_fsck_flags_dangling_tag_and_cursor(tmp_path):
     assert not r["ok"]
     assert any("tag 'release'" in e for e in r["errors"])
     assert any("cursor 'wh'" in e for e in r["errors"])
+
+
+def test_fsck_branch_awareness(tmp_path):
+    """Branches are audited: healthy branch listed, branch-pinned
+    grace files not counted as orphans, missing inherited file is an
+    error, manifest-less branch dir is debris."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.branching import (
+        create_branch,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import branch_dir
+
+    tmp = str(tmp_path)
+    cfg = _mklake(tmp)
+    create_branch(cfg.lake_dir, "stage")
+    rep = fsck_lake(cfg.lake_dir)
+    assert rep["ok"], rep["errors"]
+    assert rep["checked"]["branches"] == ["stage"]
+
+    # out-of-band deletion of an inherited file breaks the branch
+    bdir = branch_dir(cfg.lake_dir, "stage")
+    bm = load_manifest(bdir)
+    victim = sorted(bm.all_data_relpaths())[0]
+    os.remove(os.path.join(bdir, victim))
+    rep2 = fsck_lake(cfg.lake_dir)
+    assert not rep2["ok"]
+    assert any("branch 'stage'" in e and "missing data file" in e
+               for e in rep2["errors"])
+
+    # a branch dir without a committed manifest is debris (warning)
+    os.makedirs(os.path.join(cfg.lake_dir, "_branches", "junk"))
+    rep3 = fsck_lake(cfg.lake_dir)
+    assert any("debris" in w for w in rep3["warnings"])
