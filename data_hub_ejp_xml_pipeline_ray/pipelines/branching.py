@@ -321,7 +321,186 @@ def publish_branch(
     }
 
 
+def merge_branch(
+    lake_dir: str, name: str, *,
+    audit_constraints: list | None = None,
+    keep_branch: bool = False,
+) -> dict:
+    """THREE-WAY MERGE of a branch onto a main that ADVANCED past the
+    fork point — the case :func:`publish_branch` refuses. Last-writer-
+    wins IS the merge semantics: for every partition the branch wrote
+    (its non-inherited files), read main's current effective content
+    and the branch's effective content, reduce under the lake's own
+    LWW kernel (``(warc_ts, seq)`` decides conflicts, tombstones win
+    like any row), and write a new base file; partitions the branch
+    only inherited keep main's current state untouched. Because LWW is
+    commutative and idempotent, the result equals replaying both
+    sides' WAL streams into one lake — re-applying rows both sides saw
+    is harmless (the crash/replay law), and a main-side delete newer
+    than the branch's row correctly survives the merge.
+
+    One partition-merge Ray task per branch-written partition (reads
+    two partitions' files, writes one — never the whole lake; shuffle
+    volume is O(branch-touched partitions)). The new files are
+    content-addressed by a token deterministic in (branch, fork, both
+    head versions), so a crashed merge retries idempotently.
+
+    Guards (refused, not guessed):
+
+    * diverged partition SPLIT maps — residue routing would disagree;
+      fold the branch or re-fork instead;
+    * different ``kind`` or ``num_partitions``;
+    * known hazard inherited from compaction: if MAIN compacted away a
+      tombstone newer than a branch row, that row resurrects — the
+      same documented late-event hazard ``compact_lake`` carries.
+
+    The merged watermark is ``max(main, branch)`` (segment names are
+    totally ordered), so tailing resumes past whatever EITHER side
+    consumed."""
+    import ray
+
+    from ..schemas import merge_schemas
+    from ..stages.merge import (
+        DELETED_COL, read_effective_partition, reduce_fn_for_kind,
+    )
+    from ..state.checkpoint import partition_file_relpath
+
+    _require_not_branch(lake_dir)
+    bdir = branch_dir(lake_dir, name)
+    if load_manifest(bdir) is None:
+        raise FileNotFoundError(f"no branch {name!r} at {lake_dir}")
+    with writer_lock(lake_dir) as ptok, writer_lock(bdir):
+        parent = load_manifest(lake_dir)
+        branch = load_manifest(bdir)
+        fork_entry = branch.lineage[0]
+        fork_v = int(fork_entry.get("forked_from_version", -1))
+        if parent.kind != branch.kind:
+            raise RuntimeError(
+                f"kind mismatch: main={parent.kind!r} branch={branch.kind!r}"
+            )
+        if (parent.num_partitions != branch.num_partitions
+                or parent.split_set() != branch.split_set()):
+            raise RuntimeError(
+                "partition split maps diverged between main and branch "
+                f"{name!r}; merge cannot route residues — re-fork, or "
+                "publish before splitting"
+            )
+        if audit_constraints:
+            audit = audit_branch(bdir, audit_constraints)
+            if audit["violations"]:
+                raise RuntimeError(
+                    f"audit gate failed for branch {name!r}: "
+                    f"{audit['violations']} violating rows "
+                    f"({audit['by_reason']})"
+                )
+
+        up_prefix = os.path.normpath(_UP)
+        touched = sorted(
+            p for p in branch.all_parts()
+            if any(
+                not os.path.normpath(r).startswith(up_prefix + os.sep)
+                for r in branch.part_files(p)
+            )
+        )
+        schema = merge_schemas(parent.schema, branch.schema)
+        token = f"merge-{name}-f{fork_v}h{branch.version}-v{parent.version + 1}"
+        kind = parent.kind
+
+        @ray.remote(num_cpus=1)
+        def merge_part(part: int) -> dict:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            main_side = read_effective_partition(
+                lake_dir, part, load_manifest(lake_dir).part_files(part),
+                schema, kind=kind,
+            )
+            branch_side = read_effective_partition(
+                bdir, part, load_manifest(bdir).part_files(part),
+                schema, kind=kind,
+            )
+            merged = reduce_fn_for_kind(kind)(
+                pa.concat_tables([main_side, branch_side])
+            )
+            if merged.num_rows == 0:
+                return {"part": part, "rel": None, "rows": 0, "bytes": 0,
+                        "tombstones": 0}
+            rel = partition_file_relpath(part, token)
+            out = os.path.join(lake_dir, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp_p = out + ".inprogress"
+            pq.write_table(merged, tmp_p)
+            os.replace(tmp_p, out)
+            tombs = (
+                int(pa.compute.sum(merged.column(DELETED_COL)).as_py() or 0)
+                if DELETED_COL in merged.column_names else 0
+            )
+            return {"part": part, "rel": rel, "rows": merged.num_rows,
+                    "bytes": os.path.getsize(out), "tombstones": tombs}
+
+        stats = ray.get([merge_part.remote(p) for p in touched])
+
+        partitions = dict(parent.partitions)
+        partition_meta = {k: dict(v) for k, v in parent.partition_meta.items()}
+        delta_files = {k: list(v) for k, v in parent.delta_files.items()}
+        for s in stats:
+            part = s["part"]
+            delta_files.pop(part, None)  # folded into the new base
+            if s["rel"] is None:
+                partitions.pop(part, None)
+                partition_meta.pop(part, None)
+                continue
+            partitions[part] = s["rel"]
+            meta = partition_meta.setdefault(part, {})
+            meta.update({
+                "rows": s["rows"], "bytes": s["bytes"],
+                "tombstones": s["tombstones"],
+            })
+            meta.pop("delta_rows", None)
+            meta.pop("delta_tombstones", None)
+        watermark = max(
+            (w for w in (parent.watermark, branch.watermark) if w is not None),
+            default=None,
+        )
+        new_m = LakeManifest(
+            num_partitions=parent.num_partitions,
+            version=parent.version + 1,
+            watermark=watermark,
+            schema=schema,
+            partitions=partitions,
+            partition_meta=partition_meta,
+            splits=[list(s) for s in parent.splits],
+            lineage=parent.lineage + [{
+                "version": parent.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "merge", "branch": name,
+                "branch_version": branch.version,
+                "forked_from_version": fork_v,
+                "merged_partitions": len(touched),
+            }],
+            counters=dict(parent.counters),
+            retain_versions=parent.retain_versions,
+            kind=kind,
+            delta_files=delta_files,
+            zones={
+                k: v for k, v in (parent.zones or {}).items()
+                if k in set(partitions.values())
+            },
+        )
+        commit_manifest(lake_dir, new_m, expected_version=parent.version)
+        verify_lock(lake_dir, ptok)
+        if not keep_branch:
+            shutil.rmtree(bdir)
+        gc_unreferenced(lake_dir, new_m, previous=parent)
+    return {
+        "merged": name, "new_version": new_m.version,
+        "branch_version": branch.version, "forked_from_version": fork_v,
+        "merged_partitions": len(touched), "watermark": watermark,
+        "kept_branch": keep_branch,
+    }
+
+
 __all__ = [
     "audit_branch", "create_branch", "delete_branch", "list_branches",
-    "publish_branch",
+    "merge_branch", "publish_branch",
 ]

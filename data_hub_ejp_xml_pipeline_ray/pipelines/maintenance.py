@@ -352,6 +352,9 @@ def _fold_rewrite(
                 continue
             new_rel = os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
             out_path = os.path.join(lake_dir, new_rel)
+            # a fresh BRANCH has no local data/ dir yet (all its files
+            # are inherited ../../ references)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
             tmp = out_path + ".inprogress"
             pq.write_table(kept, tmp)
             os.replace(tmp, out_path)
@@ -570,6 +573,9 @@ def split_partition(lake_dir: str, part: int) -> dict:
                 continue
             new_rel = os.path.join("data", f"part-{c:05d}-{token}.parquet")
             out_path = os.path.join(lake_dir, new_rel)
+            # a fresh BRANCH has no local data/ dir yet (all its files
+            # are inherited ../../ references)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
             tmp = out_path + ".inprogress"
             pq.write_table(sub, tmp)
             os.replace(tmp, out_path)
@@ -755,6 +761,8 @@ def cluster_lake(
                 table = table.take(idx)
                 new_rel = os.path.join("data", f"part-{part:05d}-{token}.parquet")
                 out_path = os.path.join(lake_dir, new_rel)
+                # a fresh BRANCH has no local data/ dir yet
+                os.makedirs(os.path.dirname(out_path), exist_ok=True)
                 tmp = out_path + ".inprogress"
                 pq.write_table(table, tmp, row_group_size=row_group_rows)
                 os.replace(tmp, out_path)

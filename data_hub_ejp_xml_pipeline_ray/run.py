@@ -315,6 +315,16 @@ def main(argv: list[str] | None = None) -> int:
                          "publish if any branch row violates")
     sp.add_argument("--keep-branch", action="store_true")
     sp = sub.add_parser(
+        "merge", help="three-way LWW merge of a branch onto a main "
+                      "that advanced past the fork (the case publish "
+                      "refuses); (warc_ts, seq) decides conflicts")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    help="audit gate (repeatable, ANDed)")
+    sp.add_argument("--keep-branch", action="store_true")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -424,6 +434,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.constraints:
             _init_ray(args.num_cpus)  # the audit gate scans the branch
         print(json.dumps(publish_branch(
+            args.lake_dir, args.name,
+            audit_constraints=(
+                [_parse_constraint(c) for c in args.constraints]
+                if args.constraints else None
+            ),
+            keep_branch=args.keep_branch,
+        )))
+        return 0
+    if args.cmd == "merge":
+        from .pipelines.branching import merge_branch
+
+        _init_ray(args.num_cpus)  # partition merges run as ray tasks
+        print(json.dumps(merge_branch(
             args.lake_dir, args.name,
             audit_constraints=(
                 [_parse_constraint(c) for c in args.constraints]

@@ -301,3 +301,72 @@ def test_branch_guards(tmp_path):
         publish_branch(main, "nope")
     with pytest.raises(FileNotFoundError):
         delete_branch(main, "nope")
+
+
+def test_merge_branch_lww_three_way(tmp_path):
+    """The merge law: when BOTH main and a branch advanced, merge_branch
+    produces exactly the state of replaying both WAL streams into one
+    lake (LWW commutativity) — publish refuses, merge converges."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.branching import (
+        merge_branch,
+    )
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    main = os.path.join(tmp, "lake")
+    generate_wal(wal, seed=71, n_urls=40, n_events=400, n_segments=6,
+                 delete_fraction=0.15)
+    first4 = "segment-0000[0-3].parquet"
+    cfg4 = CdcConfig(wal_dir=wal, lake_dir=main, num_partitions=8,
+                     extract_concurrency=2, segment_glob=first4)
+    run_ingest(cfg4)
+    fork_v = load_manifest(main).version
+    create_branch(main, "side")
+    bdir = branch_dir(main, "side")
+    # branch consumes ALL remaining segments (4,5); main advances by
+    # segment 4 only — true divergence, overlapping on segment 4
+    run_ingest(_cfg(tmp, bdir))
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=main, num_partitions=8,
+                         extract_concurrency=2,
+                         segment_glob="segment-0000[0-4].parquet"))
+    assert load_manifest(main).version > fork_v
+    with pytest.raises(RuntimeError, match="main advanced"):
+        publish_branch(main, "side")
+
+    out = merge_branch(main, "side")
+    assert out["merged_partitions"] > 0
+    assert out["watermark"] == "segment-00005.parquet"
+    assert _state(main) == _expected(wal)  # both streams, one lake
+    m = load_manifest(main)
+    assert m.lineage[-1]["op"] == "merge"
+    assert set(m.zones) == set(m.all_data_relpaths())
+    assert list_branches(main) == []
+    # tailing resumes past BOTH sides' consumption
+    rep = run_ingest(_cfg(tmp, main))
+    assert rep.segments_processed == []
+    generate_wal(wal, seed=72, n_urls=40, n_events=100, n_segments=1,
+                 start_segment=6, delete_fraction=0.1)
+    run_ingest(_cfg(tmp, main))
+    assert _state(main) == _expected(wal)
+
+
+def test_merge_branch_refuses_split_divergence(tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.branching import (
+        merge_branch,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        split_partition,
+    )
+
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    main = os.path.join(tmp, "lake")
+    generate_wal(wal, seed=81, n_urls=30, n_events=200, n_segments=2)
+    run_ingest(_cfg(tmp, main))
+    create_branch(main, "split")
+    bdir = branch_dir(main, "split")
+    part = sorted(load_manifest(bdir).partitions)[0]
+    split_partition(bdir, part)
+    with pytest.raises(RuntimeError, match="split maps diverged"):
+        merge_branch(main, "split")
+    delete_branch(main, "split")
