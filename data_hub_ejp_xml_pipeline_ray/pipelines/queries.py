@@ -3105,6 +3105,50 @@ def q_cdc_wap_publish(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_merge_branch(sf_dir: str):
+    """Three-way branch merge, DRIVER-ORACLE-CHECKED: main ingests the
+    first 5 of 8 derived segments, a branch forked at segment 4 tails
+    through segment 8 — both sides ADVANCE (publish would refuse) —
+    and ``merge_branch`` folds the branch back under the lake's own
+    (warc_ts, seq) LWW. Because LWW replay is commutative and
+    idempotent, the merged lake must hash-equal the full-WAL window-LWW
+    oracle (the same SQL as ``cdc_lake_state``) despite the overlap on
+    segment 5 being applied by BOTH sides."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .branching import create_branch, merge_branch
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+
+    work = derived_cdc_workdir(sf_dir, "merge")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8,
+    )
+    main = os.path.join(work, "lake")
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=main,
+        num_partitions=16, segment_glob="segment-0000[0-3].parquet",
+    ))
+    b = create_branch(main, "side")
+    run_ingest(CdcConfig(  # branch tails segments 4..7
+        wal_dir=os.path.join(work, "wal"), lake_dir=b["dir"],
+        num_partitions=16,
+    ))
+    run_ingest(CdcConfig(  # main advances by segment 4 (overlap)
+        wal_dir=os.path.join(work, "wal"), lake_dir=main,
+        num_partitions=16, segment_glob="segment-0000[0-4].parquet",
+    ))
+    merge_branch(main, "side", audit_constraints=[["url", "not_null"]])
+    snap = lake_snapshot(main)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
 def _derived_lake_constrained_read(
     sf_dir: str, tag: str, constraints: list, *, max_parts: int | None = None,
 ):
@@ -7055,6 +7099,7 @@ QUERIES = {
     "cdc_lake_state": q_cdc_lake_state,
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
+    "cdc_merge_branch": q_cdc_merge_branch,
     "pii_redact": q_pii_redact,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_time_slice": q_lake_time_slice,
@@ -7595,6 +7640,21 @@ ORACLE_SQL = {
     # the rest, publish fast-forwards — the published lake must equal
     # the SAME full-WAL window LWW (fork/publish invent nothing).
     "cdc_wap_publish": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # Three-way branch merge: both sides advanced; LWW commutativity
+    # means the merged lake equals the full-WAL window LWW.
+    "cdc_merge_branch": """
         SELECT url, warc_ts, seq, text, lang FROM (
           SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
                  ts AS warc_ts, event_id AS seq,
