@@ -34,43 +34,6 @@ def _count_regex(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
     return out.cast(pa.int64())
 
 
-#: PII redaction rules, applied IN ORDER (earlier rules consume their
-#: matches before later, more general ones run — an email's digits must
-#: become part of ``<EMAIL>``, not ``<NUM>``). Each is (pattern,
-#: replacement); patterns are RE2, so the exact sequence is
-#: reproducible in DuckDB as chained ``regexp_replace(..., 'g')``.
-PII_RULES: tuple[tuple[str, str], ...] = (
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\d+", "<NUM>"),
-)
-
-
-def redact_pii(
-    text: pa.ChunkedArray | pa.Array,
-    rules: tuple[tuple[str, str], ...] = PII_RULES,
-) -> tuple[pa.Array, pa.Array]:
-    """Mask PII-shaped spans (emails, IPv4 addresses, digit runs — the
-    standard scrub pass a web-text corpus gets before training; cf. the
-    C4/RefinedWeb pipelines). Returns ``(redacted, n_redactions)``
-    where counts are per-rule matches summed in application order —
-    each rule counted against the PARTIALLY-redacted string the
-    previous rules produced, which is exactly what chained SQL
-    ``regexp_replace`` stages observe. One RE2 count + one RE2 replace
-    per rule per batch; no Python row loop."""
-    cur = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-    total = None
-    for pattern, repl in rules:
-        n = _count_regex(cur, pattern)
-        total = n if total is None else pc.add(total, n)
-        cur = pc.replace_substring_regex(
-            cur, pattern=pattern, replacement=repl
-        )
-        if isinstance(cur, pa.ChunkedArray):
-            cur = cur.combine_chunks()
-    return cur, total.cast(pa.int64())
-
-
 def token_count(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Number of alphanumeric runs. SQL parity:
     ``length(regexp_extract_all(text, '[A-Za-z0-9]+'))``."""

@@ -40,10 +40,6 @@ from ..stages.dedup import (
 )
 from ..stages.textstats import annotate_text_stats
 
-#: redaction patterns shared verbatim between the Ray kernel and the
-#: DuckDB oracle SQL (both RE2) — parity by construction
-_PII_PATS = tuple(p for p, _ in ts.PII_RULES)
-
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -1608,27 +1604,6 @@ def q_doc_token_stats(sf_dir: str):
     return out.select_columns(
         ["doc_id", "n_tokens", "n_chars_computed", "n_punct", "n_stop", "quality"]
     )
-
-
-def q_pii_redact(sf_dir: str):
-    """PII scrub pass (emails / IPv4 / digit runs masked in rule order
-    — the standard pre-training redaction stage; kernel
-    ``functions.textstats.redact_pii``, chained vectorized RE2
-    count+replace, no row loop). Runs over ``events.props`` — the one
-    driver column with redactable spans — and is fully SQL-oracled as
-    chained ``regexp_replace(..., 'g')`` stages."""
-    ds = _read(sf_dir, "events", ["event_id", "props"])
-
-    def redact(t: pa.Table) -> pa.Table:
-        red, n = ts.redact_pii(t.column("props"))
-        return pa.table({
-            "event_id": t.column("event_id"),
-            "props_redacted": red,
-            "n_redactions": n,
-        })
-
-    return ds.map_batches(redact, batch_format="pyarrow",
-                          zero_copy_batch=True)
 
 
 def q_lang_id(sf_dir: str):
@@ -7100,7 +7075,6 @@ QUERIES = {
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_merge_branch": q_cdc_merge_branch,
-    "pii_redact": q_pii_redact,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
@@ -7666,32 +7640,6 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
-    """,
-    # PII redaction: the exact rule chain of textstats.PII_RULES as
-    # staged regexp_replace(..., 'g') — each stage counts its matches
-    # against the previous stage's output, like the kernel does.
-    "pii_redact": f"""
-        WITH s0 AS (
-          SELECT event_id, props AS t, CAST(0 AS BIGINT) AS n FROM events
-        ),
-        s1 AS (
-          SELECT event_id,
-                 regexp_replace(t, '{_PII_PATS[0]}', '<EMAIL>', 'g') AS t,
-                 n + len(regexp_extract_all(t, '{_PII_PATS[0]}')) AS n
-          FROM s0
-        ),
-        s2 AS (
-          SELECT event_id,
-                 regexp_replace(t, '{_PII_PATS[1]}', '<IP>', 'g') AS t,
-                 n + len(regexp_extract_all(t, '{_PII_PATS[1]}')) AS n
-          FROM s1
-        )
-        SELECT event_id,
-               regexp_replace(t, '{_PII_PATS[2]}', '<NUM>', 'g')
-                 AS props_redacted,
-               n + len(regexp_extract_all(t, '{_PII_PATS[2]}'))
-                 AS n_redactions
-        FROM s2
     """,
     # Constrained lake reads: the SAME window-LWW state, with the read
     # predicate as the WHERE — the engine side goes through the scan
