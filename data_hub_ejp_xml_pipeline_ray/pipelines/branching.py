@@ -131,6 +131,15 @@ def create_branch(
             zones=zones,
         )
         commit_manifest(bdir, bm)
+        # the parent's purge registry travels to the branch: branch
+        # ingest tails the same WAL, so the ingest-edge guard must hold
+        # there too (purge_urls itself refuses while branches exist, so
+        # the two registries cannot diverge afterwards)
+        from ..state.checkpoint import list_purged, record_purged
+
+        purged = list_purged(lake_dir)
+        if purged:
+            record_purged(bdir, sorted(purged), 1)
     return {
         "branch": name, "dir": bdir, "forked_from_version": m.version,
         "watermark": m.watermark, "kind": m.kind,

@@ -46,6 +46,7 @@ from ..state.checkpoint import (
     check_no_live_writer,
     commit_manifest,
     gc_unreferenced,
+    list_purged,
     load_manifest,
     residue_modulus,
     utcnow_iso,
@@ -250,6 +251,9 @@ def _ingest_one_batch(
             ),
             # declarative CHECK constraints ride the same DLQ
             "constraints": cfg.constraints,
+            # right-to-be-forgotten guard: a replayed WAL range must
+            # not resurrect a purged key (maintenance.purge_urls)
+            "purged_urls": sorted(list_purged(cfg.lake_dir)) or None,
         },
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
@@ -759,6 +763,49 @@ def _feed_pair_groups(
     return list(groups.values())
 
 
+def _purge_delete_rows(
+    urls: list[str], schema: pa.Schema, out_schema: pa.Schema,
+) -> pa.Table:
+    """Synthetic NULL-identity delete rows for PURGED urls: the history
+    rewrite (``maintenance.purge_urls``) scrubbed the key from BOTH
+    snapshots' files, so the diff kernel cannot see it — but a consumer
+    that replicated the row before the purge must still retire it. Same
+    honest-NULL shape as the compacted-away-tombstone delete."""
+    n = len(urls)
+    cols = [
+        pa.array(urls, pa.string()),
+        pa.array(["delete"] * n, pa.string()),
+    ]
+    cols += [
+        pa.nulls(n, f.type) for f in schema
+        if f.name not in ("url", DELETED_COL)
+    ]
+    return pa.Table.from_arrays(cols, schema=out_schema)
+
+
+def _newly_purged(
+    lake_dir: str, v_from: int, v_to: int, *, preimages: bool,
+) -> list[str]:
+    """Urls purged in ``(v_from, v_to]``. A consumer at v_from=0 never
+    saw any state, so there is nothing to retire. ``preimages=True``
+    REFUSES a window crossing a purge: the pre-image is unrecoverable
+    by design (right-to-be-forgotten), and silently substituting NULLs
+    would corrupt an incremental consumer's subtraction — it must
+    full-rebuild instead."""
+    if v_from <= 0:
+        return []
+    newly = sorted(
+        u for u, pv in list_purged(lake_dir).items() if v_from < pv <= v_to
+    )
+    if newly and preimages:
+        raise ValueError(
+            f"{len(newly)} url(s) were purged between v{v_from} and "
+            f"v{v_to}; their pre-images are unrecoverable by design — "
+            "preimage consumers (incremental views) must full-rebuild"
+        )
+    return newly
+
+
 def changes_between(
     lake_dir: str, v_from: int, v_to: int | None = None,
     *, preimages: bool = False, columns: list[str] | None = None,
@@ -846,9 +893,19 @@ def changes_between(
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
     out_schema = pa.schema(out_fields)
 
+    newly_purged = _newly_purged(
+        lake_dir, 0 if m_from is None else m_from.version, m_to.version,
+        preimages=preimages,
+    )
+    purge_tbl = (
+        _purge_delete_rows(newly_purged, schema, out_schema)
+        if newly_purged else None
+    )
     descs = _feed_pair_groups(lake_dir, m_to, m_from)
     if not descs:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return ray.data.from_arrow(
+            purge_tbl if purge_tbl is not None else out_schema.empty_table()
+        )
 
     def diff(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -967,9 +1024,12 @@ def changes_between(
             return out_schema.empty_table()
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    feed = ray.data.from_items(
         descs, override_num_blocks=len(descs)
     ).map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
+    if purge_tbl is not None:
+        feed = feed.union(ray.data.from_arrow(purge_tbl))
+    return feed
 
 
 def scd2_history(
@@ -1194,9 +1254,19 @@ def entity_changes_between(
     out_fields = [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
     out_fields += [f for f in schema if f.name not in ("url", DELETED_COL)]
     out_schema = pa.schema(out_fields)
+    newly_purged = _newly_purged(
+        lake_dir, 0 if m_from is None else m_from.version, m_to.version,
+        preimages=preimages,
+    )
+    purge_tbl = (
+        _purge_delete_rows(newly_purged, schema, out_schema)
+        if newly_purged else None
+    )
     descs = _feed_pair_groups(lake_dir, m_to, m_from)
     if not descs:
-        return ray.data.from_arrow(out_schema.empty_table())
+        return ray.data.from_arrow(
+            purge_tbl if purge_tbl is not None else out_schema.empty_table()
+        )
 
     def diff(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1297,9 +1367,12 @@ def entity_changes_between(
             return out_schema.empty_table()
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    feed = ray.data.from_items(
         descs, override_num_blocks=len(descs)
     ).map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
+    if purge_tbl is not None:
+        feed = feed.union(ray.data.from_arrow(purge_tbl))
+    return feed
 
 
 def read_errors(lake_dir: str) -> pa.Table:

@@ -171,6 +171,15 @@ def clone_lake(
         zones=dict(m.zones),  # same relpaths + identical bytes -> valid
     )
     commit_manifest(dst_dir, clone)
+    # the purge registry travels with the clone: it resumes tailing the
+    # SAME WAL, so without the ingest-edge guard a replayed range could
+    # resurrect a purged key on the clone
+    from ..state.checkpoint import list_purged, record_purged
+
+    purged = list_purged(src_dir)
+    if purged:
+        # every purge predates the clone's own chain (it starts at v1)
+        record_purged(dst_dir, sorted(purged), 1)
     return {
         "src": src_dir, "dst": dst_dir, "src_version": m.version,
         "files_copied": len(rels), "bytes_copied": copied_bytes,
@@ -233,6 +242,282 @@ def restore_lake(lake_dir: str, version: int) -> dict:
         "restored": True, "to_version": int(version),
         "new_version": new_manifest.version,
         "watermark": new_manifest.watermark,
+    }
+
+
+def purge_urls(lake_dir: str, urls: list[str]) -> dict:
+    """RIGHT-TO-BE-FORGOTTEN purge (GDPR Article-17 / Delta+Iceberg
+    "purge" shape): scrub the given urls from the LIVE snapshot **and
+    every retained historical snapshot** — time travel, tags, SCD2 and
+    feeds can never serve the key again — then register the urls in the
+    ``_purged.json`` sidecar so a replayed WAL range (rewind_watermark,
+    restore_lake, crash retry) cannot resurrect them at the ingest edge
+    (``stages/merge.filter_purged``). This is deliberately TWO-step in
+    industry practice: run a normal delete first if downstream feed
+    consumers need the ordinary tombstone event; the purge itself makes
+    feeds crossing it synthesize NULL-identity deletes
+    (``cdc._purge_delete_rows``) and REFUSES preimage feeds (the
+    pre-image is unrecoverable by design).
+
+    Scale shape: urls hash-route to their partitions through the same
+    crc32+split routing the writer uses, so only the routed partitions'
+    files are read — O(urls x versions) files, never the lake. Each
+    candidate file is rewritten AT MOST ONCE (files are shared across
+    snapshots by content-addressing) under a name deterministic in
+    (file, url-set), so a crashed purge retries idempotently. The old
+    (dirty) files are deleted in the same locked section — history
+    rewrite is the point, so no grace window applies.
+
+    Refused while branches exist (a branch manifest references parent
+    files through ``../../`` relpaths — publish or delete branches
+    first) and on a branch itself. Group-valued (entity) lakes purge
+    the url's whole row-set. Reference analog: the warehouse-side
+    deletes the reference leaves to BigQuery DML
+    (``bq_data_service.py``)."""
+    import hashlib
+    import json as _json
+    import zlib
+
+    from ..state.checkpoint import (
+        LOCAL_STORE,
+        list_branches,
+        list_purged,
+        record_purged,
+        resolve_partition,
+        snapshot_path,
+    )
+    from ..state.zones import file_zone_doc
+
+    urls = sorted(set(urls))
+    if not urls:
+        raise ValueError("purge_urls needs at least one url")
+    from ..state.checkpoint import BRANCHES_DIR
+
+    if os.path.basename(os.path.dirname(os.path.abspath(lake_dir))) == BRANCHES_DIR:
+        raise ValueError(
+            f"{lake_dir} is a branch (its files belong to the parent "
+            "lake): purge the parent instead"
+        )
+    with writer_lock(lake_dir) as lock_token:
+        cur = load_manifest(lake_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed lake at {lake_dir}")
+        if list_branches(lake_dir):
+            raise ValueError(
+                f"lake {lake_dir} has live branches "
+                f"{list_branches(lake_dir)}: publish or delete them "
+                "first — a purge cannot rewrite files a branch pins"
+            )
+        store = LOCAL_STORE
+        versions = list_versions(lake_dir)
+        mans = {}
+        for v in versions:
+            mans[v] = LakeManifest.from_json(
+                _json.loads(store.get_bytes(snapshot_path(lake_dir, v)))
+            )
+        # candidate files: union over retained snapshots of the routed
+        # partitions' file lists (base + MOR deltas)
+        candidates: set[str] = set()
+        for m in mans.values():
+            for u in urls:
+                crc = zlib.crc32(u.encode("utf-8")) & 0xFFFFFFFF
+                part = resolve_partition(crc, m.num_partitions, m.split_set())
+                candidates.update(m.part_files(part))
+        if any(rel.startswith("..") for rel in candidates):
+            raise ValueError(
+                f"{lake_dir} is a branch (references parent files): "
+                "purge the parent lake instead"
+            )
+        ptoken = hashlib.sha1(
+            ("purge\x00" + "\x00".join(urls)).encode()
+        ).hexdigest()[:12]
+        value_set = pa.array(urls, pa.string())
+
+        def scrub_one(rel: str) -> dict:
+            """Rewrite one file without the purged urls. Idempotent:
+            the output name is a pure function of (file, url-set)."""
+            path = os.path.join(lake_dir, rel)
+            t = pq.read_table(path)
+            mask = pc.is_in(t.column("url"), value_set=value_set)
+            removed = int(pc.sum(mask).as_py() or 0)
+            if removed == 0:
+                return {"rel": rel, "new_rel": rel, "removed": 0}
+            kept = t.filter(pc.invert(mask))
+            rm = t.filter(mask)
+
+            def tombs(tt: pa.Table) -> int:
+                if DELETED_COL not in tt.column_names:
+                    return 0
+                return int(
+                    pc.sum(pc.fill_null(tt.column(DELETED_COL), False))
+                    .as_py() or 0
+                )
+
+            old_bytes = os.path.getsize(path)
+            if kept.num_rows == 0:
+                return {
+                    "rel": rel, "new_rel": None, "removed": removed,
+                    "removed_tombstones": tombs(rm), "rows": 0,
+                    "tombstones": 0, "bytes": 0, "old_bytes": old_bytes,
+                    "zone": None,
+                }
+            stem, suffix = rel, ""
+            for s in (".delta.parquet", ".parquet"):
+                if rel.endswith(s):
+                    stem, suffix = rel[: -len(s)], s
+                    break
+            new_rel = f"{stem}-purge-{ptoken}{suffix}"
+            out_path = os.path.join(lake_dir, new_rel)
+            tmp = out_path + ".inprogress"
+            pq.write_table(kept, tmp)
+            os.replace(tmp, out_path)
+            return {
+                "rel": rel, "new_rel": new_rel, "removed": removed,
+                "removed_tombstones": tombs(rm), "rows": kept.num_rows,
+                "tombstones": tombs(kept),
+                "bytes": os.path.getsize(out_path),
+                "old_bytes": old_bytes,
+                "zone": file_zone_doc(out_path),
+            }
+
+        import ray
+
+        scrub_task = ray.remote(num_cpus=1)(scrub_one)
+        results = ray.get([scrub_task.remote(rel) for rel in sorted(candidates)])
+        remap = {r["rel"]: r for r in results if r["new_rel"] != r["rel"]}
+        rows_purged = sum(r["removed"] for r in results)
+        already = set(list_purged(lake_dir))
+        if not remap and set(urls) <= already:
+            verify_lock(lake_dir, lock_token)
+            return {
+                "purged": False, "rows_purged": 0,
+                "files_rewritten": 0, "version": cur.version,
+            }
+
+        def scrubbed(m: LakeManifest) -> tuple[dict, dict, dict, dict]:
+            """Remapped (partitions, partition_meta, delta_files, zones)
+            for one snapshot under the rewrite results."""
+            parts = dict(m.partitions)
+            meta = {k: dict(v) for k, v in m.partition_meta.items()}
+            deltas = {k: list(v) for k, v in m.delta_files.items()}
+            zones = dict(m.zones)
+            for part, rel in list(parts.items()):
+                r = remap.get(rel)
+                if r is None:
+                    continue
+                zones.pop(rel, None)
+                pm = meta.setdefault(part, {})
+                if r["new_rel"] is None:
+                    parts.pop(part)
+                    pm.pop("rows", None)
+                    pm.pop("tombstones", None)
+                    pm.pop("bytes", None)
+                else:
+                    parts[part] = r["new_rel"]
+                    pm.update(
+                        rows=int(r["rows"]), tombstones=int(r["tombstones"]),
+                        bytes=int(r["bytes"]),
+                    )
+                    if r["zone"]:
+                        zones[r["new_rel"]] = r["zone"]
+            for part, rels in list(deltas.items()):
+                new_rels = []
+                pm = meta.setdefault(part, {})
+                for rel in rels:
+                    r = remap.get(rel)
+                    if r is None:
+                        new_rels.append(rel)
+                        continue
+                    zones.pop(rel, None)
+                    pm["delta_rows"] = (
+                        pm.get("delta_rows", 0) - int(r["removed"])
+                    )
+                    pm["delta_tombstones"] = (
+                        pm.get("delta_tombstones", 0)
+                        - int(r["removed_tombstones"])
+                    )
+                    pm["delta_bytes"] = (
+                        pm.get("delta_bytes", 0)
+                        + int(r["bytes"]) - int(r["old_bytes"])
+                    )
+                    if r["new_rel"] is not None:
+                        new_rels.append(r["new_rel"])
+                        if r["zone"]:
+                            zones[r["new_rel"]] = r["zone"]
+                if new_rels:
+                    deltas[part] = new_rels
+                    pm["delta_file_count"] = len(new_rels)
+                else:
+                    deltas.pop(part)
+                    for k in ("delta_rows", "delta_bytes",
+                              "delta_file_count", "delta_tombstones"):
+                        pm.pop(k, None)
+            # a part with neither base nor deltas has no state left
+            for part in list(meta):
+                if part not in parts and part not in deltas:
+                    meta.pop(part)
+                elif not meta[part]:
+                    meta.pop(part)
+            return parts, meta, deltas, zones
+
+        # 1) scrub every RETAINED snapshot's doc in place (history
+        #    rewrite — the point of a purge); the head's own snapshot
+        #    (cur.version) is scrubbed here too, then superseded by the
+        #    new version committed in step 2
+        for v, m in mans.items():
+            parts, meta, deltas, zones = scrubbed(m)
+            m.partitions, m.partition_meta = parts, meta
+            m.delta_files, m.zones = deltas, zones
+            store.put_atomic(
+                snapshot_path(lake_dir, v),
+                _json.dumps(m.to_json()).encode("utf-8"),
+            )
+        # 2) commit the purge as a NEW head version (auditable lineage;
+        #    feeds synthesize the delete at exactly this version)
+        head = mans.get(cur.version)
+        if head is None:  # head snapshot pruned? fall back to pointer
+            head = cur
+            parts, meta, deltas, zones = scrubbed(head)
+            head.partitions, head.partition_meta = parts, meta
+            head.delta_files, head.zones = deltas, zones
+        new_manifest = LakeManifest(
+            num_partitions=head.num_partitions,
+            version=cur.version + 1,
+            watermark=head.watermark,
+            schema=head.schema,
+            partitions=dict(head.partitions),
+            partition_meta={k: dict(v) for k, v in head.partition_meta.items()},
+            splits=[list(s) for s in head.splits],
+            lineage=cur.lineage + [{
+                "version": cur.version + 1,
+                "committed_at": utcnow_iso(),
+                "op": "purge",
+                "urls_purged": len(urls),
+                "rows_purged": rows_purged,
+                "files_rewritten": len(remap),
+            }],
+            counters=dict(head.counters),
+            retain_versions=cur.retain_versions,
+            kind=head.kind,
+            delta_files={k: list(v) for k, v in head.delta_files.items()},
+            zones=dict(head.zones),
+        )
+        commit_manifest(lake_dir, new_manifest, expected_version=cur.version)
+        # 3) register the urls for the ingest-edge guard and the feed
+        #    synthesizer, at the version the purge became observable
+        record_purged(lake_dir, urls, new_manifest.version, store=store)
+        verify_lock(lake_dir, lock_token)
+        # 4) the dirty originals are now unreferenced by every retained
+        #    snapshot — delete them NOW (no reader grace window: purged
+        #    bytes must not linger) along with normal retention pruning
+        removed_files = gc_unreferenced(lake_dir, new_manifest)
+    return {
+        "purged": True,
+        "urls": len(urls),
+        "rows_purged": rows_purged,
+        "files_rewritten": len(remap),
+        "files_removed": len(removed_files),
+        "version": new_manifest.version,
     }
 
 
@@ -1137,6 +1422,39 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
                     "routes to a different partition"
                 )
         report["deep"] = {"partitions_scanned": len(futs)}
+        # right-to-be-forgotten audit: no retained snapshot's file may
+        # still hold a purged url (purge_urls rewrote history; a hit
+        # here means an out-of-band write or a purge bug)
+        from ..state.checkpoint import list_purged
+
+        purged = sorted(list_purged(lake_dir))
+        if purged:
+            all_rels = sorted({
+                rel for m in list(snapshots.values()) + [manifest]
+                for rel in m.all_data_relpaths()
+            })
+
+            @ray.remote(num_cpus=1)
+            def count_purged_hits(rel: str) -> tuple[str, int]:
+                import pyarrow.compute as _pc
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(
+                    os.path.join(lake_dir, rel), columns=["url"]
+                )
+                hits = _pc.sum(_pc.is_in(
+                    t.column("url"), value_set=pa.array(purged, pa.string())
+                )).as_py() or 0
+                return rel, int(hits)
+
+            for rel, hits in ray.get(
+                [count_purged_hits.remote(r) for r in all_rels]
+            ):
+                if hits:
+                    deep_errors.append(
+                        f"{rel}: {hits} row(s) of PURGED url(s) survive"
+                    )
+            report["deep"]["purged_urls_audited"] = len(purged)
         if deep_errors:
             report["errors"] = report["errors"] + deep_errors
             report["ok"] = False

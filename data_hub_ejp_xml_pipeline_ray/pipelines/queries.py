@@ -3124,6 +3124,87 @@ def q_cdc_merge_branch(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def _purge_victim_urls(sf_dir: str) -> list[str]:
+    """Deterministic purge set shared by the purge queries and their
+    SQL oracles: every url whose user_id % 10 == 3."""
+    users = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    ).column("user_id").to_pylist()
+    return sorted({
+        f"https://u{u}.example/page" for u in users if u % 10 == 3
+    })
+
+
+def q_cdc_purge(sf_dir: str):
+    """Right-to-be-forgotten purge, DRIVER-ORACLE-CHECKED: full-WAL
+    ingest, then ``maintenance.purge_urls`` scrubs every url of the
+    user_id%10==3 cohort from the live snapshot AND all retained
+    history, registering them against replay resurrection. The purged
+    lake must hash-equal the window-LWW oracle with the cohort
+    filtered out — proving the scrub removes exactly the cohort and
+    touches nothing else."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+    from .maintenance import purge_urls
+
+    work = derived_cdc_workdir(sf_dir, "purge")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8,
+    )
+    lake = os.path.join(work, "lake")
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=lake, num_partitions=16,
+    ))
+    purge_urls(lake, _purge_victim_urls(sf_dir))
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def q_cdc_purge_history(sf_dir: str):
+    """The HISTORY-REWRITE half of the purge, DRIVER-ORACLE-CHECKED:
+    ingest the first 4 of 8 segments (v1), tail the rest (v2), purge
+    the user_id%10==3 cohort (v3) — then TIME-TRAVEL back to v1. The
+    retained old snapshot must hash-equal the first-half window-LWW
+    oracle minus the cohort: the purge rewrote history in place, not
+    just the head."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+    from .maintenance import purge_urls
+
+    work = derived_cdc_workdir(sf_dir, "purgehist")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8,
+    )
+    lake = os.path.join(work, "lake")
+    r1 = run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=lake, num_partitions=16,
+        segment_glob="segment-0000[0-3].parquet", retain_versions=10,
+    ))
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=lake, num_partitions=16,
+        retain_versions=10,
+    ))
+    purge_urls(lake, _purge_victim_urls(sf_dir))
+    snap = lake_snapshot(lake, version=r1.final_version)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
 def _derived_lake_constrained_read(
     sf_dir: str, tag: str, constraints: list, *, max_parts: int | None = None,
 ):
@@ -7075,6 +7156,8 @@ QUERIES = {
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_merge_branch": q_cdc_merge_branch,
+    "cdc_purge": q_cdc_purge,
+    "cdc_purge_history": q_cdc_purge_history,
     "lake_point_lookup": q_lake_point_lookup,
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
@@ -7640,6 +7723,47 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Right-to-be-forgotten purge: the full-WAL window LWW minus the
+    # purged cohort (user_id % 10 == 3) — the scrub removes exactly
+    # the cohort and touches nothing else.
+    "cdc_purge": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 user_id % 10 AS cohort,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del AND cohort <> 3
+    """,
+    # History-rewrite half of the purge: time travel to the pre-purge
+    # snapshot (first 4 of 8 segments == first half of event_id order)
+    # must ALSO miss the purged cohort — the old snapshot's files were
+    # scrubbed in place.
+    "cdc_purge_history": """
+        WITH ranked AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (ORDER BY event_id) AS rk,
+                 count(*) OVER () AS n
+          FROM events
+        )
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 user_id % 10 AS cohort,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ranked WHERE rk <= 4 * ceil(n / 8.0))
+        WHERE rn = 1 AND NOT is_del AND cohort <> 3
     """,
     # Constrained lake reads: the SAME window-LWW state, with the read
     # predicate as the WHERE — the engine side goes through the scan

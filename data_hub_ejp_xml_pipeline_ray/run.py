@@ -211,6 +211,14 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sp, lake_only=True)
     sp.add_argument("--keep", type=int, default=1)
     sp = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: scrub url(s) from the live "
+             "snapshot AND all retained history, and register them so "
+             "a replayed WAL range cannot resurrect them")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--url", action="append", required=True,
+                    help="url to purge (repeatable)")
+    sp = sub.add_parser(
         "changes", help="change feed between two retained versions")
     add_common(sp, lake_only=True)
     sp.add_argument("--from", dest="v_from", type=int, required=True)
@@ -730,6 +738,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import compact_lake
 
             print(json.dumps(compact_lake(args.lake_dir)))
+        elif args.cmd == "purge":
+            from .pipelines.maintenance import purge_urls
+
+            print(json.dumps(purge_urls(args.lake_dir, args.url)))
         elif args.cmd == "compact-deltas":
             from .pipelines.maintenance import compact_deltas
 

@@ -131,8 +131,9 @@ class EntityExtractCombineSpill:
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
                  errors_dir: str | None = None,
-                 constraints: list | None = None):
-        from .merge import SpillCombiner
+                 constraints: list | None = None,
+                 purged_urls: list | None = None):
+        from .merge import SpillCombiner, purged_value_set
 
         import pyarrow as _pa
 
@@ -143,17 +144,19 @@ class EntityExtractCombineSpill:
         self._wire_schema = wire_schema
         self._errors_dir = errors_dir
         self._constraints = constraints
+        self._purged = purged_value_set(purged_urls)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from .merge import local_lww
+        from .merge import filter_purged, local_lww
 
         if "path" in batch.column_names:
             src_col = pc.replace_substring_regex(
                 batch.column("path"), pattern=".*/", replacement=""
             )
             batch = batch.drop_columns(["path"]).append_column("_src_segment", src_col)
+        batch = filter_purged(batch, self._purged)
         if self._exclusion is not None:
             mask = pc.invert(
                 pc.match_substring_regex(
@@ -283,8 +286,9 @@ class NestedExtractCombineSpill:
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
                  errors_dir: str | None = None,
-                 constraints: list | None = None):
-        from .merge import SpillCombiner
+                 constraints: list | None = None,
+                 purged_urls: list | None = None):
+        from .merge import SpillCombiner, purged_value_set
 
         import pyarrow as _pa
 
@@ -293,18 +297,23 @@ class NestedExtractCombineSpill:
         self._spill = SpillCombiner(staging_dir, num_partitions, splits)
         self._errors_dir = errors_dir
         self._constraints = constraints
+        self._purged = purged_value_set(purged_urls)
         self._schema = nested_lake_schema(self.struct_version)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from .merge import ERROR_PART, local_lww, quarantine_bad_rows, write_dead_letters
+        from .merge import (
+            ERROR_PART, filter_purged, local_lww, quarantine_bad_rows,
+            write_dead_letters,
+        )
 
         if "path" in batch.column_names:
             src_col = pc.replace_substring_regex(
                 batch.column("path"), pattern=".*/", replacement=""
             )
             batch = batch.drop_columns(["path"]).append_column("_src_segment", src_col)
+        batch = filter_purged(batch, self._purged)
         err_manifest = None
         if self._errors_dir is not None and batch.num_rows:
             batch, err, raw = quarantine_bad_rows(batch)

@@ -601,6 +601,29 @@ class SpillCombiner:
         )
 
 
+def filter_purged(batch: pa.Table, value_set: "pa.Array | None") -> pa.Table:
+    """Drop rows whose url is in the PURGED registry (right-to-be-
+    forgotten, ``pipelines/maintenance.purge_urls``). Sits on the
+    ingest edge — not only in the one-time history rewrite — so a
+    replayed WAL range (rewind_watermark, restore_lake, crash retry)
+    can never resurrect a purged key."""
+    import pyarrow.compute as pc
+
+    if value_set is None or len(value_set) == 0 or batch.num_rows == 0:
+        return batch
+    return batch.filter(
+        pc.invert(pc.is_in(batch.column("url"), value_set=value_set))
+    )
+
+
+def purged_value_set(purged_urls) -> "pa.Array | None":
+    """Constructor-side prep: the purge list as an Arrow value_set,
+    built ONCE per actor (the list ships in fn_constructor_kwargs)."""
+    if not purged_urls:
+        return None
+    return pa.array(sorted(set(purged_urls)), pa.string())
+
+
 class ExtractCombineSpill:
     """Fused map-side stage: HTML->text extraction + local LWW combine +
     partition split + row-group spill in ONE actor call, so the
@@ -616,7 +639,8 @@ class ExtractCombineSpill:
                  wire_schema: pa.Schema | None = None,
                  splits: frozenset[tuple[int, int]] | None = None,
                  errors_dir: str | None = None,
-                 constraints: list | None = None):
+                 constraints: list | None = None,
+                 purged_urls: list | None = None):
         from .extract import HtmlTextExtractor
 
         # Each actor is scheduled as 1 CPU, but pyarrow's internal
@@ -639,6 +663,7 @@ class ExtractCombineSpill:
         self._wire_schema = wire_schema
         self._errors_dir = errors_dir
         self._constraints = constraints
+        self._purged = purged_value_set(purged_urls)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "path" in batch.column_names:
@@ -652,6 +677,7 @@ class ExtractCombineSpill:
             batch = batch.drop_columns(["path"]).append_column("_src_segment", src)
         if self._wire_schema is not None and not batch.schema.equals(self._wire_schema):
             batch = conform_table(batch, self._wire_schema)
+        batch = filter_purged(batch, self._purged)
         err_rows: list[pa.Table] = []
         if self._errors_dir is not None:
             batch, err, raw = quarantine_bad_rows(batch)

@@ -498,6 +498,47 @@ def delete_cursor(
     return existed
 
 
+PURGED_NAME = "_purged.json"
+
+
+def purged_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, PURGED_NAME)
+
+
+def list_purged(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
+    """Right-to-be-forgotten registry: url -> lake version at which it
+    was PURGED (:func:`~..pipelines.maintenance.purge_urls`). A sidecar
+    like tags/cursors — NOT per-snapshot state — because the purge is
+    monotone and lake-wide: restore/rewind/time-travel must never
+    un-purge, and the ingest edge consults this list so a replayed WAL
+    range (rewind, restore, crash retry) cannot resurrect a purged key.
+    The url strings themselves are retained here by necessity (the
+    filter needs them) — the same residual every production purge
+    design carries until WAL retention ages the source out."""
+    store = store or LOCAL_STORE
+    try:
+        raw = store.get_bytes(purged_path(lake_dir))
+    except FileNotFoundError:
+        return {}
+    return {str(k): int(v) for k, v in json.loads(raw).items()}
+
+
+def record_purged(
+    lake_dir: str, urls: list[str], version: int, *, store: Store | None = None,
+) -> dict[str, int]:
+    """CAS-merge urls into the purge registry at ``version``. Keeps the
+    EARLIEST purge version on re-purge (monotone: feeds already
+    synthesized the delete at the first purge)."""
+    store = store or LOCAL_STORE
+
+    def upd(cur: dict[str, int]) -> dict[str, int]:
+        for u in urls:
+            cur.setdefault(str(u), int(version))
+        return cur
+
+    return _cas_update_intmap(purged_path(lake_dir), store, upd, "purged")
+
+
 def version_committed_at(m: "LakeManifest") -> str | None:
     """ISO commit time of a manifest's own version, from its lineage."""
     for e in reversed(m.lineage):
