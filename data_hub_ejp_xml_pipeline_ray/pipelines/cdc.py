@@ -204,7 +204,9 @@ def _ingest_one_batch(
     t0 = _time.perf_counter()
     spill_cls = spill_cls or ExtractCombineSpill
     lake_schema_fn = lake_schema_fn or lake_schema_from_wire
-    token = batch_token(manifest.watermark, [s.name for s in segments])
+    token = batch_token(
+        manifest.watermark, [s.name for s in segments], manifest.version
+    )
     wire = wal_source.unified_wire_schema(segments)
     new_lake_schema = merge_schemas(manifest.schema, lake_schema_fn(wire))
 

@@ -3124,6 +3124,48 @@ def q_cdc_merge_branch(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_delete_where(sf_dir: str):
+    """Predicate DML DELETE, DRIVER-ORACLE-CHECKED: full-WAL ingest,
+    then ``dml.delete_where(lang == 'purchase')`` — committed as ONE
+    ordinary LWW version (zone-planned candidate partitions, one
+    O(matched) delta file each; feeds see plain deletes; history keeps
+    the old rows, unlike purge). The lake must hash-equal the
+    window-LWW oracle minus the matched rows."""
+    from .cdc import lake_snapshot
+    from .dml import delete_where
+
+    _run_derived_cdc(sf_dir, "delw", entity=False)
+    lake = os.path.join(derived_cdc_workdir(sf_dir, "delw"), "lake")
+    delete_where(lake, [["lang", "==", "purchase"]])
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
+def q_cdc_update_where(sf_dir: str):
+    """Predicate DML UPDATE, DRIVER-ORACLE-CHECKED: full-WAL ingest,
+    then ``dml.update_where(SET lang='seen' WHERE lang='view')``. Each
+    matched row re-emits at its bumped ``(warc_ts, seq + 1)`` LWW
+    version (so feeds see ordinary updates and WAL replay converges);
+    the oracle applies the same CASE rewrite + seq bump to the
+    window-LWW state."""
+    from .cdc import lake_snapshot
+    from .dml import update_where
+
+    _run_derived_cdc(sf_dir, "updw", entity=False)
+    lake = os.path.join(derived_cdc_workdir(sf_dir, "updw"), "lake")
+    update_where(lake, [["lang", "==", "view"]], {"lang": "seen"})
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
 def _purge_victim_urls(sf_dir: str) -> list[str]:
     """Deterministic purge set shared by the purge queries and their
     SQL oracles: every url whose user_id % 10 == 3."""
@@ -7156,6 +7198,8 @@ QUERIES = {
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_merge_branch": q_cdc_merge_branch,
+    "cdc_delete_where": q_cdc_delete_where,
+    "cdc_update_where": q_cdc_update_where,
     "cdc_purge": q_cdc_purge,
     "cdc_purge_history": q_cdc_purge_history,
     "lake_point_lookup": q_lake_point_lookup,
@@ -7713,6 +7757,40 @@ ORACLE_SQL = {
     # means the merged lake equals the full-WAL window LWW.
     "cdc_merge_branch": """
         SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # Predicate DML DELETE: the window-LWW state minus the matched
+    # rows (an ordinary new version — history keeps the old rows).
+    "cdc_delete_where": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del AND lang <> 'purchase'
+    """,
+    # Predicate DML UPDATE: matched rows re-emit with the SET column
+    # replaced at a bumped (warc_ts, seq + 1) LWW version.
+    "cdc_update_where": """
+        SELECT url, warc_ts,
+               seq + (CASE WHEN lang = 'view' THEN 1 ELSE 0 END) AS seq,
+               text,
+               CASE WHEN lang = 'view' THEN 'seen' ELSE lang END AS lang
+        FROM (
           SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
                  ts AS warc_ts, event_id AS seq,
                  'page u' || CAST(user_id AS VARCHAR) || ' rev '

@@ -333,6 +333,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="audit gate (repeatable, ANDed)")
     sp.add_argument("--keep-branch", action="store_true")
     sp = sub.add_parser(
+        "delete-where",
+        help="DELETE FROM lake WHERE ... — row-level predicate delete "
+             "committed as one ordinary LWW version (feeds see plain "
+             "deletes; history keeps the old rows, unlike purge)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    required=True, help="the WHERE predicate "
+                    "(repeatable, ANDed)")
+    sp = sub.add_parser(
+        "update-where",
+        help="UPDATE lake SET col=value ... WHERE ... — row-level "
+             "predicate update committed as one ordinary LWW version")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--constraint", action="append", default=[],
+                    dest="constraints", metavar="COL,OP[,VALUE]",
+                    required=True)
+    sp.add_argument("--set", action="append", default=[],
+                    dest="sets", metavar="COL=VALUE", required=True,
+                    help="SET assignment (repeatable); VALUE is "
+                    "JSON-decoded when possible, else a string")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -742,6 +764,30 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import purge_urls
 
             print(json.dumps(purge_urls(args.lake_dir, args.url)))
+        elif args.cmd == "delete-where":
+            from .pipelines.dml import delete_where
+
+            print(json.dumps(delete_where(
+                args.lake_dir,
+                [_parse_constraint(c) for c in args.constraints],
+            )))
+        elif args.cmd == "update-where":
+            from .pipelines.dml import update_where
+
+            set_values = {}
+            for spec in args.sets:
+                col, _, raw = spec.partition("=")
+                if not _:
+                    raise SystemExit(f"bad --set {spec!r}: need COL=VALUE")
+                try:
+                    set_values[col] = json.loads(raw)
+                except json.JSONDecodeError:
+                    set_values[col] = raw
+            print(json.dumps(update_where(
+                args.lake_dir,
+                [_parse_constraint(c) for c in args.constraints],
+                set_values,
+            )))
         elif args.cmd == "compact-deltas":
             from .pipelines.maintenance import compact_deltas
 

@@ -837,12 +837,22 @@ def commit_manifest(
         store.put_atomic(pointer, doc_bytes)
 
 
-def batch_token(watermark: str | None, segment_names: list[str]) -> str:
+def batch_token(
+    watermark: str | None, segment_names: list[str], base_version: int = 0
+) -> str:
     """Deterministic token for one micro-batch: a pure function of the
-    starting watermark and the segment set, so a crashed-and-retried
-    batch rewrites identical staging paths (idempotence)."""
+    starting watermark, the segment set AND the base manifest version,
+    so a crashed-and-retried batch (same uncommitted base) rewrites
+    identical staging paths (idempotence) — while a REPLAY of the same
+    segments after ``rewind_watermark``/``restore_lake`` (the base
+    version advanced) gets fresh paths. Without the version term, a
+    full-rewind replay collides with the original batch's token and the
+    partition-level resume shortcut returns the OLD output file —
+    silently skipping the fold of any MOR/DML delta files pending on
+    the partition (found by the DML replay-convergence test)."""
     h = hashlib.sha1()
     h.update((watermark or "<epoch>").encode())
+    h.update(f"\x00v{base_version}".encode())
     for name in segment_names:
         h.update(b"\x00")
         h.update(name.encode())

@@ -1,0 +1,300 @@
+"""Predicate DML (``pipelines/dml.py``): DELETE ... WHERE and
+UPDATE ... SET ... WHERE as ordinary LWW lake versions. Laws:
+
+* state — post-DML snapshot == the replay-oracle state with the
+  predicate applied (delete removes exactly the matched rows; update
+  rewrites exactly the SET columns of matched rows);
+* feed — ``changes_between`` across the DML version emits ordinary
+  delete/update rows (no special-casing anywhere downstream);
+* history — time travel to the pre-DML version still shows the old
+  rows (DML is not purge);
+* replay — a full watermark rewind + re-ingest converges to the
+  post-DML state (the bumped ``seq+1`` version defeats replayed
+  pre-DML events), while a genuinely NEWER WAL event wins over the
+  DML tombstone (the delete affects only states it saw);
+* pruning — a url-equality predicate hash-routes to one partition;
+* layout — DML appends O(matched) delta files (never rewrites a
+  base), reads identically on CoW and MOR lakes, folds away under
+  ``compact_deltas``, and fsck stays green (shallow + deep);
+* group lakes — set-atomic semantics (surviving rows re-emit at one
+  bumped version; an emptied set leaves a tombstone).
+"""
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from data_hub_ejp_xml_pipeline_ray.functions.text import extract_text_reference
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+    CdcConfig,
+    changes_between,
+    lake_snapshot,
+    run_entity_ingest,
+    run_ingest,
+)
+from data_hub_ejp_xml_pipeline_ray.pipelines.dml import delete_where, update_where
+from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+    compact_deltas,
+    fsck_lake,
+    rewind_watermark,
+)
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import (
+    generate_wal,
+    naive_replay,
+)
+from data_hub_ejp_xml_pipeline_ray.sources.wal import list_segments
+from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+
+def _expected_lake(wal_dir):
+    tables = [pq.read_table(s.path) for s in list_segments(wal_dir)]
+    final = naive_replay(tables)
+    return {
+        url: {
+            "warc_ts": row["warc_ts"],
+            "seq": row["seq"],
+            "text": extract_text_reference(row["html"]),
+            "lang": row["lang"],
+        }
+        for url, row in final.items()
+    }
+
+
+def _snapshot_dict(lake_dir, version=None):
+    table = lake_snapshot(lake_dir, version=version)
+    return {
+        r["url"]: {
+            "warc_ts": r["warc_ts"],
+            "seq": r["seq"],
+            "text": r["text"],
+            "lang": r["lang"],
+        }
+        for r in table.to_pylist()
+    }
+
+
+def _cfg(tmp, **kw):
+    defaults = dict(
+        wal_dir=os.path.join(tmp, "wal"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8,
+        extract_concurrency=2,
+        retain_versions=10,
+    )
+    defaults.update(kw)
+    return CdcConfig(**defaults)
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"),
+        seed=31,
+        n_urls=50,
+        n_events=500,
+        n_segments=6,
+        delete_fraction=0.08,
+        tie_fraction=0.1,
+    )
+    cfg = _cfg(tmp)
+    run_ingest(cfg)
+    return cfg
+
+
+def test_delete_where_state_feed_history_and_fsck(lake):
+    expected = _expected_lake(lake.wal_dir)
+    pre = load_manifest(lake.lake_dir).version
+    doomed = {u for u, r in expected.items() if r["lang"] == "de"}
+    assert doomed, "fixture must contain lang='de' winners"
+
+    res = delete_where(lake.lake_dir, [["lang", "==", "de"]])
+    assert res["committed"] and res["rows_matched"] == len(doomed)
+
+    # state law: exactly the matched rows are gone
+    after = _snapshot_dict(lake.lake_dir)
+    assert set(after) == set(expected) - doomed
+    for url in after:
+        assert after[url] == expected[url]
+
+    # history law: the pre-DML snapshot still shows them (not purge)
+    assert set(_snapshot_dict(lake.lake_dir, version=pre)) == set(expected)
+
+    # feed law: the DML version diff is ordinary deletes
+    feed = changes_between(lake.lake_dir, pre, res["version"]).take_all()
+    assert {r["url"] for r in feed} == doomed
+    assert all(r["change_op"] == "delete" for r in feed)
+
+    # layout: appended deltas only, base partition map unchanged
+    man = load_manifest(lake.lake_dir)
+    assert man.delta_files
+    assert man.partitions == load_manifest(
+        lake.lake_dir, version=pre
+    ).partitions
+    assert fsck_lake(lake.lake_dir, deep=True)["ok"]
+
+    # re-running the same DELETE matches nothing (idempotent no-op)
+    res2 = delete_where(lake.lake_dir, [["lang", "==", "de"]])
+    assert res2["rows_matched"] == 0 and not res2["committed"]
+
+    # compaction folds the DML deltas without changing the state
+    compact_deltas(lake.lake_dir)
+    assert _snapshot_dict(lake.lake_dir) == {
+        u: r for u, r in expected.items() if u not in doomed
+    }
+
+
+def test_delete_where_replay_convergence_and_newer_event_wins(lake):
+    expected = _expected_lake(lake.wal_dir)
+    doomed = sorted(u for u, r in expected.items() if r["lang"] == "de")
+    delete_where(lake.lake_dir, [["lang", "==", "de"]])
+    after = _snapshot_dict(lake.lake_dir)
+
+    # full rewind + replay: pre-DML events lose to the bumped seq+1
+    # tombstone — the lake converges to the post-DML state
+    rewind_watermark(lake.lake_dir, to=None)
+    run_ingest(lake)
+    assert _snapshot_dict(lake.lake_dir) == after
+
+    # a genuinely newer WAL event for a deleted url WINS over the DML
+    # tombstone (the delete only deletes what it saw)
+    import pyarrow as pa
+
+    victim = doomed[0]
+    old = expected[victim]
+    seg = pa.table({
+        "url": pa.array([victim], pa.string()),
+        "warc_ts": pa.array(
+            [old["warc_ts"].replace(year=old["warc_ts"].year + 1)],
+            pa.timestamp("us", tz="UTC"),
+        ),
+        "html": pa.array([b"<html><body>reborn</body></html>"], pa.binary()),
+        "lang": pa.array(["en"], pa.string()),
+        "op": pa.array(["update"], pa.string()),
+        "seq": pa.array([old["seq"] + 1000], pa.int64()),
+        "schema_version": pa.array([1], pa.int32()),
+    })
+    pq.write_table(seg, os.path.join(lake.wal_dir, "segment-99990.parquet"))
+    run_ingest(lake)
+    final = _snapshot_dict(lake.lake_dir)
+    assert final[victim]["text"] == "reborn"
+    assert set(final) == (set(after) | {victim})
+
+
+def test_update_where_state_feed_and_null_semantics(lake):
+    expected = _expected_lake(lake.wal_dir)
+    pre = load_manifest(lake.lake_dir).version
+    hit = {u for u, r in expected.items() if r["lang"] == "fr"}
+    assert hit
+
+    res = update_where(
+        lake.lake_dir, [["lang", "==", "fr"]], {"lang": "und"}
+    )
+    assert res["committed"] and res["rows_matched"] == len(hit)
+
+    after = _snapshot_dict(lake.lake_dir)
+    assert set(after) == set(expected)  # UPDATE never changes row count
+    for url, row in after.items():
+        want = dict(expected[url])
+        if url in hit:
+            want["lang"] = "und"
+            want["seq"] = expected[url]["seq"] + 1  # bumped LWW version
+        assert row == want
+
+    # NULL-predicate rows (deleted-op events have lang NULL in the WAL,
+    # but live winners always carry lang here) — instead check SQL
+    # semantics directly: a predicate on a value no row has matches 0.
+    noop = update_where(
+        lake.lake_dir, [["lang", "==", "xx"]], {"lang": "yy"}
+    )
+    assert noop["rows_matched"] == 0 and not noop["committed"]
+
+    # feed: ordinary update rows for exactly the hit urls
+    feed = changes_between(lake.lake_dir, pre, res["version"]).take_all()
+    assert {r["url"] for r in feed} == hit
+    assert all(r["change_op"] == "update" for r in feed)
+    assert all(r["lang"] == "und" for r in feed)
+
+    # guards: system columns and unknown columns refused
+    with pytest.raises(ValueError):
+        update_where(lake.lake_dir, [["lang", "==", "en"]], {"seq": 0})
+    with pytest.raises(ValueError):
+        update_where(lake.lake_dir, [["lang", "==", "en"]], {"nope": 1})
+    with pytest.raises(ValueError):
+        delete_where(lake.lake_dir, [])
+
+
+def test_delete_where_point_lookup_prunes_to_one_partition(lake):
+    expected = _expected_lake(lake.wal_dir)
+    victim = sorted(expected)[0]
+    res = delete_where(lake.lake_dir, [["url", "==", victim]])
+    assert res["rows_matched"] == 1
+    # hash routing: only the owning partition was even scanned
+    assert res["partitions_scanned"] == 1
+    assert res["partitions_pruned"] >= 1
+    after = _snapshot_dict(lake.lake_dir)
+    assert set(after) == set(expected) - {victim}
+
+
+def test_dml_on_mor_lake_with_pending_deltas(tmp_path):
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=7, n_urls=30, n_events=300,
+        n_segments=4, delete_fraction=0.05, tie_fraction=0.05,
+    )
+    cfg = _cfg(tmp, merge_mode="mor", max_segments_per_batch=2)
+    run_ingest(cfg)
+    man = load_manifest(cfg.lake_dir)
+    assert man.delta_files, "precondition: pending MOR deltas"
+    expected = _expected_lake(cfg.wal_dir)
+    doomed = {u for u, r in expected.items() if r["lang"] == "en"}
+    res = delete_where(cfg.lake_dir, [["lang", "==", "en"]])
+    assert res["rows_matched"] == len(doomed)
+    assert _snapshot_dict(cfg.lake_dir) == {
+        u: r for u, r in expected.items() if u not in doomed
+    }
+    assert fsck_lake(cfg.lake_dir, deep=True)["ok"]
+
+
+def test_dml_on_group_lake_is_set_atomic(tmp_path):
+    """Entity (group-valued) lake: deleting rows by a payload predicate
+    re-emits each touched url's surviving row-set at ONE bumped
+    version; a url whose whole set matched disappears."""
+    tmp = str(tmp_path)
+    generate_wal(
+        os.path.join(tmp, "wal"), seed=13, n_urls=25, n_events=250,
+        n_segments=4, rich_pages=True,
+    )
+    cfg = _cfg(tmp)
+    run_entity_ingest(cfg)
+    snap = lake_snapshot(cfg.lake_dir)
+    assert "entity_type" in snap.column_names
+    kinds = set(snap.column("entity_type").to_pylist())
+    target = sorted(kinds)[0]
+    keep_rows = [
+        r for r in snap.to_pylist() if r["entity_type"] != target
+    ]
+    res = delete_where(cfg.lake_dir, [["entity_type", "==", target]])
+    assert res["committed"] and res["rows_matched"] > 0
+    after = lake_snapshot(cfg.lake_dir).to_pylist()
+    assert target not in {r["entity_type"] for r in after}
+    # surviving rows of touched urls re-emitted at a single bumped
+    # version per url; untouched urls byte-identical
+    touched = {
+        r["url"] for r in snap.to_pylist() if r["entity_type"] == target
+    }
+    by_url_ver = {}
+    for r in after:
+        by_url_ver.setdefault(r["url"], set()).add((r["warc_ts"], r["seq"]))
+    for url, vers in by_url_ver.items():
+        assert len(vers) == 1, "group atomicity: one version per url"
+    def _payload(rows):
+        return {
+            (r["url"], r["entity_type"], r.get("title"), r.get("href"),
+             r.get("anchor"), r.get("link_index"), r.get("level"))
+            for r in rows
+        }
+
+    assert _payload(after) == _payload(keep_rows)
+    assert fsck_lake(cfg.lake_dir, deep=True)["ok"]
+    assert touched  # the predicate actually exercised set re-emission
