@@ -634,10 +634,13 @@ def read_lake(
     kept_parts: list[int] | None = None
     read_cols = columns
     if constraints:
+        from ..state.bloomindex import load_bloom_index
         from ..state.zones import constraints_to_expression, plan_parts
 
         if manifest is not None:
-            kept_parts, _ = plan_parts(manifest, constraints)
+            kept_parts, _ = plan_parts(
+                manifest, constraints, load_bloom_index(lake_dir)
+            )
         cexpr = constraints_to_expression(
             constraints, manifest.schema if manifest is not None else None
         )
@@ -705,15 +708,16 @@ def scan_plan(
     """The scan plan a constrained :func:`read_lake` would execute —
     metadata only, no data read: how many partitions/files the
     predicate touches and why the rest were skipped (hash routing vs
-    zone maps). The observability hook for the planner, and the thing
-    a test asserts when it claims "this point lookup reads one
-    partition"."""
+    zone maps vs bloom index). The observability hook for the planner,
+    and the thing a test asserts when it claims "this point lookup
+    reads one partition"."""
+    from ..state.bloomindex import load_bloom_index
     from ..state.zones import plan_parts
 
     manifest = load_manifest(lake_dir, version=version)
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
-    kept, stats = plan_parts(manifest, constraints)
+    kept, stats = plan_parts(manifest, constraints, load_bloom_index(lake_dir))
     return {"lake": lake_dir, "version": manifest.version,
             "parts": kept, **stats}
 

@@ -195,7 +195,11 @@ def _dml_commit(
         for spec in constraints:
             if spec[0] not in schema.names:
                 raise ValueError(f"unknown column {spec[0]!r} in predicate")
-        kept, plan = plan_parts(manifest, constraints)
+        from ..state.bloomindex import load_bloom_index
+
+        kept, plan = plan_parts(
+            manifest, constraints, load_bloom_index(lake_dir)
+        )
         expr = constraints_to_expression(constraints, schema)
         token = "dml-" + hashlib.sha1(
             _json.dumps(

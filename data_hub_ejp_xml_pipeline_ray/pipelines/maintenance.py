@@ -115,6 +115,15 @@ def auto_maintain(
         v = vacuum(lake_dir, keep=vacuum_keep)
         actions["vacuumed"] = True
         actions["files_removed"] = v["files_removed"]
+    # refresh the bloom index WHEN ONE EXISTS (opt-in: created by
+    # `bloom-index`): new data files gain entries, dead relpaths drop —
+    # O(new files); a stale/absent index only costs pruning, never
+    # correctness, so this runs last and best-effort
+    from ..state.bloomindex import build_bloom_index, load_bloom_index
+
+    if load_bloom_index(lake_dir) is not None:
+        b = build_bloom_index(lake_dir)
+        actions["bloom_files_indexed"] = b["files_built"]
     return actions
 
 

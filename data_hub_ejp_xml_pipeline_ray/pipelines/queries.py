@@ -3124,6 +3124,60 @@ def q_cdc_merge_branch(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_lake_bloom_lookup(sf_dir: str):
+    """Bloom-index point lookup on a NON-ROUTING high-cardinality
+    column, DRIVER-ORACLE-CHECKED: the derived lake's ``seq`` is the
+    globally-unique source event id, so "find the rows created by
+    exactly these events" cannot use url hash routing, and per-file
+    seq min/max spans nearly the whole domain so zone maps keep every
+    partition — the per-file BLOOM INDEX (``state/bloomindex.py``,
+    built by the ``bloom-index`` maintenance op) prunes the scan to
+    the owning partitions (asserted on the plan), the compiled
+    residual expression decides. The probe set is the LWW-winner event
+    ids of the ``user_id % 50 == 7`` cohort, derived identically by
+    the SQL oracle."""
+    from ..state.bloomindex import build_bloom_index
+    from .cdc import read_lake, scan_plan
+
+    _run_derived_cdc(sf_dir, "bloomq", entity=False)
+    lake = os.path.join(derived_cdc_workdir(sf_dir, "bloomq"), "lake")
+    build_bloom_index(lake, ["seq"])
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts"],
+    )
+    import polars as pl
+
+    winners = (
+        pl.from_arrow(ev)
+        .filter(pl.col("user_id") % 50 == 7)
+        .sort(["ts", "event_id"], descending=[True, True])
+        .group_by("user_id", maintain_order=True)
+        .first()
+    )
+    probe = sorted(winners.get_column("event_id").to_list())
+    constraints = [["seq", "in", probe]]
+    plan = scan_plan(lake, constraints)
+    # shape guard: the scan must be pruned well below a full sweep
+    # (zones catch single-probe cases where min/max happens to
+    # discriminate; the bloom catches the rest — at sf0.01 the probe
+    # set spans the seq domain and only the bloom prunes)
+    if plan["parts_read"] * 2 > plan["parts_total"]:
+        raise AssertionError(f"planner failed to prune: {plan}")
+    ds = read_lake(
+        lake, columns=["url", "warc_ts", "seq", "text", "lang"],
+        constraints=constraints,
+    )
+
+    def decast(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("warc_ts")
+        return t.set_column(
+            i, "warc_ts", t.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    return ds.map_batches(decast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_delete_where(sf_dir: str):
     """Predicate DML DELETE, DRIVER-ORACLE-CHECKED: full-WAL ingest,
     then ``dml.delete_where(lang == 'purchase')`` — committed as ONE
@@ -7198,6 +7252,7 @@ QUERIES = {
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_merge_branch": q_cdc_merge_branch,
+    "lake_bloom_lookup": q_lake_bloom_lookup,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_update_where": q_cdc_update_where,
     "cdc_purge": q_cdc_purge,
@@ -7767,6 +7822,24 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Bloom-index lookup: live winner rows of the user_id%50==7 cohort
+    # — the probe set is each such user's LWW-winner event id, so the
+    # filter "seq IN (winner ids)" lands exactly on the cohort's live
+    # rows (deleted winners are tombstones, filtered on both sides).
+    "lake_bloom_lookup": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 user_id % 50 AS cohort,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del AND cohort = 7
     """,
     # Predicate DML DELETE: the window-LWW state minus the matched
     # rows (an ordinary new version — history keeps the old rows).

@@ -355,6 +355,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="SET assignment (repeatable); VALUE is "
                     "JSON-decoded when possible, else a string")
     sp = sub.add_parser(
+        "bloom-index",
+        help="build / refresh the per-file bloom index for "
+             "equality-predicate scan pruning on high-cardinality "
+             "payload columns (new files indexed incrementally; a "
+             "missing entry only costs pruning, never correctness)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--col", action="append", default=[], dest="cols",
+                    metavar="COL", help="column to index (repeatable; "
+                    "omit to refresh the stored column list)")
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -764,6 +774,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import purge_urls
 
             print(json.dumps(purge_urls(args.lake_dir, args.url)))
+        elif args.cmd == "bloom-index":
+            from .state.bloomindex import build_bloom_index
+
+            print(json.dumps(build_bloom_index(
+                args.lake_dir, args.cols or None
+            )))
         elif args.cmd == "delete-where":
             from .pipelines.dml import delete_where
 

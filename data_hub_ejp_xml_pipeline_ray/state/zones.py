@@ -262,18 +262,24 @@ def routed_parts(manifest, constraints: list) -> set[int] | None:
     return out
 
 
-def plan_parts(manifest, constraints: list) -> tuple[list[int], dict]:
+def plan_parts(
+    manifest, constraints: list, blooms: dict | None = None
+) -> tuple[list[int], dict]:
     """The scan plan: which partitions a constrained read must touch.
     A partition is skipped when hash routing excludes it, or when EVERY
     one of its files (base + MOR deltas) is proven predicate-free by
-    some constraint's zone — see module docstring for why the
-    granularity is the partition, never the file."""
+    some constraint's zone — or, for ``==``/``in`` predicates, by the
+    file's entry in the optional BLOOM INDEX (``state.bloomindex``; a
+    file with no entry is never skipped by bloom) — see module
+    docstring for why the granularity is the partition, never the
+    file."""
     constraints = [c for c in (constraints or []) if len(c) >= 2]
     all_parts = manifest.all_parts()
     routed = routed_parts(manifest, constraints)
     zones = getattr(manifest, "zones", {}) or {}
+    bloom_files = (blooms or {}).get("files", {})
     kept: list[int] = []
-    skipped_routing = skipped_zones = 0
+    skipped_routing = skipped_zones = skipped_blooms = 0
     files_total = files_read = 0
     for part in all_parts:
         rels = manifest.part_files(part)
@@ -281,7 +287,7 @@ def plan_parts(manifest, constraints: list) -> tuple[list[int], dict]:
         if routed is not None and part not in routed:
             skipped_routing += 1
             continue
-        def _file_empty(rel: str) -> bool:
+        def _zone_empty(rel: str) -> bool:
             doc = zones.get(rel)
             if doc is None:
                 return False
@@ -289,9 +295,25 @@ def plan_parts(manifest, constraints: list) -> tuple[list[int], dict]:
             return any(
                 not zone_allows(cols, c[0], c[1], *c[2:]) for c in constraints
             )
-        if rels and constraints and all(_file_empty(r) for r in rels):
-            skipped_zones += 1
-            continue
+        def _bloom_empty(rel: str) -> bool:
+            from .bloomindex import bloom_allows
+
+            doc = bloom_files.get(rel)
+            if doc is None:
+                return False
+            return any(
+                not bloom_allows(doc, c[0], c[1], *c[2:])
+                for c in constraints
+            )
+        if rels and constraints:
+            if all(_zone_empty(r) for r in rels):
+                skipped_zones += 1
+                continue
+            if bloom_files and all(
+                _zone_empty(r) or _bloom_empty(r) for r in rels
+            ):
+                skipped_blooms += 1
+                continue
         kept.append(part)
         files_read += len(rels)
     return kept, {
@@ -299,6 +321,7 @@ def plan_parts(manifest, constraints: list) -> tuple[list[int], dict]:
         "parts_read": len(kept),
         "skipped_by_routing": skipped_routing,
         "skipped_by_zones": skipped_zones,
+        "skipped_by_blooms": skipped_blooms,
         "files_total": files_total,
         "files_read": files_read,
     }
