@@ -298,3 +298,82 @@ def test_dml_on_group_lake_is_set_atomic(tmp_path):
     assert _payload(after) == _payload(keep_rows)
     assert fsck_lake(cfg.lake_dir, deep=True)["ok"]
     assert touched  # the predicate actually exercised set re-emission
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_random_ingest_dml_maintenance_interleaving_converges(
+    tmp_path, seed
+):
+    """Property: ANY interleaving of ingest phases, predicate DML
+    (delete/update by lang) and maintenance (delta fold, compact)
+    converges to a lock-step pure-Python LWW oracle that applies the
+    SAME operations — deletes become (ts, seq+1) tombstones that later
+    WAL events must genuinely out-version to resurrect — and the lake
+    stays deep-fsck clean."""
+    import random
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        compact_lake,
+    )
+
+    rng = random.Random(seed)
+    tmp = str(tmp_path)
+    wal = os.path.join(tmp, "wal")
+    lake_dir = os.path.join(tmp, "lake")
+
+    state = {}  # url -> {"warc_ts","seq","html","lang","dead"}
+
+    def fold_wal(paths):
+        for p in paths:
+            for row in pq.read_table(p).to_pylist():
+                key = (row["warc_ts"], row["seq"])
+                cur = state.get(row["url"])
+                if cur is None or key > (cur["warc_ts"], cur["seq"]):
+                    state[row["url"]] = {
+                        "warc_ts": row["warc_ts"], "seq": row["seq"],
+                        "html": row["html"], "lang": row["lang"],
+                        "dead": row["op"] == "delete",
+                    }
+
+    phases = [(0, 3), (3, 3), (6, 2)]
+    done_segments = 0
+    for i, (start, n) in enumerate(phases):
+        generate_wal(wal, seed=seed * 13 + i, n_urls=40, n_events=n * 50,
+                     n_segments=n, start_segment=start,
+                     delete_fraction=0.08, tie_fraction=0.1)
+        cfg = _cfg(tmp, merge_mode=rng.choice(["mor", "cow"]),
+                   max_segments_per_batch=rng.choice([1, 2]))
+        run_ingest(cfg)
+        segs = sorted(
+            os.path.join(wal, f) for f in os.listdir(wal)
+        )[done_segments:done_segments + n]
+        done_segments += n
+        fold_wal(segs)
+
+        op = rng.choice(["delete", "update", "none", "compact"])
+        if op in ("delete", "update"):
+            lang = rng.choice(["en", "de", "fr", "es", "zh"])
+            if op == "delete":
+                delete_where(lake_dir, [["lang", "==", lang]])
+                for s in state.values():
+                    if not s["dead"] and s["lang"] == lang:
+                        s.update(seq=s["seq"] + 1, dead=True, html=None)
+            else:
+                update_where(
+                    lake_dir, [["lang", "==", lang]], {"lang": "und"}
+                )
+                for s in state.values():
+                    if not s["dead"] and s["lang"] == lang:
+                        s.update(seq=s["seq"] + 1, lang="und")
+        elif op == "compact":
+            compact_lake(lake_dir)
+
+    expected = {
+        url: {
+            "warc_ts": s["warc_ts"], "seq": s["seq"],
+            "text": extract_text_reference(s["html"]), "lang": s["lang"],
+        }
+        for url, s in state.items() if not s["dead"]
+    }
+    assert _snapshot_dict(lake_dir) == expected
+    assert fsck_lake(lake_dir, deep=True)["ok"]
