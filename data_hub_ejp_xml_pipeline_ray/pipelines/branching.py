@@ -129,6 +129,8 @@ def create_branch(
             kind=m.kind,
             delta_files=deltas,
             zones=zones,
+            renames=[list(p) for p in m.renames],
+            dropped=list(m.dropped),
         )
         commit_manifest(bdir, bm)
         # the parent's purge registry travels to the branch: branch
@@ -316,6 +318,8 @@ def publish_branch(
             kind=branch.kind,
             delta_files=deltas,
             zones=zones,
+            renames=[list(p) for p in branch.renames],
+            dropped=list(branch.dropped),
         )
         commit_manifest(lake_dir, new_m, expected_version=parent.version)
         verify_lock(lake_dir, ptok)
@@ -411,6 +415,15 @@ def merge_branch(
                 for r in branch.part_files(p)
             )
         )
+        if (parent.renames != branch.renames
+                or parent.dropped != branch.dropped):
+            # name-based rename mapping cannot three-way merge diverged
+            # DDL logs (the same physical name could mean two columns)
+            raise RuntimeError(
+                f"schema DDL state diverged between main and branch "
+                f"{name!r} (renames/dropped differ); run the alter on "
+                "the other side too, or re-fork"
+            )
         schema = merge_schemas(parent.schema, branch.schema)
         token = f"merge-{name}-f{fork_v}h{branch.version}-v{parent.version + 1}"
         kind = parent.kind
@@ -422,11 +435,11 @@ def merge_branch(
 
             main_side = read_effective_partition(
                 lake_dir, part, load_manifest(lake_dir).part_files(part),
-                schema, kind=kind,
+                schema, kind=kind, renames=parent.renames,
             )
             branch_side = read_effective_partition(
                 bdir, part, load_manifest(bdir).part_files(part),
-                schema, kind=kind,
+                schema, kind=kind, renames=branch.renames,
             )
             merged = reduce_fn_for_kind(kind)(
                 pa.concat_tables([main_side, branch_side])
@@ -495,6 +508,8 @@ def merge_branch(
                 k: v for k, v in (parent.zones or {}).items()
                 if k in set(partitions.values())
             },
+            renames=[list(p) for p in parent.renames],
+            dropped=list(parent.dropped),
         )
         commit_manifest(lake_dir, new_m, expected_version=parent.version)
         verify_lock(lake_dir, ptok)

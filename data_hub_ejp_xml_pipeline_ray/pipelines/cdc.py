@@ -208,7 +208,17 @@ def _ingest_one_batch(
         manifest.watermark, [s.name for s in segments], manifest.version
     )
     wire = wal_source.unified_wire_schema(segments)
-    new_lake_schema = merge_schemas(manifest.schema, lake_schema_fn(wire))
+    # DDL projection BEFORE the union: wire columns arriving under a
+    # pre-rename name map to the live name, and dropped columns never
+    # re-enter the lake schema (pipelines/ddl.py).
+    from ..schemas import evolve_wire_schema
+
+    new_lake_schema = merge_schemas(
+        manifest.schema,
+        evolve_wire_schema(
+            lake_schema_fn(wire), manifest.renames, manifest.dropped
+        ),
+    )
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # blocks >> pool size for load balance, but bounded: per-task
@@ -295,6 +305,7 @@ def _ingest_one_batch(
             reduce_fn=reduce_fn,
             mode=cfg.merge_mode,
             base_deltas=manifest.delta_files,
+            renames=manifest.renames,
         )
         merger_ref = ray.put(merger)
 
@@ -404,6 +415,8 @@ def _ingest_one_batch(
         retain_versions=cfg.retain_versions,
         kind=manifest.kind,
         delta_files={k: v for k, v in new_delta_files.items() if v},
+        renames=[list(p) for p in manifest.renames],
+        dropped=list(manifest.dropped),
     )
     import shutil as _shutil
 
@@ -559,6 +572,7 @@ def _read_lake_mor(
 
     schema = manifest.schema
     kind = manifest.kind
+    renames = [list(x) for x in manifest.renames]
     out_names = [
         f.name for f in schema
         if f.name != DELETED_COL and (columns is None or f.name in set(columns))
@@ -584,7 +598,7 @@ def _read_lake_mor(
         ):
             t = read_effective_partition(
                 lake_dir, int(part), _json.loads(rels_json), schema,
-                kind=kind, columns=columns,
+                kind=kind, columns=columns, renames=renames,
             )
             if DELETED_COL in t.column_names:
                 mask = pc.fill_null(pc.invert(t.column(DELETED_COL)), True)
@@ -651,7 +665,15 @@ def read_lake(
             if extra:  # keep read_cols IS columns when nothing to add:
                 read_cols = columns + extra  # no select_columns tail
 
-    if manifest is not None and manifest.delta_files:
+    if manifest is not None and (manifest.delta_files or manifest.renames):
+        # per-partition effective-state scan: required for MOR deltas,
+        # and used for a lake with a RENAME LOG too — files written
+        # before the rename serve their data through
+        # read_effective_partition's alias-aware read (Ray's parquet
+        # datasource narrows an explicit schema to the columns files
+        # actually contain, so the alias null-fill trick cannot ride
+        # the native read path). Still one column-pruned task per
+        # partition — the same shape the 100-TB MOR scan uses.
         ds = _read_lake_mor(
             lake_dir, manifest, columns=read_cols, filter=filter,
             parts=kept_parts,
@@ -690,7 +712,10 @@ def read_lake(
     read_kwargs: dict = {}
     if read_cols is not None:
         # explicit schema: partitions predating an evolution-added
-        # column null-fill it in the scanner instead of erroring
+        # column null-fill it in the scanner instead of erroring.
+        # (A lake with a RENAME log never reaches this path — it
+        # scans per-partition above, where historical aliases are
+        # read and coalesced.)
         read_kwargs = dict(columns=target.names, schema=target)
     if filter is not None:
         read_kwargs["filter"] = filter
@@ -891,7 +916,22 @@ def changes_between(
             f"v{m_to.version} (a restore crossed a partition split); "
             "this version pair cannot be diffed"
         )
+    if m_from is not None and (
+        [tuple(p) for p in m_to.renames][: len(m_from.renames)]
+        != [tuple(p) for p in m_from.renames]
+        or m_to.dropped[: len(m_from.dropped)] != m_from.dropped
+    ):
+        # same append-only contract as splits: m_to's rename/drop log
+        # must EXTEND m_from's, so every old-side file reads correctly
+        # under m_to's log. A restore_lake that rolled back past an
+        # alter_lake breaks that — refuse instead of mis-mapping names
+        raise ValueError(
+            f"schema DDL log regressed between v{m_from.version} and "
+            f"v{m_to.version} (a restore crossed an alter); "
+            "this version pair cannot be diffed"
+        )
     schema = m_to.schema
+    feed_renames = [list(x) for x in m_to.renames]
     if columns is not None:
         need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
         schema = pa.schema([f for f in schema if f.name in need])
@@ -924,10 +964,17 @@ def changes_between(
         def read_file(p: str) -> pa.Table:
             # pruned column read (only the feed's columns leave disk);
             # evolution-added columns a file predates are null-filled
-            # by conform_table afterwards
+            # by conform_table afterwards, and files written before a
+            # column rename serve it via m_to's rename log (a superset
+            # of every older manifest's — guarded above)
+            from ..schemas import apply_renames, physical_read_columns
+
             f = pq.ParquetFile(p)
-            avail = [c for c in schema.names if c in set(f.schema_arrow.names)]
-            return conform_table(f.read(columns=avail), schema)
+            want = physical_read_columns(list(schema.names), feed_renames)
+            avail = [c for c in want if c in set(f.schema_arrow.names)]
+            return conform_table(
+                apply_renames(f.read(columns=avail), feed_renames), schema
+            )
 
         from ..stages.merge import lww_reduce
 
@@ -1073,12 +1120,44 @@ def scd2_history(
     ]
     if not versions:
         raise FileNotFoundError(f"no committed versions at {lake_dir}")
+    # the TARGET feed schema: the newest folded version's, through its
+    # rename log — per-version feeds emitted before an alter_lake carry
+    # the then-live column names, and the union must agree (a renamed
+    # column is the SAME logical column across the history; a column
+    # added later null-fills the older intervals; a dropped one leaves)
+    from ..schemas import apply_renames, conform_table as _conform
+
+    m_head = load_manifest(lake_dir, version=versions[-1])
+    head_renames = [list(x) for x in m_head.renames]
+    head_schema = m_head.schema
+    if columns is not None:
+        need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
+        head_schema = pa.schema([f for f in head_schema if f.name in need])
+    target_schema = pa.schema(
+        [pa.field("url", pa.string()), pa.field(CHANGE_OP_COL, pa.string())]
+        + [f for f in head_schema if f.name not in ("url", DELETED_COL)]
+    )
+    from ..schemas import alias_names
+
     feeds = []
     prev = 0
     for v in versions:
-        f = changes_between(lake_dir, prev, v, columns=columns)
+        cols_v = columns
+        if columns is not None and head_renames:
+            # ask each version's feed for the column under the name
+            # that version knew it by (pruning is by-name per version)
+            m_v = load_manifest(lake_dir, version=v)
+            have = set(m_v.schema.names) if m_v.schema is not None else set()
+            cols_v = [
+                a for c in columns
+                for a in alias_names(c, head_renames) if a in have
+            ]
+        f = changes_between(lake_dir, prev, v, columns=cols_v)
 
         def tag(batch: pa.Table, _v=v) -> pa.Table:
+            batch = _conform(
+                apply_renames(batch, head_renames), target_schema
+            )
             return batch.append_column(
                 "version", pa.array(np.full(batch.num_rows, _v), pa.int64())
             )
@@ -1253,7 +1332,18 @@ def entity_changes_between(
         raise ValueError(
             f"v_from={m_from.version} is newer than v_to={m_to.version}"
         )
+    if m_from is not None and (
+        [tuple(p) for p in m_to.renames][: len(m_from.renames)]
+        != [tuple(p) for p in m_from.renames]
+        or m_to.dropped[: len(m_from.dropped)] != m_from.dropped
+    ):
+        raise ValueError(
+            f"schema DDL log regressed between v{m_from.version} and "
+            f"v{m_to.version} (a restore crossed an alter); "
+            "this version pair cannot be diffed"
+        )
     schema = m_to.schema
+    feed_renames = [list(x) for x in m_to.renames]
     if columns is not None:
         need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
         schema = pa.schema([f for f in schema if f.name in need])
@@ -1281,9 +1371,14 @@ def entity_changes_between(
         pa.set_io_thread_count(2)
 
         def read_file(p: str) -> pa.Table:
+            from ..schemas import apply_renames, physical_read_columns
+
             f = pq.ParquetFile(p)
-            avail = [c for c in schema.names if c in set(f.schema_arrow.names)]
-            return conform_table(f.read(columns=avail), schema)
+            want = physical_read_columns(list(schema.names), feed_renames)
+            avail = [c for c in want if c in set(f.schema_arrow.names)]
+            return conform_table(
+                apply_renames(f.read(columns=avail), feed_renames), schema
+            )
 
         def info(df: pl.DataFrame) -> pl.DataFrame:
             return df.group_by("url").agg(
@@ -1581,7 +1676,7 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
             zlib.crc32(u.encode("utf-8")), manifest.num_partitions, splits
         )
         by_part.setdefault(part, []).append(u)
-    from ..schemas import conform_table
+    from ..schemas import apply_renames, conform_table
 
     from ..stages.merge import reduce_fn_for_kind
 
@@ -1592,9 +1687,12 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
             continue
         pieces = [
             conform_table(
-                pq.read_table(
-                    os.path.join(lake_dir, rel),
-                    filters=[("url", "in", part_urls)],
+                apply_renames(
+                    pq.read_table(
+                        os.path.join(lake_dir, rel),
+                        filters=[("url", "in", part_urls)],
+                    ),
+                    manifest.renames,
                 ),
                 manifest.schema,
             )
@@ -1633,7 +1731,7 @@ def lake_snapshot(lake_dir: str, *, version: int | None = None) -> pa.Table:
     tables = [
         read_effective_partition(
             lake_dir, part, manifest.part_files(part), manifest.schema,
-            kind=manifest.kind,
+            kind=manifest.kind, renames=manifest.renames,
         )
         for part in parts
     ]

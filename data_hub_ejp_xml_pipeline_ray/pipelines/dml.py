@@ -233,7 +233,8 @@ def _dml_commit(
                     "matched": f.metadata.num_rows, "resumed": True,
                 }
             eff = read_effective_partition(
-                lake_dir, part, rels, schema, kind=kind
+                lake_dir, part, rels, schema, kind=kind,
+                renames=manifest.renames,
             )
             if DELETED_COL in eff.column_names:
                 alive = pc.fill_null(pc.invert(eff.column(DELETED_COL)), True)
@@ -324,6 +325,8 @@ def _dml_commit(
             retain_versions=manifest.retain_versions,
             kind=kind,
             delta_files={k: v for k, v in new_deltas.items() if v},
+            renames=[list(p) for p in manifest.renames],
+            dropped=list(manifest.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version

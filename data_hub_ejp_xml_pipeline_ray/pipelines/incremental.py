@@ -211,6 +211,18 @@ def refresh_live_stats(
     cols = None
     if derive is None or source_cols:
         cols = list(dict.fromkeys([*keys, *sum_cols, *source_cols]))
+        # fail loud, not wrong: a source-lake alter_lake that renamed or
+        # dropped a column this view reads would otherwise yield a feed
+        # silently missing it (changes_between prunes by name)
+        m_now = load_manifest(lake_dir, version=target)
+        if m_now is not None and m_now.schema is not None:
+            missing = [c for c in cols if c not in m_now.schema.names]
+            if missing:
+                raise ValueError(
+                    f"view columns {missing} are not in the source lake "
+                    f"schema {m_now.schema.names} (renamed or dropped by "
+                    "alter_lake?) — rebuild the view under the new names"
+                )
     prev_file = state["file"] if state is not None else None
     if state is not None and state["lake_version"] not in set(
         list_versions(lake_dir)

@@ -178,6 +178,8 @@ def clone_lake(
         kind=m.kind,
         delta_files={k: list(v) for k, v in m.delta_files.items()},
         zones=dict(m.zones),  # same relpaths + identical bytes -> valid
+        renames=[list(p) for p in m.renames],
+        dropped=list(m.dropped),
     )
     commit_manifest(dst_dir, clone)
     # the purge registry travels with the clone: it resumes tailing the
@@ -241,6 +243,11 @@ def restore_lake(lake_dir: str, version: int) -> dict:
             kind=old.kind,
             delta_files={k: list(v) for k, v in old.delta_files.items()},
             zones=dict(old.zones),
+            # the restored snapshot's OWN DDL state: a rename/drop made
+            # after it intentionally regresses with the data (the
+            # change-feed guard refuses to diff across the regression)
+            renames=[list(p) for p in old.renames],
+            dropped=list(old.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=cur.version
@@ -510,6 +517,8 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
             kind=head.kind,
             delta_files={k: list(v) for k, v in head.delta_files.items()},
             zones=dict(head.zones),
+            renames=[list(p) for p in head.renames],
+            dropped=list(head.dropped),
         )
         commit_manifest(lake_dir, new_manifest, expected_version=cur.version)
         # 3) register the urls for the ingest-edge guard and the feed
@@ -571,6 +580,8 @@ def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
             retain_versions=manifest.retain_versions,
             kind=manifest.kind,
             delta_files={k: list(v) for k, v in manifest.delta_files.items()},
+            renames=[list(p) for p in manifest.renames],
+            dropped=list(manifest.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
@@ -607,6 +618,7 @@ def _fold_rewrite(
     import json as _json
 
     schema, kind = manifest.schema, manifest.kind
+    renames = [list(x) for x in manifest.renames]
     work = pa.table({
         "part": pa.array(parts, pa.int64()),
         "rels": pa.array(
@@ -625,7 +637,8 @@ def _fold_rewrite(
             batch.column("part").to_pylist(), batch.column("rels").to_pylist()
         ):
             table = read_effective_partition(
-                lake_dir, int(part), _json.loads(rels_json), schema, kind=kind
+                lake_dir, int(part), _json.loads(rels_json), schema,
+                kind=kind, renames=renames,
             )
             kept = table
             if drop_tombstones and DELETED_COL in table.column_names:
@@ -743,6 +756,8 @@ def _compact_locked(lake_dir: str, lock_token: str) -> dict:
         retain_versions=manifest.retain_versions,
         kind=manifest.kind,
         delta_files={k: v for k, v in new_delta_files.items() if v},
+        renames=[list(p) for p in manifest.renames],
+        dropped=list(manifest.dropped),
     )
     commit_manifest(
         lake_dir, new_manifest, expected_version=manifest.version
@@ -805,6 +820,8 @@ def compact_deltas(lake_dir: str) -> dict:
             retain_versions=manifest.retain_versions,
             kind=manifest.kind,
             delta_files={k: v for k, v in new_delta_files.items() if v},
+            renames=[list(p) for p in manifest.renames],
+            dropped=list(manifest.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
@@ -842,6 +859,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
     rels = manifest.part_files(part)
     token = f"split-{manifest.version + 1}"
     schema, kind = manifest.schema, manifest.kind
+    renames = [list(x) for x in manifest.renames]
 
     @ray.remote(num_cpus=1)
     def rewrite_children(rel_list: list[str], r: int, mod: int) -> list[dict]:
@@ -857,7 +875,9 @@ def split_partition(lake_dir: str, part: int) -> dict:
         _pa.set_cpu_count(1)
         # effective base+deltas state: a split folds any pending MOR
         # deltas into the children (tombstones retained)
-        table = read_effective_partition(lake_dir, r, rel_list, schema, kind=kind)
+        table = read_effective_partition(
+            lake_dir, r, rel_list, schema, kind=kind, renames=renames,
+        )
         crc = crc32_column(table.column("url")).astype(np.int64)
         child = crc % (2 * mod)
         out = []
@@ -917,6 +937,8 @@ def split_partition(lake_dir: str, part: int) -> dict:
             retain_versions=current.retain_versions,
             kind=current.kind,
             delta_files={k: v for k, v in new_delta_files.items() if v},
+            renames=[list(p) for p in current.renames],
+            dropped=list(current.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version
@@ -1020,6 +1042,7 @@ def cluster_lake(
         import json as _json
 
         schema, kind = manifest.schema, manifest.kind
+        renames = [list(x) for x in manifest.renames]
         work_tbl = pa.table({
             "part": pa.array(targets, pa.int64()),
             "rels": pa.array(
@@ -1044,7 +1067,7 @@ def cluster_lake(
                 # partition anyway, so pending MOR deltas fold in free
                 table = read_effective_partition(
                     lake_dir, int(part), _json.loads(rels_json), schema,
-                    kind=kind,
+                    kind=kind, renames=renames,
                 )
                 if method == "zorder" and len(keys) > 1:
                     idx = _zorder_indices(table, keys)
@@ -1115,6 +1138,8 @@ def cluster_lake(
             counters=manifest.counters,
             retain_versions=manifest.retain_versions,
             kind=manifest.kind,
+            renames=[list(p) for p in manifest.renames],
+            dropped=list(manifest.dropped),
         )
         commit_manifest(
             lake_dir, new_manifest, expected_version=manifest.version

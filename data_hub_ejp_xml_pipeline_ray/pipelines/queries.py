@@ -3018,6 +3018,48 @@ def q_cdc_lake_state(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_schema_evolution(sf_dir: str):
+    """Metadata-only DDL flagship, DRIVER-ORACLE-CHECKED: ingest half
+    the derived WAL, ``alter_lake`` (rename lang->language, add
+    quality, add+drop a scratch column — NO data file rewritten), then
+    ingest the rest while the wire STILL emits ``lang``. The final
+    state must hash-equal the full-WAL window-LWW oracle with the
+    rename applied as pure SQL aliasing — proving the rename log maps
+    pre-alter files and post-alter wire batches onto one logical
+    column, the added column null-fills history, and the dropped one
+    never resurrects (``pipelines/ddl.py``)."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+    from .ddl import alter_lake
+
+    work = derived_cdc_workdir(sf_dir, "ddl")
+    shutil.rmtree(work, ignore_errors=True)
+    wal = os.path.join(work, "wal")
+    lake = os.path.join(work, "lake")
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), wal, n_segments=8,
+    )
+    run_ingest(CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=16,
+        segment_glob="segment-0000[0-3].parquet",
+    ))
+    alter_lake(
+        lake, rename={"lang": "language"},
+        add={"quality": "float64", "stale": "int64"},
+    )
+    alter_lake(lake, drop=["stale"])
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=16))
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "language",
+                        "quality"])
+
+
 def q_cdc_lake_state_mor(sf_dir: str):
     """Merge-on-read flagship, DRIVER-ORACLE-CHECKED: the same derived
     WAL ingested with ``merge_mode="mor"`` in two micro-batches, so the
@@ -7249,6 +7291,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "curate_corpus_exact": q_curate_corpus_exact,
     "cdc_lake_state": q_cdc_lake_state,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_merge_branch": q_cdc_merge_branch,
@@ -7771,6 +7814,26 @@ ORACLE_SQL = {
                  'page u' || CAST(user_id AS VARCHAR) || ' rev '
                    || CAST(event_id AS VARCHAR) AS text,
                  event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
+    """,
+    # Metadata-only DDL: the rename is pure SQL aliasing of the SAME
+    # window-LWW state (event_type AS language), the added column is
+    # NULL for every row (no writer ever populated it), the dropped
+    # scratch column never appears. Identical row set to cdc_lake_state
+    # — an alter invents and loses nothing.
+    "cdc_schema_evolution": """
+        SELECT url, warc_ts, seq, text, language,
+               CAST(NULL AS DOUBLE) AS quality
+        FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS language,
                  (event_type = 'error') AS is_del,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY ts DESC, event_id DESC) AS rn

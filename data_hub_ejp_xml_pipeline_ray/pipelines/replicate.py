@@ -123,8 +123,22 @@ def sync_replica(
     feed_schema = pa.schema(
         [f for f in feed.schema().base_schema if f.name != CHANGE_OP_COL]
     )
+    # the replica inherits the SOURCE's DDL state (pipelines/ddl.py):
+    # its own earlier files were written under the source's THEN-live
+    # names, so the source's rename log maps them exactly, and its
+    # stored schema must pass through renames/drops BEFORE the union —
+    # else a renamed column would union in twice (lang + language) and
+    # old replica rows would silently null the new name.
+    sm_at = load_manifest(source_lake, version=sv) or sm
+    src_renames = [list(p) for p in sm_at.renames]
+    src_dropped = list(sm_at.dropped)
+    from ..schemas import apply_renames, evolve_wire_schema
+
     schema = (
-        merge_schemas(rm.schema, feed_schema) if rm is not None
+        merge_schemas(
+            evolve_wire_schema(rm.schema, src_renames, src_dropped),
+            feed_schema,
+        ) if rm is not None
         else feed_schema
     )
     num_p = (
@@ -167,7 +181,11 @@ def sync_replica(
         old_rel = old_parts.get(part)
         if old_rel is not None:
             old = conform_table(
-                pq.read_table(os.path.join(replica_dir, old_rel)), schema
+                apply_renames(
+                    pq.read_table(os.path.join(replica_dir, old_rel)),
+                    src_renames,
+                ),
+                schema,
             )
             # every url mentioned in the feed group leaves the old file:
             # re-inserted below iff it survived predicate + not-delete
@@ -246,6 +264,11 @@ def sync_replica(
         }],
         counters=counters,
         retain_versions=rm.retain_versions if rm is not None else 2,
+        # source DDL state travels with the replica: untouched replica
+        # partitions keep files written under pre-rename names, and the
+        # replica's own reads map them through this log
+        renames=src_renames,
+        dropped=src_dropped,
     )
     with writer_lock(replica_dir) as lock_token:
         commit_manifest(

@@ -140,6 +140,23 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact", help="drop persisted tombstones")
     add_common(sp, lake_only=True)
     sp = sub.add_parser(
+        "alter",
+        help="metadata-only schema change: --add NAME:TYPE, "
+             "--rename OLD:NEW, --drop NAME (repeatable; no data "
+             "file is rewritten)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--add", action="append", default=[],
+                    metavar="NAME:TYPE")
+    sp.add_argument("--rename", action="append", default=[],
+                    metavar="OLD:NEW")
+    sp.add_argument("--drop", action="append", default=[], metavar="NAME")
+    sp = sub.add_parser(
+        "schema",
+        help="print the lake schema (name, type, historical aliases); "
+             "--version time-travels")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--version", type=int, default=None)
+    sp = sub.add_parser(
         "compact-deltas",
         help="fold pending merge-on-read delta files into partition "
              "bases (tombstones kept)")
@@ -385,6 +402,27 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--view-dir/--replica-dir are row-lake consumers; "
                 "they cannot ride --entity (group-valued) lakes")
 
+    if args.cmd == "alter":  # metadata-only: no Ray session needed
+        from .pipelines.ddl import alter_lake
+
+        def _split1(s: str, what: str) -> tuple[str, str]:
+            if ":" not in s:
+                raise SystemExit(f"--{what} wants X:Y, got {s!r}")
+            a, _, b = s.partition(":")
+            return a, b
+
+        print(json.dumps(alter_lake(
+            args.lake_dir,
+            add=dict(_split1(s, "add") for s in args.add),
+            rename=dict(_split1(s, "rename") for s in args.rename),
+            drop=list(args.drop),
+        )))
+        return 0
+    if args.cmd == "schema":
+        from .pipelines.ddl import schema_at
+
+        print(json.dumps(schema_at(args.lake_dir, version=args.version)))
+        return 0
     if args.cmd == "errors":
         from .pipelines.cdc import read_errors
 

@@ -222,6 +222,110 @@ def conform_table(table: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Rename-log helpers (metadata-only schema evolution, pipelines/ddl.py)
+# ---------------------------------------------------------------------------
+#
+# The manifest carries an APPEND-ONLY rename log ``[[old, new], ...]``
+# (column renames are metadata-only commits: no data file is rewritten,
+# the Iceberg/Delta column-mapping idea expressed over names instead of
+# field ids). Files written before a rename still store the column
+# under its old name, so every FILE-SOURCED table must pass through
+# :func:`apply_renames` before :func:`conform_table`. Name-based
+# mapping is sound because ``pipelines.ddl.alter_lake`` refuses any
+# operation that would make a historical name ambiguous (re-adding a
+# dropped column, renaming onto a used alias).
+
+
+def alias_names(name: str, renames: list) -> list[str]:
+    """Every historical (pre-rename) physical name that may hold data
+    for logical column ``name``, oldest first, ``name`` itself last.
+    Walks the rename log backward: ``a->b`` then ``b->c`` makes
+    ``c``'s aliases ``[a, b, c]``."""
+    out = [name]
+    for old, new in reversed([(r[0], r[1]) for r in renames or ()]):
+        if new == out[0]:
+            out.insert(0, old)
+    return out
+
+
+def physical_read_columns(names: list[str], renames: list) -> list[str]:
+    """The physical column names a pruned parquet read must request so
+    files written under ANY historical schema contribute their data
+    for the logical ``names`` (requested order preserved, aliases
+    appended)."""
+    out = list(names)
+    seen = set(out)
+    for n in names:
+        for a in alias_names(n, renames):
+            if a not in seen:
+                seen.add(a)
+                out.append(a)
+    return out
+
+
+def apply_renames(table: pa.Table, renames: list | None) -> pa.Table:
+    """Apply the manifest rename log to a file-sourced table: a column
+    still present under a pre-rename name is renamed in log order; if
+    BOTH names are present (a pruned read that requested the alias
+    explicitly null-fills it on new files, and vice versa), the newer
+    name wins where non-null (coalesce) — each physical row stores the
+    value under exactly one of the names."""
+    if not renames:
+        return table
+    import pyarrow.compute as pc
+
+    for pair in renames:
+        old, new = pair[0], pair[1]
+        names = table.column_names
+        if old not in names:
+            continue
+        if new not in names:
+            table = table.rename_columns(
+                [new if c == old else c for c in names]
+            )
+            continue
+        i_new = names.index(new)
+        tgt = table.column(new)
+        src = conform_array(table.column(old), tgt.type)
+        merged = pc.if_else(pc.is_valid(tgt), tgt, src)
+        table = table.set_column(
+            i_new, pa.field(new, tgt.type), merged
+        ).drop_columns([old])
+    return table
+
+
+def evolve_wire_schema(
+    schema: pa.Schema, renames: list | None, dropped: list | None
+) -> pa.Schema:
+    """Project a WIRE-derived lake schema through the lake's DDL state
+    before the ingest union: columns arriving under a pre-rename name
+    are renamed to their live name (a producer that still emits the
+    old name keeps working after an ``alter_lake`` rename), and
+    columns the lake DROPPED are removed so the schema union can never
+    resurrect them."""
+    if not renames and not dropped:
+        return schema
+    resolve: dict[str, str] = {}
+    for pair in renames or ():
+        old, new = pair[0], pair[1]
+        # chain-resolve: a->b recorded, then b->c — wire 'a' lands at 'c'
+        for k, v in list(resolve.items()):
+            if v == old:
+                resolve[k] = new
+        resolve[old] = new
+    gone = set(dropped or ())
+    fields: list[pa.Field] = []
+    seen: set[str] = set()
+    for f in schema:
+        name = resolve.get(f.name, f.name)
+        if name in gone or name in seen:
+            continue
+        seen.add(name)
+        fields.append(pa.field(name, f.type))
+    return pa.schema(fields)
+
+
+# ---------------------------------------------------------------------------
 # Schema (de)serialization for the manifest
 # ---------------------------------------------------------------------------
 

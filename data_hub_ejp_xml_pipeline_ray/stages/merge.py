@@ -482,6 +482,7 @@ def read_effective_partition(
     *,
     kind: str = "row",
     columns: list[str] | None = None,
+    renames: list | None = None,
 ) -> pa.Table:
     """Effective (merge-on-read) state of one partition: read its base
     file plus any MOR delta files, conform each to ``schema``, apply
@@ -494,19 +495,32 @@ def read_effective_partition(
     predicate can only be applied AFTER the reduction (filtering an
     arbitrary column below LWW could drop the winning version and
     resurrect an older row), so no payload filter is taken here.
+
+    ``renames`` is the manifest's metadata-only column-rename log
+    (``pipelines.ddl.alter_lake``): files written before a rename
+    still store the old name, so the pruned read also requests each
+    live column's historical aliases and the batch passes through
+    :func:`..schemas.apply_renames` before conforming.
     """
+    from ..schemas import apply_renames, physical_read_columns
+
     need = None
     if columns is not None:
         need = {"url", "warc_ts", "seq", DELETED_COL} | set(columns)
         schema = pa.schema([f for f in schema if f.name in need])
+    read_names = (
+        None if need is None
+        else physical_read_columns(list(schema.names), renames or [])
+    )
     pieces = []
     for rel in rels:
         f = pq.ParquetFile(os.path.join(lake_dir, rel))
         avail = (
-            None if need is None
-            else [c for c in schema.names if c in set(f.schema_arrow.names)]
+            None if read_names is None
+            else [c for c in read_names if c in set(f.schema_arrow.names)]
         )
-        pieces.append(conform_table(f.read(columns=avail), schema))
+        piece = apply_renames(f.read(columns=avail), renames)
+        pieces.append(conform_table(piece, schema))
     if not pieces:
         return schema.empty_table()
     merged = pa.concat_tables(pieces)
@@ -732,6 +746,7 @@ class PartitionMerger:
         reduce_fn=None,
         mode: str = "cow",
         base_deltas: dict[int, list[str]] | None = None,
+        renames: list | None = None,
     ):
         #: LWW reduction: row-valued (default) or group-valued
         #: (:func:`lww_winner_rows` for entity tables)
@@ -753,6 +768,10 @@ class PartitionMerger:
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
         self._mode = mode
+        #: manifest rename log (metadata-only DDL): base files written
+        #: before a rename — and wire batches from a producer still
+        #: emitting the old name — map onto the live column here.
+        self._renames = renames or []
         #: committed MOR delta files per partition (manifest
         #: ``delta_files``). A CoW merge over a partition with pending
         #: deltas folds them into the new base (mode mixing is safe:
@@ -777,7 +796,11 @@ class PartitionMerger:
             delta = delta.append_column(
                 DELETED_COL, pc.equal(delta.column("op"), DELETE_OP)
             )
-        return conform_table(delta, self._lake_schema)
+        from ..schemas import apply_renames
+
+        return conform_table(
+            apply_renames(delta, self._renames), self._lake_schema
+        )
 
     def merge_one_mor(self, part: int) -> dict:
         """Merge-on-read reduce for one partition: reduce THIS batch's
@@ -862,15 +885,23 @@ class PartitionMerger:
         delta = self._gather_delta(part)
         events_applied = delta.num_rows
 
+        from ..schemas import apply_renames
+
         base_rel = self._base_partitions.get(part)
         pieces = []
         if base_rel is not None:
             base = pq.read_table(os.path.join(self._lake_dir, base_rel))
-            pieces.append(conform_table(base, self._lake_schema))
+            pieces.append(
+                conform_table(apply_renames(base, self._renames),
+                              self._lake_schema)
+            )
         for rel in self._base_deltas.get(part, ()):
             # pending MOR deltas fold into this rewrite (auto-compact)
             t = pq.read_table(os.path.join(self._lake_dir, rel))
-            pieces.append(conform_table(t, self._lake_schema))
+            pieces.append(
+                conform_table(apply_renames(t, self._renames),
+                              self._lake_schema)
+            )
         pieces.append(delta)
         merged = pa.concat_tables(pieces) if len(pieces) > 1 else delta
 

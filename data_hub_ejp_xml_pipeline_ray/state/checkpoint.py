@@ -101,6 +101,19 @@ class LakeManifest:
     #: ``(warc_ts, seq)``, not file order. Empty dict = pure
     #: copy-on-write lake (the default; every query path is identical).
     delta_files: dict[int, list[str]] = field(default_factory=dict)
+    #: metadata-only schema-evolution state (``pipelines.ddl``):
+    #: append-only column-rename log ``[[old, new], ...]`` — files
+    #: written before a rename still store the old name, and every
+    #: file-sourced read applies :func:`..schemas.apply_renames`
+    #: before conforming. Per-manifest, so time travel reads each
+    #: version under its own schema.
+    renames: list[list[str]] = field(default_factory=list)
+    #: columns DROPPED by ``alter_lake`` — excluded from the wire-
+    #: schema union forever (a producer still emitting the column
+    #: cannot resurrect it), and their names are retired: name-based
+    #: rename mapping stays unambiguous only because a dropped name
+    #: can never be re-added.
+    dropped: list[str] = field(default_factory=list)
     #: per-FILE zone maps: {relpath: {"rows": n, "cols": {col: zone}}}
     #: (column min/max/null-count read from each file's parquet FOOTER
     #: at commit time — see ``state.zones``). Keyed by the immutable
@@ -152,6 +165,9 @@ class LakeManifest:
                 str(k): list(v) for k, v in self.delta_files.items()
             }} if self.delta_files else {}),
             **({"zones": self.zones} if self.zones else {}),
+            **({"renames": [[o, n] for o, n in self.renames]}
+               if self.renames else {}),
+            **({"dropped": list(self.dropped)} if self.dropped else {}),
         }
 
     @classmethod
@@ -174,6 +190,8 @@ class LakeManifest:
                 int(k): list(v) for k, v in doc.get("delta_files", {}).items()
             },
             zones=dict(doc.get("zones", {})),
+            renames=[[o, n] for o, n in doc.get("renames", [])],
+            dropped=list(doc.get("dropped", [])),
         )
 
 
