@@ -3785,6 +3785,70 @@ def q_cdc_entity_lake(sf_dir: str):
     )
 
 
+def q_cdc_catalog(sf_dir: str):
+    """Cross-table CATALOG flagship, DRIVER-ORACLE-CHECKED: ONE derived
+    WAL feeds TWO member lakes — the page lake and the group-valued
+    entity fan-out lake — through :func:`..pipelines.catalog.
+    run_consistent_ingest` in two micro-batches; the catalog document
+    advances only after BOTH lakes committed each batch (the
+    transactional-outbox shape; a crash between lakes leaves the
+    catalog at the previous consistent set). The result joins the
+    catalog-PINNED page state with per-url entity counts from the
+    catalog-PINNED entity lake: exactly the page+heading+link triple
+    per live url, so a mixed-offset read (table A at batch 2, table B
+    at batch 1) would surface as join drop-outs or stale counts. The
+    reference analog is the one XML ingest loading several BigQuery
+    tables per batch (``ejp_xml_pipeline/etl.py``,
+    ``s3_xml_import_pipeline.py``)."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .catalog import catalog_snapshot, load_catalog, run_consistent_ingest
+    from .cdc import CdcConfig, load_manifest
+
+    work = derived_cdc_workdir(sf_dir, "catalog")
+    shutil.rmtree(work, ignore_errors=True)
+    wal = os.path.join(work, "wal")
+    cat = os.path.join(work, "catalog")
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), wal, n_segments=8,
+        entity_html=True,
+    )
+
+    def cfgs(glob: str | None) -> dict:
+        kw = {"segment_glob": glob} if glob else {}
+        return {
+            "pages": CdcConfig(
+                wal_dir=wal, lake_dir=os.path.join(work, "pages"),
+                num_partitions=16, **kw),
+            "entities": CdcConfig(
+                wal_dir=wal, lake_dir=os.path.join(work, "entities"),
+                num_partitions=16, **kw),
+        }
+
+    # batch 1: first half of the WAL -> catalog v1; batch 2: the rest
+    r1 = run_consistent_ingest(
+        cat, cfgs("segment-0000[0-3].parquet"), entity={"entities"})
+    r2 = run_consistent_ingest(cat, cfgs(None), entity={"entities"})
+    assert (r1["catalog_version"], r2["catalog_version"]) == (1, 2)
+    doc = load_catalog(cat)
+    for name in ("pages", "entities"):
+        head = load_manifest(os.path.join(work, name)).version
+        assert doc["tables"][name]["version"] == head, (name, head, doc)
+
+    pages = catalog_snapshot(cat, "pages").select(
+        ["url", "warc_ts", "seq", "lang"])
+    i = pages.column_names.index("warc_ts")
+    pages = pages.set_column(
+        i, "warc_ts", pages.column("warc_ts").cast(pa.timestamp("us")))
+    counts = (
+        catalog_snapshot(cat, "entities").select(["url"])
+        .group_by("url").aggregate([("url", "count")])
+        .rename_columns(["url", "n_entities"])
+    )
+    return pages.join(counts, keys="url", join_type="inner")
+
+
 def q_value_quantiles_tdigest(sf_dir: str):
     """ONE-PASS approximate grouped quantiles via the mergeable t-digest
     (``functions/sketch.py``): per-batch per-group digests (~KB each)
@@ -7303,6 +7367,7 @@ QUERIES = {
     "lake_point_lookup": q_lake_point_lookup,
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
+    "cdc_catalog": q_cdc_catalog,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
@@ -8348,6 +8413,33 @@ ORACLE_SQL = {
                'A' || CAST(event_id AS VARCHAR),
                CAST(0 AS INTEGER), NULL, NULL
         FROM base
+    """,
+    # Cross-table catalog: the pinned page state is the same window
+    # LWW, and the pinned entity lake holds exactly the page/heading/
+    # link triple per live url (the cdc_entity_lake fan-out grouped
+    # by url) — both read through ONE catalog document.
+    "cdc_catalog": """
+        WITH live AS (
+          SELECT user_id, event_id, ts, event_type FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1 AND NOT is_del
+        ), base AS (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq, event_type AS lang
+          FROM live
+        ), ents AS (
+          SELECT url FROM base          -- page entity
+          UNION ALL SELECT url FROM base  -- heading entity
+          UNION ALL SELECT url FROM base  -- link entity
+        )
+        SELECT b.url, b.warc_ts, b.seq, b.lang, c.n_entities
+        FROM base b
+        JOIN (SELECT url, COUNT(*) AS n_entities FROM ents GROUP BY url) c
+          USING (url)
     """,
     # Entity fan-out: pages built from doc_id with literal-valued
     # entities; lateral generate_series reproduces the fan-out.

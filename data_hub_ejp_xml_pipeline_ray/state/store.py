@@ -1,4 +1,4 @@
-"""Storage seam for the commit path: the small set of primitives the
+r"""Storage seam for the commit path: the small set of primitives the
 manifest/lock/view publish protocol needs, with a POSIX implementation
 and a rename-free CAS implementation.
 
