@@ -205,12 +205,15 @@ def refresh_live_stats(
     # projection pruning for both paths: only key + derive inputs leave
     # storage. A derive hook with UNDECLARED source_cols gets the full
     # row — correct, unpruned.
-    # sum_cols are included too: when derive is None they are raw lake
-    # columns the kernel reads; when derive produces them, a name not
-    # in the lake schema prunes to nothing (harmless)
+    # sum_cols join the projection only when derive is None (then they
+    # are raw lake columns the kernel reads); when derive PRODUCES
+    # them they are not lake columns and must be neither projected nor
+    # schema-checked below
     cols = None
-    if derive is None or source_cols:
+    if derive is None:
         cols = list(dict.fromkeys([*keys, *sum_cols, *source_cols]))
+    elif source_cols:
+        cols = list(dict.fromkeys([*keys, *source_cols]))
         # fail loud, not wrong: a source-lake alter_lake that renamed or
         # dropped a column this view reads would otherwise yield a feed
         # silently missing it (changes_between prunes by name)
