@@ -306,6 +306,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--wal-dir", required=True)
     sp.add_argument("--segment-glob", default=None)
     sp = sub.add_parser(
+        "wal-gc", help="retire WAL segments every consumer lake has "
+                       "durably passed (binlog purge; metadata-only; "
+                       "--archive-dir moves instead of deleting)")
+    sp.add_argument("--wal-dir", required=True)
+    sp.add_argument("--lake-dir", action="append", required=True,
+                    dest="lake_dirs",
+                    help="repeatable: EVERY lake tailing this WAL")
+    sp.add_argument("--keep-last", type=int, default=2)
+    sp.add_argument("--archive-dir", default=None)
+    sp.add_argument("--dry-run", action="store_true")
+    sp = sub.add_parser(
         "consume", help="consumer-group change-feed read: write the "
                         "feed since this consumer's cursor as parquet, "
                         "ack on success (at-least-once delivery, "
@@ -595,6 +606,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(wal_lag(
             args.lake_dir, args.wal_dir,
             segment_glob=getattr(args, "segment_glob", None),
+        )))
+        return 0
+
+    if args.cmd == "wal-gc":
+        # metadata-only (listing + one manifest JSON per consumer): no ray
+        from .sources.wal import wal_gc
+
+        print(json.dumps(wal_gc(
+            args.wal_dir, args.lake_dirs, keep_last=args.keep_last,
+            archive_dir=args.archive_dir, dry_run=args.dry_run,
         )))
         return 0
 

@@ -109,6 +109,91 @@ def poll_for_new_segments(
         time.sleep(interval_s)
 
 
+def wal_gc(
+    wal_dir: str,
+    consumer_lake_dirs: list[str],
+    *,
+    keep_last: int = 2,
+    archive_dir: str | None = None,
+    dry_run: bool = False,
+    pattern: str = SEGMENT_GLOB,
+) -> dict:
+    """Retire WAL segments every consumer has durably passed — the
+    binlog-purge / log-retention half of the tailer the reference
+    never needed (its S3 dumps were kept forever; a 10^10-event WAL
+    cannot be). Metadata-only: one directory listing plus one manifest
+    JSON read per consumer, no data bytes move unless archiving.
+
+    A segment is reclaimable when its name is ``<=`` the MINIMUM
+    committed watermark across ``consumer_lake_dirs`` (the engine's
+    total order on segment names; a committed watermark means every
+    event of that segment is already durable in that lake). The newest
+    ``keep_last`` reclaimable segments are retained as a safety margin.
+
+    Refuses (raises ``ValueError``) when a listed consumer has no
+    committed manifest yet — an unstarted tailer still needs the whole
+    WAL. Callers must list EVERY lake tailing this WAL (row, entity,
+    nested, …); the engine cannot discover consumers it was never told
+    about, same as MySQL binlog purge.
+
+    ``archive_dir`` moves segments instead of deleting (tiered
+    storage: the archive can be replayed by pointing a fresh tailer at
+    it). Crash-safe by construction: segments are removed one at a
+    time and the tailer only ever looks STRICTLY ABOVE each
+    consumer's watermark, so a half-finished GC is just a smaller GC.
+
+    Interplay with ``restore_lake``: a head rollback regresses the
+    lake's watermark, after which re-tailing needs segments this GC
+    may already have retired — wal_gc therefore bounds restore depth
+    to the retained window (archive instead of delete when deep
+    restores must stay possible). SCALE.md documents the pairing.
+    """
+    from ..state.checkpoint import load_manifest
+
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    if not consumer_lake_dirs:
+        raise ValueError("wal_gc needs at least one consumer lake dir")
+    watermarks: dict[str, str] = {}
+    unstarted = []
+    for lake in consumer_lake_dirs:
+        m = load_manifest(lake)
+        if m is None or not m.watermark:
+            unstarted.append(lake)
+        else:
+            watermarks[lake] = m.watermark
+    if unstarted:
+        raise ValueError(
+            f"consumer lake(s) with no committed watermark: {unstarted} — "
+            "an unstarted tailer still needs every segment; start it or "
+            "drop it from the consumer list"
+        )
+    min_wm = min(watermarks.values())
+    segs = list_segments(wal_dir, pattern)
+    reclaimable = [s for s in segs if s.name <= min_wm]
+    victims = reclaimable[: max(0, len(reclaimable) - keep_last)]
+    reclaimed_bytes = sum(s.size_bytes for s in victims)
+    if not dry_run:
+        if archive_dir is not None:
+            os.makedirs(archive_dir, exist_ok=True)
+        for s in victims:
+            if archive_dir is not None:
+                os.replace(s.path, os.path.join(archive_dir, s.name))
+            else:
+                os.remove(s.path)
+    return {
+        "wal": wal_dir,
+        "min_watermark": min_wm,
+        "consumer_watermarks": watermarks,
+        "segments_total": len(segs),
+        "reclaimed": len(victims),
+        "reclaimed_bytes": reclaimed_bytes,
+        "kept_reclaimable": len(reclaimable) - len(victims),
+        "archived_to": archive_dir,
+        "dry_run": dry_run,
+    }
+
+
 def _is_jsonl(seg: SegmentMeta) -> bool:
     return seg.name.endswith(".jsonl")
 
