@@ -126,6 +126,13 @@ def _aggregate(
         zero_copy_batch=True, batch_size=None,
     ).materialize()
     metrics = ["n", *sum_cols]
+    if partial.schema(fetch_if_missing=True) is None:
+        # ZERO input rows, so no partial block ever ran and no schema
+        # exists — reachable whenever a feed spans only metadata
+        # commits (alter_lake / restore produce versions with no
+        # changed rows). None = "empty delta, type-less": callers
+        # carry the previous view state forward.
+        return None
     base = partial.schema().base_schema
     arrow_schema = pa.schema([
         *[(k, base.field(k).type) for k in keys],
@@ -214,6 +221,7 @@ def refresh_live_stats(
         cols = list(dict.fromkeys([*keys, *sum_cols, *source_cols]))
     elif source_cols:
         cols = list(dict.fromkeys([*keys, *source_cols]))
+    if cols is not None:
         # fail loud, not wrong: a source-lake alter_lake that renamed or
         # dropped a column this view reads would otherwise yield a feed
         # silently missing it (changes_between prunes by name)
@@ -239,6 +247,24 @@ def refresh_live_stats(
         # (read_lake filters tombstones itself)
         ds = read_lake(lake_dir, version=target, columns=cols)
         stats = _aggregate(prepare(ds), keys, sum_cols, signed=False)
+        if stats is None:
+            # lake committed but zero live rows: the view is an empty
+            # table; key/metric types come from the lake schema where
+            # the column exists (derive-produced metrics default int64)
+            m_now = load_manifest(lake_dir, version=target)
+            lake_schema = m_now.schema if m_now is not None else None
+
+            def _lake_type(c, default):
+                if lake_schema is not None and c in lake_schema.names:
+                    return lake_schema.field(c).type
+                return default
+
+            stats = pa.schema([
+                *[(k, _lake_type(k, pa.string())) for k in keys],
+                ("n", pa.int64()),
+                *[(c, _metric_type(_lake_type(c, pa.int64())))
+                  for c in sum_cols],
+            ]).empty_table()
         mode = "full"
     else:
         feed = changes_between(
@@ -246,16 +272,22 @@ def refresh_live_stats(
             preimages=True, columns=cols,
         )
         delta = _aggregate(prepare(feed), keys, sum_cols, signed=True)
-        # view (+) delta: both are aggregate-sized (distinct key values,
-        # not lake rows), so the merge is a driver-side polars fold
         old_tab = pl.read_parquet(os.path.join(view_dir, state["file"]))
-        merged = (
-            pl.concat([old_tab, pl.from_arrow(delta)])
-            .group_by(keys)
-            .agg([pl.col(c).sum() for c in ("n", *sum_cols)])
-            .filter(pl.col("n") > 0)
-        )
-        stats = merged.to_arrow().cast(old_tab.to_arrow().schema)
+        if delta is None:
+            # feed spans only metadata commits (alter_lake / restore):
+            # no changed rows, carry the view forward to the new version
+            stats = old_tab.to_arrow()
+        else:
+            # view (+) delta: both are aggregate-sized (distinct key
+            # values, not lake rows), so the merge is a driver-side
+            # polars fold
+            merged = (
+                pl.concat([old_tab, pl.from_arrow(delta)])
+                .group_by(keys)
+                .agg([pl.col(c).sum() for c in ("n", *sum_cols)])
+                .filter(pl.col("n") > 0)
+            )
+            stats = merged.to_arrow().cast(old_tab.to_arrow().schema)
         mode = "incremental"
 
     os.makedirs(view_dir, exist_ok=True)

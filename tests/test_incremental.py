@@ -438,3 +438,41 @@ def test_distinct_view_stepwise_matches_recount(lake, tmp_path):
     # definition contract enforced
     with pytest.raises(ValueError):
         refresh_live_distinct(lake.lake_dir, view, distinct_col="url")
+
+
+def test_alter_lake_rename_fails_raw_view_loudly_but_not_derive_view(
+    lake, tmp_path
+):
+    """The schema guard must fire for exactly the right column set: a
+    view summing a RAW lake column breaks loudly when alter_lake
+    renames it away (a silent feed would just miss the column); a view
+    whose derive hook PRODUCES its metric is untouched by renames of
+    columns it never reads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.ddl import alter_lake
+
+    raw_view = str(tmp_path / "raw_view")
+    refresh_live_stats(lake.lake_dir, raw_view, "lang", ["fetch_status"])
+
+    def add_len(t):
+        chars = pc.fill_null(
+            pc.utf8_length(t.column("text")), 0
+        ).cast(pa.int64())
+        return t.append_column("chars", chars)
+
+    derive_view = str(tmp_path / "derive_view")
+    refresh_live_stats(lake.lake_dir, derive_view, "lang", ["chars"],
+                       derive=add_len, source_cols=["text"])
+
+    alter_lake(lake.lake_dir, rename={"fetch_status": "status"})
+
+    # raw view: its sum column is gone from the schema -> loud error
+    with pytest.raises(ValueError, match="not in the source lake"):
+        refresh_live_stats(lake.lake_dir, raw_view, "lang",
+                           ["fetch_status"])
+    # derive view: reads only text, which still exists -> refreshes
+    r = refresh_live_stats(lake.lake_dir, derive_view, "lang", ["chars"],
+                           derive=add_len, source_cols=["text"])
+    assert r["refreshed"] and r["mode"] == "incremental"
