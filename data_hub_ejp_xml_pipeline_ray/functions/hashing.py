@@ -114,6 +114,31 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _build_popcount16() -> np.ndarray:
+    v = np.arange(1 << 16, dtype=np.uint32)
+    c = np.zeros(1 << 16, dtype=np.uint8)
+    for s in range(16):
+        c += ((v >> s) & 1).astype(np.uint8)
+    return c
+
+
+#: 64 KiB popcount lookup for 16-bit values — built once per process.
+_POPCOUNT16 = _build_popcount16()
+
+
+def popcount64_batch(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (four 16-bit table
+    lookups) — the batch form of :func:`hamming64`'s bit count, used by
+    the all-pairs Hamming leaf of the simhash verify kernel."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    out = _POPCOUNT16[(x & np.uint64(0xFFFF)).astype(np.intp)].astype(np.int32)
+    for s in (16, 32, 48):
+        out += _POPCOUNT16[
+            ((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.intp)
+        ]
+    return out
+
+
 def simhash_band_keys(value: int, num_bands: int = 4) -> list[int]:
     """Split a 64-bit simhash into ``num_bands`` chunks; two docs within
     ``num_bands - 1`` bit flips share at least one chunk only if the

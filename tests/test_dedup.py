@@ -253,22 +253,97 @@ def test_distributed_pair_verification_matches_local(monkeypatch):
     assert local_j["drop"] == dist_j["drop"] == {1}
 
 
-def test_simhash_degenerate_bucket_cap_is_loud():
-    """Many identical docs = one degenerate bucket; the capped verify
-    must report the dropped comparisons, not hide them."""
-    from data_hub_ejp_xml_pipeline_ray.stages.dedup import (
-        PAIRS_PER_BUCKET_CAP,
-        simhash_dedup,
-    )
+def test_simhash_degenerate_bucket_exact_no_drops():
+    """Many identical docs = one degenerate bucket. The pigeonhole
+    refinement kernel collapses the identical-signature run to a clique
+    instead of truncating an O(n^2) scan: nothing is dropped, every doc
+    but the min id lands in the drop set."""
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import simhash_dedup
 
     docs = [{"doc_id": i, "text": "same text every time"} for i in range(40)]
     ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
     res = simhash_dedup(ds, max_hamming=3)
-    # 40 identical docs -> 780 candidate comparisons per bucket > cap
-    assert res["capped_dropped_pairs"] > 0
-    # the doc with id 0 still survives; every pair found is hamming-0
+    assert res["capped_dropped_pairs"] == 0
+    assert res["drop"] == set(range(1, 40))
     survivors = {r["doc_id"] for r in res["survivors_ds"].take_all()}
-    assert 0 in survivors
+    assert survivors == {0}
+
+
+def test_simhash_budget_backstop_cap_is_loud(monkeypatch):
+    """The LOUD cap contract survives as a budget backstop: shrink the
+    per-group comparison budget and the dropped count must surface in
+    ``capped_dropped_pairs`` instead of vanishing."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+
+    rng = np.random.default_rng(3)
+    # >96 distinct sigs sharing band 0 (low 16 bits equal) forces a
+    # refinement pass whose n exceeds a tiny budget
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(
+            ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"], 12
+        ).tolist())}
+        for i in range(160)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(docs))
+    monkeypatch.setattr(dd, "_SIMHASH_GROUP_BUDGET", 1)
+    res = dd.simhash_dedup(ds, max_hamming=6)
+    assert res["capped_dropped_pairs"] > 0
+
+
+def test_refine_hamming_pairs_exact_vs_brute_force():
+    """Property check of the pigeonhole kernel: emitted pairs are all
+    true (precision) and connected components equal the uncapped brute
+    force (recall up to clique chaining)."""
+    from data_hub_ejp_xml_pipeline_ray.functions.hashing import hamming64
+    from data_hub_ejp_xml_pipeline_ray.stages.dedup import (
+        _refine_hamming_pairs,
+    )
+
+    def comps(n, pairs):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        return frozenset(
+            frozenset(i for i in range(n) if find(i) == r)
+            for r in {find(i) for i in range(n)}
+        )
+
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        width = int(rng.integers(5, 49))
+        max_h = int(rng.integers(1, 7))
+        n = int(rng.integers(2, 400))
+        base = rng.integers(0, 1 << width, size=max(1, n // 10),
+                            dtype=np.uint64)
+        vals = base[rng.integers(0, len(base), n)]
+        for i in range(n):
+            for _f in range(int(rng.integers(0, 4))):
+                vals[i] ^= np.uint64(1) << np.uint64(
+                    int(rng.integers(0, width)))
+        ids = np.arange(n, dtype=np.int64)
+        out_a, out_b = [], []
+        state = {"budget": 10 ** 9, "dropped": 0}
+        _refine_hamming_pairs(ids, vals.copy(), width, max_h,
+                              out_a, out_b, state)
+        got = set(zip(out_a, out_b))
+        truth = {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if hamming64(int(vals[i]), int(vals[j])) <= max_h
+        }
+        assert state["dropped"] == 0
+        assert got <= truth
+        assert comps(n, got) == comps(n, truth)
 
 
 def test_dataset_native_pair_path_matches_driver(monkeypatch):
