@@ -115,6 +115,17 @@ class CdcConfig:
     #: over a partition with pending deltas folds them in (auto-
     #: compaction for the partitions it touches).
     merge_mode: str = "cow"
+    #: Micro-batches below this many events skip the extractor ACTOR
+    #: pool and run the same fused stage on an ordinary task pool:
+    #: stage construction is ~free (measured 0.03 ms — the state is a
+    #: compiled regex and path strings), while the actor wave +
+    #: per-commit Dataset launch cost ~2 s of fixed wall. At trickle
+    #: cadence that fixed cost IS the commit latency; above the
+    #: threshold, actor reuse across blocks wins. Phase 2 merges are
+    #: likewise grouped (several tiny per-partition merges per task)
+    #: below this bound, and ungrouped above it so one straggler
+    #: partition can't serialize its group.
+    small_batch_events: int = 400_000
 
 
 @dataclass
@@ -223,7 +234,14 @@ def _ingest_one_batch(
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # blocks >> pool size for load balance, but bounded: per-task
     # dispatch overhead is the non-scaling term on the driver
+    events_applied = wal_source.segment_row_counts(segments)
+    small_batch = events_applied < cfg.small_batch_events
     blocks = cfg.read_override_num_blocks or min(max(cpus * 3, 16), 256)
+    if small_batch and cfg.read_override_num_blocks is None:
+        # a trickle commit doesn't need 96 read tasks for 150k rows —
+        # fewer blocks = fewer spill files + fewer dispatches, and the
+        # extract still saturates the node at ~15k rows per task
+        blocks = min(blocks, max(8, events_applied // 15_000))
     ds = wal_source.read_segments(
         segments, wire, override_num_blocks=blocks, conform=False,
         include_paths=True,
@@ -247,32 +265,50 @@ def _ingest_one_batch(
     import uuid as _uuid
 
     staging = os.path.join(staging_root, f"{token}-{_uuid.uuid4().hex[:8]}")
-    spilled = ds.map_batches(
-        spill_cls,
-        fn_constructor_kwargs={
-            "staging_dir": staging,
-            "num_partitions": manifest.num_partitions,
-            "url_exclusion_pattern": cfg.url_exclusion_pattern,
-            "wire_schema": wire,  # fused schema-evolution conform
-            "splits": manifest.split_set(),  # partition-split routing
-            # dead-letter quarantine (M4 parity: the reference wraps
-            # parse failures in ParseDocumentError; bad rows land in
-            # <lake>/_errors with provenance instead of silent decode)
-            "errors_dir": (
-                os.path.join(cfg.lake_dir, ERRORS_DIR) if cfg.quarantine else None
-            ),
-            # declarative CHECK constraints ride the same DLQ
-            "constraints": cfg.constraints,
-            # right-to-be-forgotten guard: a replayed WAL range must
-            # not resurrect a purged key (maintenance.purge_urls)
-            "purged_urls": sorted(list_purged(cfg.lake_dir)) or None,
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.extract_batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
-    ).take_all()
+    stage_kwargs = {
+        "staging_dir": staging,
+        "num_partitions": manifest.num_partitions,
+        "url_exclusion_pattern": cfg.url_exclusion_pattern,
+        "wire_schema": wire,  # fused schema-evolution conform
+        "splits": manifest.split_set(),  # partition-split routing
+        # dead-letter quarantine (M4 parity: the reference wraps
+        # parse failures in ParseDocumentError; bad rows land in
+        # <lake>/_errors with provenance instead of silent decode)
+        "errors_dir": (
+            os.path.join(cfg.lake_dir, ERRORS_DIR) if cfg.quarantine else None
+        ),
+        # declarative CHECK constraints ride the same DLQ
+        "constraints": cfg.constraints,
+        # right-to-be-forgotten guard: a replayed WAL range must
+        # not resurrect a purged key (maintenance.purge_urls)
+        "purged_urls": sorted(list_purged(cfg.lake_dir)) or None,
+    }
+    if small_batch:
+        # trickle commit: same fused stage on a TASK pool — construction
+        # is ~free, so skipping the actor wave removes most of the
+        # per-commit fixed wall (see CdcConfig.small_batch_events)
+        _cls, _kw = spill_cls, stage_kwargs
+
+        def spill_task(batch: pa.Table) -> pa.Table:
+            return _cls(**_kw)(batch)
+
+        spilled = ds.map_batches(
+            spill_task,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            zero_copy_batch=True,
+            num_cpus=1,
+        ).take_all()
+    else:
+        spilled = ds.map_batches(
+            spill_cls,
+            fn_constructor_kwargs=stage_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=1,
+        ).take_all()
     phase1_s = _time.perf_counter() - t0
     if trace:
         print(f"[cdc-trace] phase1 {phase1_s:.2f}s", flush=True)
@@ -310,21 +346,36 @@ def _ingest_one_batch(
         merger_ref = ray.put(merger)
 
         @ray.remote(num_cpus=1)
-        def merge_partition(m, part: int) -> dict:
-            return m.merge_one(part)
+        def merge_partitions(m, parts: list) -> list:
+            return [m.merge_one(p) for p in parts]
 
-        stats = ray.get(
-            [merge_partition.remote(merger_ref, p) for p in touched_parts]
-        )
+        if small_batch and len(touched_parts) > cpus:
+            # trickle commit: each per-partition merge is a tiny delta
+            # write, so per-task dispatch dominates — group several
+            # partitions per task (big batches stay one-per-task so a
+            # straggler partition can't serialize its groupmates)
+            group_size = -(-len(touched_parts) // cpus)
+            groups = [
+                touched_parts[i : i + group_size]
+                for i in range(0, len(touched_parts), group_size)
+            ]
+        else:
+            groups = [[p] for p in touched_parts]
+        stats = [
+            s
+            for chunk in ray.get(
+                [merge_partitions.remote(merger_ref, g) for g in groups]
+            )
+            for s in chunk
+        ]
 
     phase2_s = _time.perf_counter() - t0
     if trace:
         print(f"[cdc-trace] phase2 {phase2_s:.2f}s", flush=True)
     t0 = _time.perf_counter()
-    # Raw event count from segment metadata (parquet footer / jsonl
-    # line count, driver-side); the per-partition stats count
-    # post-combiner delta rows.
-    events_applied = wal_source.segment_row_counts(segments)
+    # events_applied (computed pre-read from segment footers) is the
+    # raw event count; the per-partition stats count post-combiner
+    # delta rows.
     new_partitions = dict(manifest.partitions)
     new_meta = dict(manifest.partition_meta)
     new_delta_files = {k: list(v) for k, v in manifest.delta_files.items()}
