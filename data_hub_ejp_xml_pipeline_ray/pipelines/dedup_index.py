@@ -1,0 +1,339 @@
+"""Incrementally-maintained exact-dedup index over a CDC lake.
+
+At 100 TB you cannot re-hash the corpus per commit: duplicate detection
+must be MAINTAINED, not recomputed. This module keeps a persisted
+(key -> urls) index — key is any lake string column, by default the
+extracted ``text`` — bucketed by key hash, and brings it up to the lake
+head by applying only the pre-image change feed
+(:func:`..pipelines.cdc.changes_between`) since the index's last-seen
+version: cost O(changed rows) + O(touched buckets), never O(corpus).
+The reference has no equivalent (its consumers re-read whole BigQuery
+tables per run, ``bq_data_service.py:17-52``).
+
+Index state layout under ``index_dir``::
+
+    _dedup_index.json    {"lake_version": V, "key_col": k,
+                          "num_buckets": B,
+                          "files": {"<bucket>": "b00007-v000003.parquet"}}
+    b*-v*.parquet        (key, url) live pairs of one key-hash bucket
+
+Invariants:
+
+* exactly ONE pair per live url (url is the lake primary key), zero
+  pairs for tombstoned/absent urls and for NULL keys (a NULL key can't
+  duplicate anything — excluded consistently on add and remove);
+* all urls of a key live in ONE bucket (crc32(key) % B), so duplicate
+  groups never span bucket files and :func:`dup_groups` needs no
+  shuffle — one task per bucket;
+* refresh rewrites ONLY touched buckets (new content-named file, then
+  one atomic JSON swap via the storage seam); untouched buckets carry
+  forward by reference. A crash mid-refresh leaves the old index
+  intact plus orphan files that the next successful publish removes.
+
+Staleness: an index whose base version fell out of lake retention
+rebuilds from the pinned head snapshot (same policy as the incremental
+views — what a too-stale Delta-CDF consumer must do).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..stages.merge import crc32_column
+from ..state.checkpoint import list_versions, load_manifest
+from .cdc import CHANGE_OP_COL, changes_between, read_lake
+
+INDEX_STATE = "_dedup_index.json"
+
+#: pre-image feed ops that ADD a (key, url) pair vs REMOVE one
+_ADD_OPS = ("insert", "update_postimage")
+_REMOVE_OPS = ("update_preimage", "delete")
+
+
+def _load_state(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, INDEX_STATE)
+    if not os.path.exists(path):
+        return None
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _bucket_of(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    return crc32_column(keys) % np.uint32(num_buckets)
+
+
+def _buckets_from_lake(manifest) -> int:
+    """Bucket count sized from manifest stats (no data read): ~500k
+    pairs per bucket so a refresh task's working set stays bounded at
+    any lake volume."""
+    rows = sum(
+        int(m.get("rows", 0)) for m in manifest.partition_meta.values()
+    )
+    return max(16, -(-rows // 500_000))
+
+
+def _pairs_table(keys: pa.Array, urls: pa.Array) -> pa.Table:
+    return pa.table({"key": keys, "url": urls})
+
+
+def refresh_dedup_index(
+    lake_dir: str, index_dir: str, *, key_col: str = "text",
+    at_version: int | None = None,
+) -> dict:
+    """Bring the (key -> urls) index up to the lake's current (or
+    ``at_version``'s) state. First call: full build from the pinned
+    snapshot. Later calls: apply the net pre-image feed — one net op
+    per url, so application order is irrelevant — rewriting only the
+    buckets whose keys changed."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    target = manifest.version if at_version is None else int(at_version)
+    state = _load_state(index_dir)
+    if state is not None and state.get("key_col") != key_col:
+        raise ValueError(
+            f"index is keyed by {state.get('key_col')!r}, refresh asked "
+            f"for {key_col!r}"
+        )
+    if state is not None and state["lake_version"] == target:
+        return {"refreshed": False, "mode": "noop", "lake_version": target}
+    if state is not None and state["lake_version"] > target:
+        raise ValueError(
+            f"index at lake version {state['lake_version']} is newer "
+            f"than requested {target}"
+        )
+    if state is not None and state["lake_version"] not in set(
+        list_versions(lake_dir)
+    ):
+        state = None  # lagged past retention: full rebuild
+    # fail loud if the key column left the lake schema (alter_lake)
+    m_target = load_manifest(lake_dir, version=target)
+    if (
+        m_target is not None and m_target.schema is not None
+        and key_col not in m_target.schema.names
+    ):
+        raise ValueError(
+            f"index key column {key_col!r} is not in the lake schema "
+            f"{m_target.schema.names} (renamed or dropped by alter_lake?)"
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    prev_files = dict(state["files"]) if state is not None else {}
+    if state is None:
+        num_buckets = _buckets_from_lake(manifest)
+        ds = read_lake(lake_dir, version=target, columns=[key_col, "url"])
+
+        def bucketed(t: pa.Table) -> pa.Table:
+            keys = t.column(key_col).combine_chunks() if isinstance(
+                t.column(key_col), pa.ChunkedArray) else t.column(key_col)
+            mask = pc.is_valid(keys)
+            t = t.filter(mask)
+            if t.num_rows == 0:
+                return pa.table({
+                    "key": pa.array([], pa.string()),
+                    "url": pa.array([], pa.string()),
+                    "_bucket": pa.array([], pa.int32()),
+                })
+            b = _bucket_of(t.column(key_col), num_buckets)
+            return pa.table({
+                "key": t.column(key_col),
+                "url": t.column("url"),
+                "_bucket": pa.array(b.astype(np.int32)),
+            })
+
+        pairs = ds.map_batches(
+            bucketed, batch_format="pyarrow", zero_copy_batch=True
+        )
+        new_files: dict[str, str] = {}
+
+        def write_bucket(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int32()),
+                                 "file": pa.array([], pa.string())})
+            bucket = int(group.column("_bucket")[0].as_py())
+            fname = f"b{bucket:05d}-v{target:06d}.parquet"
+            pq.write_table(
+                group.drop_columns(["_bucket"]).sort_by(
+                    [("key", "ascending"), ("url", "ascending")]
+                ),
+                os.path.join(index_dir, fname),
+            )
+            return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                             "file": pa.array([fname], pa.string())})
+
+        written = pairs.groupby("_bucket").map_groups(
+            write_bucket, batch_format="pyarrow"
+        ).take_all()
+        new_files = {str(r["bucket"]): r["file"] for r in written}
+        mode, touched = "full", len(new_files)
+    else:
+        num_buckets = int(state["num_buckets"])
+        feed = changes_between(
+            lake_dir, state["lake_version"], target,
+            preimages=True, columns=[key_col],
+        )
+        # the delta is bounded by the changed-row count — collect the
+        # (key, url, sign) pairs and group driver-side by bucket (an
+        # aggregate-sized fold, mirroring the incremental views; a
+        # commit whose delta rivals the corpus should full-rebuild)
+        adds: list[pa.Table] = []
+        removes: list[pa.Table] = []
+        for t in feed.to_arrow_refs():
+            t = ray.get(t)
+            if t.num_rows == 0:
+                continue
+            op = t.column(CHANGE_OP_COL)
+            valid = pc.is_valid(t.column(key_col))
+            add_mask = pc.and_(pc.is_in(op, value_set=pa.array(_ADD_OPS)), valid)
+            rem_mask = pc.and_(
+                pc.is_in(op, value_set=pa.array(_REMOVE_OPS)), valid
+            )
+            if pc.any(add_mask).as_py():
+                sub = t.filter(add_mask)
+                adds.append(_pairs_table(sub.column(key_col), sub.column("url")))
+            if pc.any(rem_mask).as_py():
+                sub = t.filter(rem_mask)
+                removes.append(
+                    _pairs_table(sub.column(key_col), sub.column("url"))
+                )
+        add_t = (
+            pa.concat_tables(adds) if adds
+            else pa.table({"key": pa.array([], pa.string()),
+                           "url": pa.array([], pa.string())})
+        )
+        rem_t = (
+            pa.concat_tables(removes) if removes
+            else pa.table({"key": pa.array([], pa.string()),
+                           "url": pa.array([], pa.string())})
+        )
+        if add_t.num_rows == 0 and rem_t.num_rows == 0:
+            # metadata-only span: carry the index forward
+            new_files = dict(prev_files)
+            mode, touched = "incremental", 0
+        else:
+            add_b = _bucket_of(add_t.column("key"), num_buckets)
+            rem_b = _bucket_of(rem_t.column("key"), num_buckets)
+            touched_buckets = sorted(
+                set(add_b.tolist()) | set(rem_b.tolist())
+            )
+            new_files = dict(prev_files)
+            for bucket in touched_buckets:
+                old_path = prev_files.get(str(bucket))
+                old = (
+                    pq.read_table(os.path.join(index_dir, old_path))
+                    if old_path is not None
+                    else pa.table({"key": pa.array([], pa.string()),
+                                   "url": pa.array([], pa.string())})
+                )
+                b_add = add_t.filter(pa.array(add_b == bucket))
+                b_rem = rem_t.filter(pa.array(rem_b == bucket))
+                # remove by URL alone: a url has exactly one live pair,
+                # and its preimage key names this bucket
+                if b_rem.num_rows:
+                    gone = pc.is_in(
+                        old.column("url"), value_set=b_rem.column("url")
+                    )
+                    old = old.filter(pc.invert(gone))
+                merged = (
+                    pa.concat_tables([old, b_add]) if b_add.num_rows else old
+                )
+                if merged.num_rows == 0:
+                    new_files.pop(str(bucket), None)  # bucket emptied
+                    continue
+                fname = f"b{bucket:05d}-v{target:06d}.parquet"
+                pq.write_table(
+                    merged.sort_by(
+                        [("key", "ascending"), ("url", "ascending")]
+                    ),
+                    os.path.join(index_dir, fname),
+                )
+                new_files[str(bucket)] = fname
+            mode, touched = "incremental", len(touched_buckets)
+
+    from ..state.store import LOCAL_STORE
+
+    LOCAL_STORE.put_atomic(
+        os.path.join(index_dir, INDEX_STATE),
+        json.dumps({
+            "lake_version": target, "key_col": key_col,
+            "num_buckets": num_buckets, "files": new_files,
+        }).encode("utf-8"),
+    )
+    live = set(new_files.values())
+    for fname in set(prev_files.values()) - live:
+        try:
+            os.remove(os.path.join(index_dir, fname))
+        except FileNotFoundError:
+            pass
+    return {
+        "refreshed": True, "mode": mode, "lake_version": target,
+        "buckets_touched": touched,
+    }
+
+
+def dup_groups(index_dir: str, *, min_urls: int = 2) -> ray.data.Dataset:
+    """Duplicate groups from the maintained index: one row per key with
+    >= ``min_urls`` live urls — (key, n_urls, min_url). One task per
+    bucket file (a bucket holds every url of its keys), no shuffle."""
+    state = _load_state(index_dir)
+    if state is None:
+        raise FileNotFoundError(f"no dedup index at {index_dir}")
+    paths = [os.path.join(index_dir, f) for f in state["files"].values()]
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            "key": pa.array([], pa.string()),
+            "n_urls": pa.array([], pa.int64()),
+            "min_url": pa.array([], pa.string()),
+        }))
+
+    def groups_of(batch: pa.Table) -> pa.Table:
+        out_k: list = []
+        out_n: list = []
+        out_u: list = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path)  # written sorted by (key, url)
+            g = t.group_by("key").aggregate(
+                [("url", "count"), ("url", "min")]
+            )
+            keep = pc.greater_equal(g.column("url_count"), min_urls)
+            g = g.filter(keep)
+            out_k.append(g.column("key"))
+            out_n.append(pc.cast(g.column("url_count"), pa.int64()))
+            out_u.append(g.column("url_min"))
+        if not out_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n_urls": pa.array([], pa.int64()),
+                             "min_url": pa.array([], pa.string())})
+        return pa.table({
+            "key": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_k]),
+            "n_urls": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_n]),
+            "min_url": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_u]),
+        })
+
+    files_ds = ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, pa.string())})
+    )
+    return files_ds.map_batches(
+        groups_of, batch_format="pyarrow", batch_size=1
+    )
+
+
+def index_pairs(index_dir: str) -> ray.data.Dataset:
+    """The raw live (key, url) pair stream of the index (test surface
+    for the convergence law: index pairs == snapshot projection)."""
+    state = _load_state(index_dir)
+    if state is None:
+        raise FileNotFoundError(f"no dedup index at {index_dir}")
+    paths = [os.path.join(index_dir, f) for f in state["files"].values()]
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table({"key": pa.array([], pa.string()),
+                      "url": pa.array([], pa.string())})
+        )
+    return ray.data.read_parquet(paths)

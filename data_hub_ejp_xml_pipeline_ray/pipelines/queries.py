@@ -3785,6 +3785,44 @@ def q_cdc_entity_lake(sf_dir: str):
     )
 
 
+def q_cdc_dedup_index(sf_dir: str):
+    """Incrementally-MAINTAINED exact-dedup index, DRIVER-ORACLE-
+    CHECKED (at 100 TB duplicate detection must be maintained from the
+    change feed, never recomputed per commit): WAL derived from
+    ``events`` with COLLIDING texts (``text_mod=7`` — the winning text
+    per url is ``'page rev ' || (event_id % 7)``), half the segments
+    ingested then a FULL index build, the rest ingested then an
+    O(delta) incremental refresh off the pre-image feed. Result =
+    duplicate groups (key, n_urls, min_url) read from the maintained
+    index, which must equal a plain group-by over the full-WAL
+    window-LWW state (``pipelines/dedup_index.py``)."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, run_ingest
+    from .dedup_index import dup_groups, refresh_dedup_index
+
+    work = derived_cdc_workdir(sf_dir, "dedupidx")
+    shutil.rmtree(work, ignore_errors=True)
+    wal = os.path.join(work, "wal")
+    lake = os.path.join(work, "lake")
+    idx = os.path.join(work, "idx")
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), wal, n_segments=8,
+        text_mod=7,
+    )
+    run_ingest(CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=16,
+        segment_glob="segment-0000[0-3].parquet",
+    ))
+    refresh_dedup_index(lake, idx)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=16))
+    res = refresh_dedup_index(lake, idx)
+    if res["mode"] != "incremental":  # the claim under test
+        raise RuntimeError(f"expected incremental refresh, got {res}")
+    return dup_groups(idx)
+
+
 def q_cdc_catalog(sf_dir: str):
     """Cross-table CATALOG flagship, DRIVER-ORACLE-CHECKED: ONE derived
     WAL feeds TWO member lakes — the page lake and the group-valued
@@ -7368,6 +7406,7 @@ QUERIES = {
     "lake_time_slice": q_lake_time_slice,
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_catalog": q_cdc_catalog,
+    "cdc_dedup_index": q_cdc_dedup_index,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
@@ -8413,6 +8452,25 @@ ORACLE_SQL = {
                'A' || CAST(event_id AS VARCHAR),
                CAST(0 AS INTEGER), NULL, NULL
         FROM base
+    """,
+    # Incrementally-maintained dedup index: the maintained (key ->
+    # urls) state must equal a plain GROUP BY over the full-WAL
+    # window-LWW live state with the same colliding-text derivation.
+    "cdc_dedup_index": """
+        WITH final AS (
+          SELECT url, text FROM (
+            SELECT 'https://u' || CAST(user_id AS VARCHAR)
+                     || '.example/page' AS url,
+                   'page rev ' || CAST(event_id % 7 AS VARCHAR) AS text,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                     AS rn
+            FROM events)
+          WHERE rn = 1 AND NOT is_del)
+        SELECT text AS key, CAST(count(*) AS BIGINT) AS n_urls,
+               min(url) AS min_url
+        FROM final GROUP BY text HAVING count(*) >= 2
     """,
     # Cross-table catalog: the pinned page state is the same window
     # LWW, and the pinned entity lake holds exactly the page/heading/

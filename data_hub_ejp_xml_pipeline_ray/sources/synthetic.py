@@ -260,6 +260,7 @@ def derive_wal_from_events(
     *,
     n_segments: int = 8,
     entity_html: bool = False,
+    text_mod: int | None = None,
 ) -> list[str]:
     """Derive a deterministic CDC WAL from a driver ``events`` parquet
     table, so the final lake state is expressible as PURE SQL over the
@@ -294,6 +295,21 @@ def derive_wal_from_events(
             eid_s, '</h1><a href="https://l', eid_s, '.example/">A', eid_s,
             "</a></body></html>", sep,
         )
+    elif text_mod is not None:
+        # COLLIDING texts (cross-url duplicates) for the dedup-index
+        # oracles: the winning text per url is 'page rev <eid % mod>',
+        # so ~mod distinct texts span the whole lake and group-by-text
+        # is expressible as the same arithmetic in SQL
+        mod_s = pc.cast(
+            pc.subtract(
+                t.column("event_id"),
+                pc.multiply(
+                    pc.divide(t.column("event_id"), text_mod), text_mod
+                ),
+            ),
+            pa.string(),
+        )
+        html = pc.binary_join_element_wise("page rev ", mod_s, sep)
     else:
         html = pc.binary_join_element_wise("page u", user_s, " rev ", eid_s, sep)
     html = pc.if_else(is_del, pa.scalar(None, pa.string()), html)
