@@ -324,6 +324,333 @@ def dup_groups(index_dir: str, *, min_urls: int = 2) -> ray.data.Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incrementally-maintained SimHash near-dup index
+# ---------------------------------------------------------------------------
+
+SIMHASH_STATE = "_simhash_index.json"
+
+#: multiplicative hash for int64 band keys (same shape as the bucketed
+#: window executor's `_hash_bucket`): high bits so the bucket depends on
+#: every key bit, wraparound uint64 arithmetic
+_MULT64 = 0x9E3779B97F4A7C15
+
+
+def _int_bucket(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    k = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return ((k * np.uint64(_MULT64)) >> np.uint64(32)) % np.uint64(num_buckets)
+
+
+def _band_rows_for(
+    texts: pa.Array | pa.ChunkedArray, urls: pa.Array | pa.ChunkedArray,
+    num_bands: int,
+) -> pa.Table:
+    """(band, key, url, sig) rows for non-NULL texts — signatures
+    TRAVEL WITH the index rows, so near-dup verification later needs no
+    text access at all (the property that makes the simhash index the
+    maintainable one; a MinHash index would need the corpus for its
+    Jaccard verify)."""
+    from ..stages.dedup import simhash_band_table
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    mask = pc.is_valid(texts)
+    texts = texts.filter(mask)
+    urls = urls.filter(mask)
+    n = len(texts)
+    if n == 0:
+        return pa.table({
+            "band": pa.array([], pa.int32()),
+            "key": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "sig": pa.array([], pa.int64()),
+        })
+    t = simhash_band_table(texts, np.arange(n, dtype=np.int64),
+                           num_bands=num_bands)
+    return pa.table({
+        "band": t.column("band"),
+        "key": t.column("key"),
+        "url": pc.take(urls, t.column("row_idx")),
+        "sig": t.column("sig"),
+    })
+
+
+def refresh_simhash_index(
+    lake_dir: str, index_dir: str, *, num_bands: int = 4,
+    key_col: str = "text", at_version: int | None = None,
+) -> dict:
+    """Bring the persisted SimHash band index up to the lake head by
+    applying only the pre-image change feed: removed/updated urls
+    retire their OLD band rows (recomputed from the preimage text —
+    signatures are deterministic, so no separate signature store is
+    needed), inserted/updated urls add new ones; only touched buckets
+    rewrite. Same staleness / atomic-publish contract as
+    :func:`refresh_dedup_index`."""
+    manifest = load_manifest(lake_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed lake at {lake_dir}")
+    target = manifest.version if at_version is None else int(at_version)
+    state_path = os.path.join(index_dir, SIMHASH_STATE)
+    state = None
+    if os.path.exists(state_path):
+        with open(state_path, "r", encoding="utf-8") as f:
+            state = json.load(f)
+    if state is not None and state.get("num_bands") != num_bands:
+        raise ValueError(
+            f"index built with num_bands={state.get('num_bands')}, "
+            f"refresh asked for {num_bands}"
+        )
+    if state is not None and state["lake_version"] == target:
+        return {"refreshed": False, "mode": "noop", "lake_version": target}
+    if state is not None and state["lake_version"] > target:
+        raise ValueError(
+            f"index at lake version {state['lake_version']} is newer "
+            f"than requested {target}"
+        )
+    if state is not None and state["lake_version"] not in set(
+        list_versions(lake_dir)
+    ):
+        state = None  # lagged past retention: full rebuild
+    m_target = load_manifest(lake_dir, version=target)
+    if (
+        m_target is not None and m_target.schema is not None
+        and key_col not in m_target.schema.names
+    ):
+        raise ValueError(
+            f"index key column {key_col!r} is not in the lake schema "
+            f"{m_target.schema.names} (renamed or dropped by alter_lake?)"
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    prev_files = dict(state["files"]) if state is not None else {}
+    if state is None:
+        num_buckets = _buckets_from_lake(manifest)
+        ds = read_lake(lake_dir, version=target, columns=[key_col, "url"])
+        nb = num_bands
+
+        def bucketed(t: pa.Table) -> pa.Table:
+            rows = _band_rows_for(t.column(key_col), t.column("url"), nb)
+            b = (
+                _int_bucket(rows.column("key"), num_buckets)
+                if rows.num_rows else np.empty(0, dtype=np.uint64)
+            )
+            return rows.append_column(
+                "_bucket", pa.array(b.astype(np.int32))
+            )
+
+        rows_ds = ds.map_batches(
+            bucketed, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def write_bucket(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int32()),
+                                 "file": pa.array([], pa.string())})
+            bucket = int(group.column("_bucket")[0].as_py())
+            fname = f"s{bucket:05d}-v{target:06d}.parquet"
+            pq.write_table(
+                group.drop_columns(["_bucket"]).sort_by(
+                    [("band", "ascending"), ("key", "ascending"),
+                     ("url", "ascending")]
+                ),
+                os.path.join(index_dir, fname),
+            )
+            return pa.table({"bucket": pa.array([bucket], pa.int32()),
+                             "file": pa.array([fname], pa.string())})
+
+        written = rows_ds.groupby("_bucket").map_groups(
+            write_bucket, batch_format="pyarrow"
+        ).take_all()
+        new_files = {str(r["bucket"]): r["file"] for r in written}
+        mode, touched = "full", len(new_files)
+    else:
+        num_buckets = int(state["num_buckets"])
+        feed = changes_between(
+            lake_dir, state["lake_version"], target,
+            preimages=True, columns=[key_col],
+        )
+        adds: list[pa.Table] = []
+        removes: list[pa.Table] = []
+        for ref in feed.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            op = t.column(CHANGE_OP_COL)
+            add_mask = pc.is_in(op, value_set=pa.array(_ADD_OPS))
+            rem_mask = pc.is_in(op, value_set=pa.array(_REMOVE_OPS))
+            if pc.any(add_mask).as_py():
+                sub = t.filter(add_mask)
+                adds.append(
+                    _band_rows_for(sub.column(key_col), sub.column("url"), num_bands)
+                )
+            if pc.any(rem_mask).as_py():
+                sub = t.filter(rem_mask)
+                removes.append(
+                    _band_rows_for(sub.column(key_col), sub.column("url"), num_bands)
+                )
+        empty = pa.table({
+            "band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()), "sig": pa.array([], pa.int64()),
+        })
+        add_t = pa.concat_tables(adds) if adds else empty
+        rem_t = pa.concat_tables(removes) if removes else empty
+        if add_t.num_rows == 0 and rem_t.num_rows == 0:
+            new_files = dict(prev_files)
+            mode, touched = "incremental", 0
+        else:
+            add_b = _int_bucket(add_t.column("key"), num_buckets)
+            rem_b = _int_bucket(rem_t.column("key"), num_buckets)
+            touched_buckets = sorted(
+                {int(x) for x in add_b} | {int(x) for x in rem_b}
+            )
+            new_files = dict(prev_files)
+            for bucket in touched_buckets:
+                old_path = prev_files.get(str(bucket))
+                old = (
+                    pq.read_table(os.path.join(index_dir, old_path))
+                    if old_path is not None else empty
+                )
+                b_add = add_t.filter(pa.array(add_b == bucket))
+                b_rem = rem_t.filter(pa.array(rem_b == bucket))
+                if b_rem.num_rows:
+                    # retire the url's old rows for exactly the (band,
+                    # key) combinations its preimage signature names
+                    old_tag = pc.binary_join_element_wise(
+                        pc.cast(old.column("key"), pa.string()),
+                        old.column("url"), "\x00",
+                    )
+                    rem_tag = pc.binary_join_element_wise(
+                        pc.cast(b_rem.column("key"), pa.string()),
+                        b_rem.column("url"), "\x00",
+                    )
+                    old = old.filter(
+                        pc.invert(pc.is_in(old_tag, value_set=rem_tag))
+                    )
+                merged = (
+                    pa.concat_tables([old, b_add]) if b_add.num_rows else old
+                )
+                if merged.num_rows == 0:
+                    new_files.pop(str(bucket), None)
+                    continue
+                fname = f"s{bucket:05d}-v{target:06d}.parquet"
+                pq.write_table(
+                    merged.sort_by(
+                        [("band", "ascending"), ("key", "ascending"),
+                         ("url", "ascending")]
+                    ),
+                    os.path.join(index_dir, fname),
+                )
+                new_files[str(bucket)] = fname
+            mode, touched = "incremental", len(touched_buckets)
+
+    from ..state.store import LOCAL_STORE
+
+    LOCAL_STORE.put_atomic(
+        state_path,
+        json.dumps({
+            "lake_version": target, "key_col": key_col,
+            "num_bands": num_bands, "num_buckets": num_buckets,
+            "files": new_files,
+        }).encode("utf-8"),
+    )
+    live = set(new_files.values())
+    for fname in set(prev_files.values()) - live:
+        try:
+            os.remove(os.path.join(index_dir, fname))
+        except FileNotFoundError:
+            pass
+    return {
+        "refreshed": True, "mode": mode, "lake_version": target,
+        "buckets_touched": touched,
+    }
+
+
+def near_dup_clusters(
+    index_dir: str, *, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-duplicate clusters of the LIVE corpus from the maintained
+    index: (url, min_url) for every url in a cluster of >= 2. Per
+    bucket: dictionary-encode urls, run the exact pigeonhole Hamming
+    verify (signatures ride the index rows — no text access), decode
+    pairs; driver union-find over the verified pairs (bounded by the
+    dup rate, the dedup-family partitioning assumption). Budget-capped
+    buckets raise instead of silently losing recall."""
+    from ..functions.hashing import UnionFind
+    from ..stages.dedup import CAP_MARKER, simhash_verify_table
+
+    state_path = os.path.join(index_dir, SIMHASH_STATE)
+    if not os.path.exists(state_path):
+        raise FileNotFoundError(f"no simhash index at {index_dir}")
+    with open(state_path, "r", encoding="utf-8") as f:
+        state = json.load(f)
+    num_bands = int(state["num_bands"])
+    paths = [os.path.join(index_dir, f) for f in state["files"].values()]
+    out_schema = pa.schema([
+        ("url", pa.string()), ("min_url", pa.string()),
+    ])
+    if not paths:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def verify_bucket(batch: pa.Table) -> pa.Table:
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path)
+            urls = t.column("url").combine_chunks() if isinstance(
+                t.column("url"), pa.ChunkedArray) else t.column("url")
+            enc = pc.dictionary_encode(urls)
+            codes = enc.indices.cast(pa.int64())
+            vocab = enc.dictionary
+            pairs = simhash_verify_table(
+                pa.table({
+                    "band": t.column("band"), "key": t.column("key"),
+                    "doc_id": codes, "sig": t.column("sig"),
+                }),
+                max_hamming=max_hamming, num_bands=num_bands,
+            )
+            ia = pairs.column("id_a")
+            if len(ia) and pc.any(pc.equal(ia, CAP_MARKER)).as_py():
+                raise RuntimeError(
+                    f"simhash index bucket {path} tripped the verify "
+                    "work budget — raise _SIMHASH_GROUP_BUDGET"
+                )
+            out_a.extend(pc.take(vocab, ia).to_pylist())
+            out_b.extend(pc.take(vocab, pairs.column("id_b")).to_pylist())
+        return pa.table({"url_a": pa.array(out_a, pa.string()),
+                         "url_b": pa.array(out_b, pa.string())})
+
+    files_ds = ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, pa.string())})
+    )
+    pair_t = pa.concat_tables([
+        b for b in files_ds.map_batches(
+            verify_bucket, batch_format="pyarrow", batch_size=1
+        ).iter_batches(batch_format="pyarrow")
+    ]) if paths else None
+    uf = UnionFind()
+    for a, b in zip(
+        pair_t.column("url_a").to_pylist(), pair_t.column("url_b").to_pylist()
+    ):
+        uf.union(a, b)
+    rows_u: list[str] = []
+    rows_m: list[str] = []
+    for root, members in uf.groups().items():
+        if len(members) < 2:
+            continue
+        m = min(members)
+        for u in sorted(members):
+            rows_u.append(u)
+            rows_m.append(m)
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array(rows_u, pa.string()),
+        "min_url": pa.array(rows_m, pa.string()),
+    }))
+
+
 def index_pairs(index_dir: str) -> ray.data.Dataset:
     """The raw live (key, url) pair stream of the index (test surface
     for the convergence law: index pairs == snapshot projection)."""

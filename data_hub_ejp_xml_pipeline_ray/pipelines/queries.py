@@ -3823,6 +3823,44 @@ def q_cdc_dedup_index(sf_dir: str):
     return dup_groups(idx)
 
 
+def q_cdc_simhash_index(sf_dir: str):
+    """Incrementally-maintained SIMHASH near-dup index, DRIVER-ORACLE-
+    CHECKED: same colliding-text WAL as ``cdc_dedup_index``, half
+    ingested -> full band-index build, rest -> O(delta) refresh
+    (preimage signatures recomputed from the feed — deterministic, so
+    no signature store), then near-dup clusters verified exactly
+    in-bucket via the pigeonhole Hamming kernel WITHOUT any text
+    access. The 7 derived texts sit >= 7 Hamming apart (pinned by
+    ``test_dedup_index.py``), so with max_hamming=3 the clusters are
+    EXACTLY the identical-text groups — SQL-expressible, making this
+    probabilistic-family operator fully hash-checkable."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, run_ingest
+    from .dedup_index import near_dup_clusters, refresh_simhash_index
+
+    work = derived_cdc_workdir(sf_dir, "simhashidx")
+    shutil.rmtree(work, ignore_errors=True)
+    wal = os.path.join(work, "wal")
+    lake = os.path.join(work, "lake")
+    idx = os.path.join(work, "idx")
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), wal, n_segments=8,
+        text_mod=7,
+    )
+    run_ingest(CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=16,
+        segment_glob="segment-0000[0-3].parquet",
+    ))
+    refresh_simhash_index(lake, idx)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=16))
+    res = refresh_simhash_index(lake, idx)
+    if res["mode"] != "incremental":  # the claim under test
+        raise RuntimeError(f"expected incremental refresh, got {res}")
+    return near_dup_clusters(idx, max_hamming=3)
+
+
 def q_cdc_catalog(sf_dir: str):
     """Cross-table CATALOG flagship, DRIVER-ORACLE-CHECKED: ONE derived
     WAL feeds TWO member lakes — the page lake and the group-valued
@@ -7407,6 +7445,7 @@ QUERIES = {
     "cdc_entity_lake": q_cdc_entity_lake,
     "cdc_catalog": q_cdc_catalog,
     "cdc_dedup_index": q_cdc_dedup_index,
+    "cdc_simhash_index": q_cdc_simhash_index,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
@@ -8471,6 +8510,27 @@ ORACLE_SQL = {
         SELECT text AS key, CAST(count(*) AS BIGINT) AS n_urls,
                min(url) AS min_url
         FROM final GROUP BY text HAVING count(*) >= 2
+    """,
+    # SimHash index clusters: the 7 colliding texts are >= 7 Hamming
+    # apart, so max_hamming=3 clusters == identical-text groups — each
+    # live url in a >=2 group, tagged with its group's min url.
+    "cdc_simhash_index": """
+        WITH final AS (
+          SELECT url, text FROM (
+            SELECT 'https://u' || CAST(user_id AS VARCHAR)
+                     || '.example/page' AS url,
+                   'page rev ' || CAST(event_id % 7 AS VARCHAR) AS text,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                     AS rn
+            FROM events)
+          WHERE rn = 1 AND NOT is_del),
+        g AS (SELECT text, count(*) AS c, min(url) AS m
+              FROM final GROUP BY text)
+        SELECT f.url AS url, g.m AS min_url
+        FROM final f JOIN g USING (text)
+        WHERE g.c >= 2
     """,
     # Cross-table catalog: the pinned page state is the same window
     # LWW, and the pinned entity lake holds exactly the page/heading/

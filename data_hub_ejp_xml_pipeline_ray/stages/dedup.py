@@ -1219,6 +1219,104 @@ def _refine_hamming_pairs(
         shift += cw
 
 
+def simhash_verify_table(
+    t: pa.Table, *, max_hamming: int, num_bands: int,
+    id_col: str = "doc_id", budget: int | None = None,
+) -> pa.Table:
+    """Hamming-verify every (band, key) group of one HASH BUCKET of
+    band rows (columns band/key/<id_col>/sig) — the shared verify
+    kernel of :func:`simhash_dedup` and the incrementally-maintained
+    simhash index (``pipelines/dedup_index.py``): numpy group
+    boundaries, each multi-member group runs the exact pigeonhole
+    kernel on the free bits. Returns (id_a, id_b) verified pairs plus
+    LOUD CAP_MARKER rows if the work budget ever trips."""
+    band_width = 64 // num_bands
+    if "_bucket" in t.column_names:
+        t = t.drop_columns(["_bucket"])
+    band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    sig = t.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((doc, key, band))
+    band, key, doc, sig = band[order], key[order], doc[order], sig[order]
+    dup = np.zeros(len(doc), dtype=bool)
+    dup[1:] = (
+        (band[1:] == band[:-1]) & (key[1:] == key[:-1])
+        & (doc[1:] == doc[:-1])
+    )
+    band, key, doc, sig = band[~dup], key[~dup], doc[~dup], sig[~dup]
+    new_grp = np.ones(len(doc), dtype=bool)
+    new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], len(doc))
+    multi = (ends - starts) >= 2
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids, sg = doc[s:e], sig[s:e]
+        # compact the matched band chunk away: recurse on free bits
+        sh = int(band[s]) * band_width
+        if sh + band_width >= 64:
+            vals = sg & np.uint64((1 << sh) - 1)
+        else:
+            vals = (sg & np.uint64((1 << sh) - 1)) | (
+                (sg >> np.uint64(sh + band_width)) << np.uint64(sh)
+            )
+        state = {
+            "budget": _SIMHASH_GROUP_BUDGET if budget is None else budget,
+            "dropped": 0,
+        }
+        _refine_hamming_pairs(
+            ids, vals, 64 - band_width, max_hamming, out_a, out_b, state
+        )
+        if state["dropped"]:  # budget backstop: LOUD marker
+            out_a.append(CAP_MARKER)
+            out_b.append(state["dropped"])
+    a = np.asarray(out_a, dtype=np.int64)
+    b = np.asarray(out_b, dtype=np.int64)
+    mark = a == CAP_MARKER
+    if a.size and not mark.all():
+        # a pair can arrive from two pigeonhole chunks: dedupe here
+        uniq = np.unique(np.stack([a[~mark], b[~mark]], axis=1), axis=0)
+        a = np.concatenate([uniq[:, 0], a[mark]])
+        b = np.concatenate([uniq[:, 1], b[mark]])
+    return pa.table(
+        {"id_a": pa.array(a, pa.int64()),
+         "id_b": pa.array(b, pa.int64())}
+    )
+
+
+def simhash_band_table(
+    texts: pa.Array | pa.ChunkedArray, ids: np.ndarray, *, num_bands: int = 4
+) -> pa.Table:
+    """(band, key, sig) rows for a batch of texts with caller-supplied
+    int64 ids — the stateless core of :class:`SimHashSignatures`,
+    shared with the incremental simhash index (which carries urls and
+    dictionary-encodes them to ids per bucket)."""
+    sigs = simhash_batch(texts)
+    nb = num_bands
+    width = 64 // nb
+    mask = np.uint64((1 << width) - 1)
+    shifts = np.arange(nb, dtype=np.uint64) * np.uint64(width)
+    keys = ((sigs[:, None] >> shifts[None, :]) & mask) | (
+        np.arange(nb, dtype=np.uint64)[None, :] << np.uint64(width)
+    )
+    n = len(sigs)
+    return pa.table(
+        {
+            "band": pa.array(
+                np.tile(np.arange(nb, dtype=np.int32), n), type=pa.int32()
+            ),
+            "key": pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
+            "row_idx": pa.array(
+                ids[np.repeat(np.arange(n), nb)], type=pa.int64()
+            ),
+            # two's-complement reinterpret: lossless uint64 -> int64
+            "sig": pa.array(np.repeat(sigs.view(np.int64), nb), type=pa.int64()),
+        }
+    )
+
+
 class SimHashSignatures:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_bands: int = 4):
@@ -1228,33 +1326,13 @@ class SimHashSignatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # whole-batch vectorized kernel, BIT-EXACT with scalar simhash()
-        # (each distinct token blake2b-hashed once per batch)
-        sigs = simhash_batch(batch.column(self.text_col))
+        # (each distinct token blake2b-hashed once per batch); key
+        # layout matches simhash_band_keys: chunk | (band << width)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        nb = self.num_bands
-        width = 64 // nb
-        mask = np.uint64((1 << width) - 1)
-        shifts = (np.arange(nb, dtype=np.uint64) * np.uint64(width))
-        # same key layout as simhash_band_keys: chunk | (band << width)
-        keys = ((sigs[:, None] >> shifts[None, :]) & mask) | (
-            np.arange(nb, dtype=np.uint64)[None, :] << np.uint64(width)
+        t = simhash_band_table(
+            batch.column(self.text_col), ids, num_bands=self.num_bands
         )
-        n = len(sigs)
-        return pa.table(
-            {
-                "band": pa.array(
-                    np.tile(np.arange(nb, dtype=np.int32), n), type=pa.int32()
-                ),
-                "key": pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
-                "doc_id": pa.array(
-                    ids[np.repeat(np.arange(n), nb)], type=pa.int64()
-                ),
-                # two's-complement reinterpret: lossless uint64 -> int64
-                "sig": pa.array(
-                    np.repeat(sigs.view(np.int64), nb), type=pa.int64()
-                ),
-            }
-        )
+        return t.rename_columns(["band", "key", "doc_id", "sig"])
 
 
 def simhash_dedup(
@@ -1287,63 +1365,14 @@ def simhash_dedup(
         concurrency=_cap_pool(concurrency),
         num_cpus=1,
     )
-    band_width = 64 // num_bands
+    # the closure pickles BY VALUE (budget global captured at submit
+    # time), so tests can shrink the budget via monkeypatch
+    budget = _SIMHASH_GROUP_BUDGET
 
     def verify_bulk(group: pa.Table) -> pa.Table:
-        """Hamming-verify all (band, key) groups inside one HASH BUCKET
-        — same bucketed shape as ``_bucket_pairs_bulk`` (no Python call
-        per LSH bucket): numpy group boundaries; each multi-member
-        group runs the exact pigeonhole kernel on the 48 free bits."""
-        t = group
-        if "_bucket" in t.column_names:
-            t = t.drop_columns(["_bucket"])
-        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = t.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((doc, key, band))
-        band, key, doc, sig = band[order], key[order], doc[order], sig[order]
-        dup = np.zeros(len(doc), dtype=bool)
-        dup[1:] = (
-            (band[1:] == band[:-1]) & (key[1:] == key[:-1])
-            & (doc[1:] == doc[:-1])
-        )
-        band, key, doc, sig = band[~dup], key[~dup], doc[~dup], sig[~dup]
-        new_grp = np.ones(len(doc), dtype=bool)
-        new_grp[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-        starts = np.flatnonzero(new_grp)
-        ends = np.append(starts[1:], len(doc))
-        multi = (ends - starts) >= 2
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for s, e in zip(starts[multi], ends[multi]):
-            ids, sg = doc[s:e], sig[s:e]
-            # compact the matched band chunk away: recurse on free bits
-            sh = int(band[s]) * band_width
-            if sh + band_width >= 64:
-                vals = sg & np.uint64((1 << sh) - 1)
-            else:
-                vals = (sg & np.uint64((1 << sh) - 1)) | (
-                    (sg >> np.uint64(sh + band_width)) << np.uint64(sh)
-                )
-            state = {"budget": _SIMHASH_GROUP_BUDGET, "dropped": 0}
-            _refine_hamming_pairs(
-                ids, vals, 64 - band_width, max_hamming, out_a, out_b, state
-            )
-            if state["dropped"]:  # budget backstop: LOUD marker
-                out_a.append(CAP_MARKER)
-                out_b.append(state["dropped"])
-        a = np.asarray(out_a, dtype=np.int64)
-        b = np.asarray(out_b, dtype=np.int64)
-        mark = a == CAP_MARKER
-        if a.size and not mark.all():
-            # a pair can arrive from two pigeonhole chunks: dedupe here
-            uniq = np.unique(np.stack([a[~mark], b[~mark]], axis=1), axis=0)
-            a = np.concatenate([uniq[:, 0], a[mark]])
-            b = np.concatenate([uniq[:, 1], b[mark]])
-        return pa.table(
-            {"id_a": pa.array(a, pa.int64()),
-             "id_b": pa.array(b, pa.int64())}
+        return simhash_verify_table(
+            group, max_hamming=max_hamming, num_bands=num_bands,
+            budget=budget,
         )
 
     raw = _hash_bucketed_sigs(sigs).groupby("_bucket").map_groups(

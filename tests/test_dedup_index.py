@@ -153,6 +153,88 @@ def test_colliding_texts_form_dup_groups(tmp_path):
     assert want  # the mod derivation must actually produce duplicates
 
 
+def _clusters(index_dir, max_hamming=3):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        near_dup_clusters,
+    )
+
+    t = pa.concat_tables(list(
+        near_dup_clusters(index_dir, max_hamming=max_hamming)
+        .iter_batches(batch_format="pyarrow")
+    ))
+    return sorted(
+        zip(t.column("url").to_pylist(), t.column("min_url").to_pylist())
+    )
+
+
+def test_simhash_index_incremental_matches_rebuild_and_brute_force(
+    lake, tmp_path
+):
+    """Maintained band index == fresh rebuild == brute-force Hamming
+    components over the snapshot (banding is EXACT for hamming <
+    num_bands, so no recall slack in the law)."""
+    from data_hub_ejp_xml_pipeline_ray.functions.hashing import (
+        hamming64,
+        simhash,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        refresh_simhash_index,
+    )
+
+    idx = str(tmp_path / "sidx")
+    r1 = refresh_simhash_index(lake.lake_dir, idx, at_version=1)
+    assert r1["mode"] == "full"
+    r2 = refresh_simhash_index(lake.lake_dir, idx)
+    assert r2["mode"] == "incremental" and r2["lake_version"] == 3
+    fresh = str(tmp_path / "sidx_full")
+    refresh_simhash_index(lake.lake_dir, fresh)
+    got = _clusters(idx)
+    assert got == _clusters(fresh)
+    # brute force over the snapshot
+    snap_pairs = _snapshot_pairs(lake.lake_dir)
+    sigs = {u: simhash(k) for k, u in snap_pairs}
+    urls = sorted(sigs)
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(urls):
+        for b in urls[i + 1:]:
+            if hamming64(sigs[a], sigs[b]) <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+    groups = {}
+    for u in urls:
+        groups.setdefault(find(u), []).append(u)
+    want = sorted(
+        (u, min(us)) for us in groups.values() if len(us) >= 2 for u in us
+    )
+    assert got == want
+
+
+def test_simhash_index_collision_texts_pinned_apart():
+    """The oracle soundness pin: the 7 ``text_mod=7`` derived texts
+    must sit strictly further than max_hamming=3 apart, so the SQL
+    oracle (identical-text groups) is exact. Guards simhash kernel
+    changes."""
+    import itertools
+
+    from data_hub_ejp_xml_pipeline_ray.functions.hashing import (
+        hamming64,
+        simhash,
+    )
+
+    sigs = [simhash(f"page rev {k}") for k in range(7)]
+    assert min(
+        hamming64(a, b) for a, b in itertools.combinations(sigs, 2)
+    ) > 3
+
+
 def test_missing_key_column_raises(lake, tmp_path):
     from data_hub_ejp_xml_pipeline_ray.pipelines.ddl import alter_lake
 
