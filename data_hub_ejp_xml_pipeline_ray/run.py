@@ -393,6 +393,18 @@ def main(argv: list[str] | None = None) -> int:
                     metavar="COL", help="column to index (repeatable; "
                     "omit to refresh the stored column list)")
     sp = sub.add_parser(
+        "dedup-index",
+        help="build / incrementally refresh the maintained exact-dedup "
+             "index from the change feed, then print duplicate-group "
+             "stats (O(changed rows) after the first build)")
+    add_common(sp, lake_only=True)
+    sp.add_argument("--index-dir", required=True)
+    sp.add_argument("--key-col", default="text")
+    sp.add_argument("--simhash", action="store_true",
+                    help="maintain the SimHash band index (near-dup "
+                    "clusters) instead of the exact key index")
+    sp.add_argument("--max-hamming", type=int, default=3)
+    sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
                      "metadata only, no data read")
@@ -839,6 +851,30 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(build_bloom_index(
                 args.lake_dir, args.cols or None
             )))
+        elif args.cmd == "dedup-index":
+            if args.simhash:
+                from .pipelines.dedup_index import (
+                    near_dup_clusters,
+                    refresh_simhash_index,
+                )
+
+                res = refresh_simhash_index(
+                    args.lake_dir, args.index_dir, key_col=args.key_col
+                )
+                res["cluster_rows"] = near_dup_clusters(
+                    args.index_dir, max_hamming=args.max_hamming
+                ).count()
+            else:
+                from .pipelines.dedup_index import (
+                    dup_groups,
+                    refresh_dedup_index,
+                )
+
+                res = refresh_dedup_index(
+                    args.lake_dir, args.index_dir, key_col=args.key_col
+                )
+                res["dup_groups"] = dup_groups(args.index_dir).count()
+            print(json.dumps(res))
         elif args.cmd == "delete-where":
             from .pipelines.dml import delete_where
 

@@ -380,3 +380,24 @@ def test_cli_branch_publish(tmp_path):
     s2 = _run(["show", "--lake-dir", lake])
     assert s2["version"] == 2 and s2["watermark"] == p["watermark"]
     assert _run(["branch", "--lake-dir", lake])["branches"] == []
+
+
+def test_cli_dedup_index(tmp_path):
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "idx")
+    sidx = str(tmp_path / "sidx")
+    generate_wal(wal, seed=9, n_urls=20, n_events=200, n_segments=4)
+    _run(["ingest", "--wal-dir", wal, "--lake-dir", lake,
+          "--num-partitions", "4", "--max-segments-per-batch", "2",
+          "--num-cpus", "4"])
+    r = _run(["dedup-index", "--lake-dir", lake, "--index-dir", idx,
+              "--num-cpus", "4"])
+    assert r["mode"] == "full" and "dup_groups" in r
+    # second run with no new commits: noop, groups still reported
+    r2 = _run(["dedup-index", "--lake-dir", lake, "--index-dir", idx,
+               "--num-cpus", "4"])
+    assert r2["mode"] == "noop" and r2["dup_groups"] == r["dup_groups"]
+    s = _run(["dedup-index", "--lake-dir", lake, "--index-dir", sidx,
+              "--simhash", "--num-cpus", "4"])
+    assert s["mode"] == "full" and "cluster_rows" in s
