@@ -217,6 +217,28 @@ def test_simhash_index_incremental_matches_rebuild_and_brute_force(
     assert got == want
 
 
+def test_simhash_index_survives_compaction_and_vacuum(lake, tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        refresh_simhash_index,
+    )
+
+    idx = str(tmp_path / "sidx")
+    refresh_simhash_index(lake.lake_dir, idx, at_version=2)
+    compact_lake(lake.lake_dir)  # drops tombstones, commits a version
+    r = refresh_simhash_index(lake.lake_dir, idx)
+    assert r["refreshed"]
+    fresh = str(tmp_path / "sidx_full")
+    refresh_simhash_index(lake.lake_dir, fresh)
+    assert _clusters(idx) == _clusters(fresh)
+    # vacuumed base version -> full rebuild, same clusters
+    stale = str(tmp_path / "sidx_stale")
+    refresh_simhash_index(lake.lake_dir, stale, at_version=2)
+    vacuum(lake.lake_dir, keep=1)
+    r2 = refresh_simhash_index(lake.lake_dir, stale)
+    assert r2["mode"] == "full"
+    assert _clusters(stale) == _clusters(idx)
+
+
 def test_simhash_index_collision_texts_pinned_apart():
     """The oracle soundness pin: the 7 ``text_mod=7`` derived texts
     must sit strictly further than max_hamming=3 apart, so the SQL
