@@ -626,11 +626,22 @@ def near_dup_clusters(
     files_ds = ray.data.from_arrow(
         pa.table({"path": pa.array(paths, pa.string())})
     )
-    pair_t = pa.concat_tables([
-        b for b in files_ds.map_batches(
-            verify_bucket, batch_format="pyarrow", batch_size=1
-        ).iter_batches(batch_format="pyarrow")
-    ]) if paths else None
+    pairs_ds = files_ds.map_batches(
+        verify_bucket, batch_format="pyarrow", batch_size=1
+    ).materialize()
+    from ..stages import dedup as _dedup
+
+    n_pairs = pairs_ds.count()
+    if n_pairs >= _dedup.PAIR_DRIVER_THRESHOLD:
+        # scale path: verified pairs stay a Dataset — distributed
+        # min-label clustering over 64-bit url hashes (collision-checked
+        # loud), then two bucketed co-groups to decode and tag each
+        # member with its cluster's min url. The driver never holds the
+        # pair list.
+        return _clusters_dataset_native(pairs_ds)
+    pair_t = pa.concat_tables(
+        list(pairs_ds.iter_batches(batch_format="pyarrow"))
+    )
     uf = UnionFind()
     for a, b in zip(
         pair_t.column("url_a").to_pylist(), pair_t.column("url_b").to_pylist()
@@ -649,6 +660,112 @@ def near_dup_clusters(
         "url": pa.array(rows_u, pa.string()),
         "min_url": pa.array(rows_m, pa.string()),
     }))
+
+
+def _hash64_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """blake2b-8 of each string, >>1 to stay in int64 (the
+    ``_content_hash_batch`` idiom) — node ids for the distributed
+    clustering tail. Pair-stream-bounded, never corpus-bounded."""
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.to_pylist()
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
+                "little", signed=False,
+            ) >> 1
+            for v in vals
+        ),
+        dtype=np.int64, count=len(vals),
+    )
+
+
+def _clusters_dataset_native(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, min_url) clusters from a verified url-pair Dataset without
+    collecting pairs on the driver: encode urls to 64-bit hashes, run
+    ``minlabel_components`` over the int pairs, then co-group
+    (node -> url) with (node -> label) and (label -> members) — two
+    bucketed exchanges over PAIR-participant rows only. A hash
+    collision (two urls, one node id) would silently merge clusters,
+    so the decode group RAISES if a node maps to two urls."""
+    from ..stages.dedup import minlabel_components
+
+    def encode_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(_hash64_strings(t.column("url_a"))),
+            "id_b": pa.array(_hash64_strings(t.column("url_b"))),
+        })
+
+    def node_urls(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            _hash64_strings(t.column("url_a")),
+            _hash64_strings(t.column("url_b")),
+        ])
+        urls = pa.concat_arrays([
+            t.column("url_a").combine_chunks() if isinstance(
+                t.column("url_a"), pa.ChunkedArray) else t.column("url_a"),
+            t.column("url_b").combine_chunks() if isinstance(
+                t.column("url_b"), pa.ChunkedArray) else t.column("url_b"),
+        ])
+        out = pa.table({"node": pa.array(nodes), "url": urls})
+        # per-batch combiner: one (node, url) row per node
+        return out.group_by("node").aggregate([("url", "min")]).rename_columns(
+            ["node", "url"]
+        )
+
+    labels = minlabel_components(
+        pairs_ds.map_batches(encode_pairs, batch_format="pyarrow")
+    )
+    mapping = pairs_ds.map_batches(node_urls, batch_format="pyarrow")
+
+    def decode(group: pa.Table) -> pa.Table:
+        # rows: mapping (url set) + label rows for ONE node
+        urls = {u for u in group.column("url").to_pylist() if u is not None}
+        if len(urls) > 1:
+            raise RuntimeError(
+                f"64-bit url-hash collision across {sorted(urls)[:2]} — "
+                "near-dup clustering cannot proceed safely"
+            )
+        lab = [x for x in group.column("label").to_pylist() if x is not None]
+        if not urls or not lab:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string())})
+        return pa.table({"label": pa.array([lab[0]], pa.int64()),
+                         "url": pa.array([next(iter(urls))], pa.string())})
+
+    tagged = (
+        labels.map_batches(
+            lambda t: t.append_column("url", pa.array([None] * t.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+        .union(
+            mapping.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "label": pa.array([None] * t.num_rows, pa.int64()),
+                    "url": t.column("url"),
+                }),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("node")
+        .map_groups(decode, batch_format="pyarrow")
+    )
+
+    def emit_members(group: pa.Table) -> pa.Table:
+        urls = sorted(group.column("url").to_pylist())
+        m = urls[0]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "min_url": pa.array([m] * len(urls), pa.string()),
+        })
+
+    return tagged.groupby("label").map_groups(
+        emit_members, batch_format="pyarrow"
+    )
 
 
 def index_pairs(index_dir: str) -> ray.data.Dataset:

@@ -239,6 +239,23 @@ def test_simhash_index_survives_compaction_and_vacuum(lake, tmp_path):
     assert _clusters(stale) == _clusters(idx)
 
 
+def test_simhash_clusters_dataset_native_matches_driver(lake, tmp_path, monkeypatch):
+    """Forcing the Dataset-native clustering tail (pairs NEVER collect
+    on the driver) must reproduce the driver union-find exactly."""
+    import data_hub_ejp_xml_pipeline_ray.stages.dedup as dd
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        refresh_simhash_index,
+    )
+
+    idx = str(tmp_path / "sidx")
+    refresh_simhash_index(lake.lake_dir, idx)
+    driver = _clusters(idx)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_THRESHOLD", 0)
+    native = _clusters(idx)
+    assert native == driver
+    assert driver  # the law is vacuous on an empty cluster set
+
+
 def test_simhash_index_collision_texts_pinned_apart():
     """The oracle soundness pin: the 7 ``text_mod=7`` derived texts
     must sit strictly further than max_hamming=3 apart, so the SQL
