@@ -116,6 +116,7 @@ def create_branch(
             num_partitions=m.num_partitions,
             version=1,
             watermark=m.watermark,
+            source_watermarks=dict(m.source_watermarks),
             schema=m.schema,
             partitions=parts,
             partition_meta={k: dict(v) for k, v in m.partition_meta.items()},
@@ -300,6 +301,7 @@ def publish_branch(
             num_partitions=branch.num_partitions,
             version=parent.version + 1,
             watermark=branch.watermark,
+            source_watermarks=dict(branch.source_watermarks),
             schema=branch.schema,
             partitions=parts,
             partition_meta={
@@ -488,6 +490,7 @@ def merge_branch(
             num_partitions=parent.num_partitions,
             version=parent.version + 1,
             watermark=watermark,
+            source_watermarks=dict(parent.source_watermarks),
             schema=schema,
             partitions=partitions,
             partition_meta=partition_meta,

@@ -126,6 +126,15 @@ class CdcConfig:
     #: below this bound, and ungrouped above it so one straggler
     #: partition can't serialize its group.
     small_batch_events: int = 400_000
+    #: Multi-WAL fan-in: a stable name for THIS config's WAL among
+    #: several feeding the same lake (shards, regions, independent
+    #: producers). Each named source advances its own strictly-greater
+    #: watermark (``manifest.source_watermarks``) atomically with the
+    #: commit — N sources merge under the same exactly-once rules, and
+    #: LWW by (warc_ts, seq) arbitrates across sources exactly as it
+    #: does across segments. ``None`` = the classic single-WAL tailer
+    #: (global ``manifest.watermark``).
+    source: str | None = None
 
 
 @dataclass
@@ -215,8 +224,12 @@ def _ingest_one_batch(
     t0 = _time.perf_counter()
     spill_cls = spill_cls or ExtractCombineSpill
     lake_schema_fn = lake_schema_fn or lake_schema_from_wire
+    effective_wm = (
+        manifest.source_watermarks.get(cfg.source)
+        if cfg.source else manifest.watermark
+    )
     token = batch_token(
-        manifest.watermark, [s.name for s in segments], manifest.version
+        effective_wm, [s.name for s in segments], manifest.version
     )
     wire = wal_source.unified_wire_schema(segments)
     # DDL projection BEFORE the union: wire columns arriving under a
@@ -426,11 +439,17 @@ def _ingest_one_batch(
         version=manifest.version + 1,
         # a redrive replays synthetic segments and must NOT advance the
         # tailer watermark past real WAL names (watermark_override
-        # pins it to the pre-redrive value)
+        # pins it to the pre-redrive value); a NAMED source advances
+        # only its own cursor, never the global tailer
         watermark=(
             watermark_override if watermark_override is not None
+            else manifest.watermark if cfg.source
             else segments[-1].name
         ),
+        source_watermarks={
+            **manifest.source_watermarks,
+            **({cfg.source: segments[-1].name} if cfg.source else {}),
+        },
         schema=new_lake_schema,
         partitions=new_partitions,
         partition_meta=new_meta,
@@ -459,6 +478,7 @@ def _ingest_one_batch(
                     str(int(r["part"])): int(r["rows"]) for r in stats
                 },
                 **({"merge_mode": "mor"} if cfg.merge_mode == "mor" else {}),
+                **({"source": cfg.source} if cfg.source else {}),
                 **(lineage_extra or {}),
             }
         ],
@@ -531,8 +551,12 @@ def run_ingest(
             f"lake {cfg.lake_dir} is kind={manifest.kind!r}; this ingest "
             f"writes kind={kind!r} rows — point it at its own lake dir"
         )
+    tail_wm = (
+        manifest.source_watermarks.get(cfg.source)
+        if cfg.source else manifest.watermark
+    )
     segments = wal_source.segments_after(
-        wal_source.list_segments(cfg.wal_dir, cfg.segment_glob), manifest.watermark
+        wal_source.list_segments(cfg.wal_dir, cfg.segment_glob), tail_wm
     )
     report = IngestReport(
         final_version=manifest.version, watermark=manifest.watermark

@@ -188,6 +188,7 @@ def alter_lake(
             num_partitions=manifest.num_partitions,
             version=manifest.version + 1,
             watermark=manifest.watermark,
+            source_watermarks=dict(manifest.source_watermarks),
             schema=pa.schema(fields),
             partitions=dict(manifest.partitions),
             partition_meta={

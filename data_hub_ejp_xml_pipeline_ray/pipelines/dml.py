@@ -303,6 +303,7 @@ def _dml_commit(
             num_partitions=manifest.num_partitions,
             version=manifest.version + 1,
             watermark=manifest.watermark,  # DML never moves the tailer
+            source_watermarks=dict(manifest.source_watermarks),
             schema=schema,
             partitions=dict(manifest.partitions),
             partition_meta=new_meta,

@@ -165,6 +165,7 @@ def clone_lake(
         num_partitions=m.num_partitions,
         version=1,
         watermark=m.watermark,
+        source_watermarks=dict(m.source_watermarks),
         schema=m.schema,
         partitions=dict(m.partitions),
         partition_meta={k: dict(v) for k, v in m.partition_meta.items()},
@@ -226,6 +227,7 @@ def restore_lake(lake_dir: str, version: int) -> dict:
             num_partitions=old.num_partitions,
             version=cur.version + 1,
             watermark=old.watermark,
+        source_watermarks=dict(old.source_watermarks),
             schema=old.schema,
             partitions=dict(old.partitions),
             partition_meta={k: dict(v) for k, v in old.partition_meta.items()},
@@ -500,6 +502,7 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
             num_partitions=head.num_partitions,
             version=cur.version + 1,
             watermark=head.watermark,
+            source_watermarks=dict(head.source_watermarks),
             schema=head.schema,
             partitions=dict(head.partitions),
             partition_meta={k: dict(v) for k, v in head.partition_meta.items()},
@@ -565,6 +568,7 @@ def rewind_watermark(lake_dir: str, to: str | None = None) -> dict:
             num_partitions=manifest.num_partitions,
             version=manifest.version + 1,
             watermark=to,
+            source_watermarks=dict(manifest.source_watermarks),
             schema=manifest.schema,
             partitions=dict(manifest.partitions),
             partition_meta=dict(manifest.partition_meta),
@@ -740,6 +744,7 @@ def _compact_locked(lake_dir: str, lock_token: str) -> dict:
         num_partitions=manifest.num_partitions,
         version=manifest.version + 1,
         watermark=manifest.watermark,
+        source_watermarks=dict(manifest.source_watermarks),
         schema=manifest.schema,
         partitions=new_partitions,
         partition_meta=new_meta,
@@ -804,6 +809,7 @@ def compact_deltas(lake_dir: str) -> dict:
             num_partitions=manifest.num_partitions,
             version=manifest.version + 1,
             watermark=manifest.watermark,
+            source_watermarks=dict(manifest.source_watermarks),
             schema=manifest.schema,
             partitions=new_partitions,
             partition_meta=new_meta,
@@ -922,6 +928,7 @@ def split_partition(lake_dir: str, part: int) -> dict:
             num_partitions=current.num_partitions,
             version=current.version + 1,
             watermark=current.watermark,
+            source_watermarks=dict(current.source_watermarks),
             schema=current.schema,
             partitions=new_partitions,
             partition_meta=new_meta,
@@ -1122,6 +1129,7 @@ def cluster_lake(
             num_partitions=manifest.num_partitions,
             version=manifest.version + 1,
             watermark=manifest.watermark,
+            source_watermarks=dict(manifest.source_watermarks),
             schema=manifest.schema,
             partitions=new_partitions,
             partition_meta=new_meta,

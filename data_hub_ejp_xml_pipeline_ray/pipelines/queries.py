@@ -3861,6 +3861,65 @@ def q_cdc_simhash_index(sf_dir: str):
     return near_dup_clusters(idx, max_hamming=3)
 
 
+def q_cdc_multi_source(sf_dir: str):
+    """Multi-WAL FAN-IN ingest, DRIVER-ORACLE-CHECKED: the events
+    stream is split by event-id parity into TWO independent WALs
+    (shards/regions/producers), interleave-ingested into ONE lake under
+    per-source strictly-greater watermarks (``CdcConfig.source``;
+    ``manifest.source_watermarks`` advances atomically with each
+    commit). LWW by (warc_ts, seq) arbitrates across sources exactly as
+    across segments, so the final state must hash-equal the SAME
+    window-LWW SQL oracle as ``cdc_lake_state`` — fan-in invents and
+    loses nothing."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+
+    work = derived_cdc_workdir(sf_dir, "multisrc")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    ev = _pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    parity = pc.bit_wise_and(ev.column("event_id"), 1)
+    _pq.write_table(
+        ev.filter(pc.equal(parity, 0)), os.path.join(work, "ev_a.parquet")
+    )
+    _pq.write_table(
+        ev.filter(pc.equal(parity, 1)), os.path.join(work, "ev_b.parquet")
+    )
+    derive_wal_from_events(
+        os.path.join(work, "ev_a.parquet"), os.path.join(work, "wal_a"),
+        n_segments=4,
+    )
+    derive_wal_from_events(
+        os.path.join(work, "ev_b.parquet"), os.path.join(work, "wal_b"),
+        n_segments=4,
+    )
+    lake = os.path.join(work, "lake")
+    half = "segment-0000[0-1].parquet"
+
+    def cfg(src: str, **kw) -> CdcConfig:
+        return CdcConfig(
+            wal_dir=os.path.join(work, f"wal_{src}"), lake_dir=lake,
+            num_partitions=16, source=src, **kw,
+        )
+
+    # interleaved: a-half, b-half, a-rest, b-rest — four commits, two
+    # independent cursors
+    run_ingest(cfg("a", segment_glob=half))
+    run_ingest(cfg("b", segment_glob=half))
+    run_ingest(cfg("a"))
+    run_ingest(cfg("b"))
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
 def q_cdc_catalog(sf_dir: str):
     """Cross-table CATALOG flagship, DRIVER-ORACLE-CHECKED: ONE derived
     WAL feeds TWO member lakes — the page lake and the group-valued
@@ -7446,6 +7505,7 @@ QUERIES = {
     "cdc_catalog": q_cdc_catalog,
     "cdc_dedup_index": q_cdc_dedup_index,
     "cdc_simhash_index": q_cdc_simhash_index,
+    "cdc_multi_source": q_cdc_multi_source,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
@@ -8531,6 +8591,22 @@ ORACLE_SQL = {
         SELECT f.url AS url, g.m AS min_url
         FROM final f JOIN g USING (text)
         WHERE g.c >= 2
+    """,
+    # Multi-WAL fan-in: two parity-sharded WALs interleave-ingested
+    # under per-source watermarks must land on the SAME window-LWW
+    # state as one WAL over all events — the cdc_lake_state SQL.
+    "cdc_multi_source": """
+        SELECT url, warc_ts, seq, text, lang FROM (
+          SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example/page' AS url,
+                 ts AS warc_ts, event_id AS seq,
+                 'page u' || CAST(user_id AS VARCHAR) || ' rev '
+                   || CAST(event_id AS VARCHAR) AS text,
+                 event_type AS lang,
+                 (event_type = 'error') AS is_del,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND NOT is_del
     """,
     # Cross-table catalog: the pinned page state is the same window
     # LWW, and the pinned entity lake holds exactly the page/heading/

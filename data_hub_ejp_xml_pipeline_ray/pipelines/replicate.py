@@ -248,6 +248,9 @@ def sync_replica(
         num_partitions=num_p,
         version=version,
         watermark=rm.watermark if rm is not None else None,
+        source_watermarks=(
+            dict(rm.source_watermarks) if rm is not None else {}
+        ),
         schema=schema,
         partitions=new_partitions,
         partition_meta=new_meta,

@@ -75,6 +75,8 @@ def _cfg_from_args(args) -> "CdcConfig":
         extra["constraints"] = [_parse_constraint(c) for c in args.constraint]
     if getattr(args, "merge_mode", None):
         extra["merge_mode"] = args.merge_mode
+    if getattr(args, "source", None):
+        extra["source"] = args.source
     return CdcConfig(
         wal_dir=args.wal_dir,
         lake_dir=args.lake_dir,
@@ -100,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--exclude", default=None,
                             help="url exclusion regex")
             sp.add_argument("--max-segments-per-batch", type=int, default=64)
+            sp.add_argument("--source", default=None,
+                            help="named WAL source for multi-WAL fan-in: "
+                                 "advances its own per-source watermark "
+                                 "instead of the global tailer cursor")
             sp.add_argument("--segment-glob", default=None,
                             help="WAL segment glob (default segment-*.parquet; "
                                  "use segment-*.jsonl for a JSONL wire WAL, "

@@ -63,6 +63,15 @@ class LakeManifest:
     num_partitions: int
     version: int = 0
     watermark: str | None = None  # last committed segment name (strictly-greater filter)
+    #: per-SOURCE tailer watermarks for multi-WAL fan-in ingest
+    #: (``CdcConfig.source``): each named source advances its own
+    #: strictly-greater cursor atomically with the commit, so N
+    #: independent WALs (shards, regions, producers) merge into one
+    #: lake under the same exactly-once rules. The global ``watermark``
+    #: tracks only the UNNAMED (default) source. Empty for
+    #: single-source lakes — omitted from the JSON so their snapshots
+    #: stay byte-stable.
+    source_watermarks: dict[str, str] = field(default_factory=dict)
     schema: pa.Schema | None = None
     partitions: dict[int, str] = field(default_factory=dict)  # part -> relpath
     #: per-partition stats: {part: {"rows": n, "tombstones": n,
@@ -152,6 +161,8 @@ class LakeManifest:
             "num_partitions": self.num_partitions,
             "version": self.version,
             "watermark": self.watermark,
+            **({"source_watermarks": dict(self.source_watermarks)}
+               if self.source_watermarks else {}),
             "schema": None if self.schema is None else schema_to_json(self.schema),
             "partitions": {str(k): v for k, v in self.partitions.items()},
             "partition_meta": {str(k): v for k, v in self.partition_meta.items()},
@@ -176,6 +187,7 @@ class LakeManifest:
             num_partitions=doc["num_partitions"],
             version=doc["version"],
             watermark=doc["watermark"],
+            source_watermarks=dict(doc.get("source_watermarks", {})),
             schema=None if doc["schema"] is None else schema_from_json(doc["schema"]),
             partitions={int(k): v for k, v in doc["partitions"].items()},
             partition_meta={

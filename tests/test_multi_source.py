@@ -1,0 +1,114 @@
+"""Multi-WAL fan-in ingest (`CdcConfig.source`): N independent WALs
+merge into one lake under per-source strictly-greater watermarks, and
+the result must equal a single-WAL replay of the union."""
+import os
+
+import pytest
+
+from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+    CdcConfig,
+    lake_snapshot,
+    run_ingest,
+)
+from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+
+@pytest.fixture()
+def two_wals(tmp_path):
+    """Two WALs over OVERLAPPING urls (same seed/url universe,
+    different events) — the LWW-across-sources stress."""
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal_a"), seed=61, n_urls=40,
+                 n_events=400, n_segments=4, delete_fraction=0.1)
+    generate_wal(os.path.join(tmp, "wal_b"), seed=62, n_urls=40,
+                 n_events=400, n_segments=4, delete_fraction=0.1)
+    return tmp
+
+
+def _cfg(tmp, src, lake="lake", **kw):
+    return CdcConfig(
+        wal_dir=os.path.join(tmp, f"wal_{src}"),
+        lake_dir=os.path.join(tmp, lake),
+        num_partitions=8, extract_concurrency=2, source=src, **kw,
+    )
+
+
+def test_interleaved_sources_converge_and_cursors_are_independent(
+    two_wals,
+):
+    tmp = two_wals
+    half = "segment-0000[0-1].parquet"
+    assert run_ingest(_cfg(tmp, "a", segment_glob=half)).commits == 1
+    assert run_ingest(_cfg(tmp, "b", segment_glob=half)).commits == 1
+    m = load_manifest(os.path.join(tmp, "lake"))
+    assert m.source_watermarks == {
+        "a": "segment-00001.parquet", "b": "segment-00001.parquet"
+    }
+    assert m.watermark is None  # named sources never move the global
+    # source a advances; b's cursor must not
+    assert run_ingest(_cfg(tmp, "a")).commits == 1
+    m = load_manifest(os.path.join(tmp, "lake"))
+    assert m.source_watermarks["a"] == "segment-00003.parquet"
+    assert m.source_watermarks["b"] == "segment-00001.parquet"
+    assert run_ingest(_cfg(tmp, "b")).commits == 1
+    # idempotent per source
+    assert run_ingest(_cfg(tmp, "a")).commits == 0
+    assert run_ingest(_cfg(tmp, "b")).commits == 0
+    # reference: each WAL ingested alone into its own lake, then the
+    # union replayed — LWW across sources == LWW across segments
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(tmp, "wal_a"),
+        lake_dir=os.path.join(tmp, "lake_ref"),
+        num_partitions=8, extract_concurrency=2,
+        segment_glob="segment-*.parquet",
+    ))
+    # second WAL replays into the same reference lake via a named
+    # source (global watermark already past wal_b's names otherwise)
+    run_ingest(_cfg(tmp, "b", lake="lake_ref"))
+    cols = ["url", "warc_ts", "seq", "text", "lang"]
+    a = lake_snapshot(os.path.join(tmp, "lake")).select(cols).sort_by(
+        [("url", "ascending")]
+    )
+    b = lake_snapshot(os.path.join(tmp, "lake_ref")).select(cols).sort_by(
+        [("url", "ascending")]
+    )
+    assert a.equals(b)
+
+
+def test_source_watermarks_survive_maintenance(two_wals):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.ddl import alter_lake
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        compact_lake,
+    )
+
+    tmp = two_wals
+    run_ingest(_cfg(tmp, "a"))
+    run_ingest(_cfg(tmp, "b"))
+    lake = os.path.join(tmp, "lake")
+    before = load_manifest(lake).source_watermarks
+    assert set(before) == {"a", "b"}
+    compact_lake(lake)
+    assert load_manifest(lake).source_watermarks == before
+    alter_lake(lake, add={"quality": "float64"})
+    assert load_manifest(lake).source_watermarks == before
+    # cursors still honored after maintenance commits: no re-ingest
+    assert run_ingest(_cfg(tmp, "a")).commits == 0
+
+
+def test_mixed_named_and_default_source(two_wals):
+    """A default (unnamed) tailer and a named source coexist: each
+    advances its own cursor."""
+    tmp = two_wals
+    cfg_default = CdcConfig(
+        wal_dir=os.path.join(tmp, "wal_a"),
+        lake_dir=os.path.join(tmp, "lake"),
+        num_partitions=8, extract_concurrency=2,
+    )
+    assert run_ingest(cfg_default).commits == 1
+    assert run_ingest(_cfg(tmp, "b")).commits == 1
+    m = load_manifest(os.path.join(tmp, "lake"))
+    assert m.watermark == "segment-00003.parquet"
+    assert m.source_watermarks == {"b": "segment-00003.parquet"}
+    assert run_ingest(cfg_default).commits == 0
+    assert run_ingest(_cfg(tmp, "b")).commits == 0
