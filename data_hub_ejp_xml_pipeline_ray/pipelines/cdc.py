@@ -1284,6 +1284,7 @@ def scd2_history(
 
 def wal_lag(
     lake_dir: str, wal_dir: str, *, segment_glob: str | None = None,
+    source: str | None = None,
 ) -> dict:
     """Tail backlog behind the committed watermark — metadata only (a
     directory listing plus one parquet FOOTER per pending segment, no
@@ -1296,7 +1297,12 @@ def wal_lag(
     import pyarrow.parquet as pq
 
     m = load_manifest(lake_dir)
-    wm = m.watermark if m is not None else None
+    if m is None:
+        wm = None
+    elif source is not None:
+        wm = m.source_watermarks.get(source)
+    else:
+        wm = m.watermark
     segs = wal_source.segments_after(
         wal_source.list_segments(
             wal_dir, segment_glob or wal_source.SEGMENT_GLOB

@@ -311,6 +311,9 @@ def main(argv: list[str] | None = None) -> int:
     add_common(sp, lake_only=True)
     sp.add_argument("--wal-dir", required=True)
     sp.add_argument("--segment-glob", default=None)
+    sp.add_argument("--source", dest="lag_source", default=None,
+                    help="report this named source's cursor lag "
+                         "(multi-WAL fan-in lakes)")
     sp = sub.add_parser(
         "wal-gc", help="retire WAL segments every consumer lake has "
                        "durably passed (binlog purge; metadata-only; "
@@ -318,7 +321,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--wal-dir", required=True)
     sp.add_argument("--lake-dir", action="append", required=True,
                     dest="lake_dirs",
-                    help="repeatable: EVERY lake tailing this WAL")
+                    help="repeatable: EVERY lake tailing this WAL; "
+                         "append ::SOURCE for a multi-WAL fan-in "
+                         "lake's per-source cursor")
     sp.add_argument("--keep-last", type=int, default=2)
     sp.add_argument("--archive-dir", default=None)
     sp.add_argument("--dry-run", action="store_true")
@@ -624,6 +629,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(wal_lag(
             args.lake_dir, args.wal_dir,
             segment_glob=getattr(args, "segment_glob", None),
+            source=getattr(args, "lag_source", None),
         )))
         return 0
 
@@ -631,8 +637,12 @@ def main(argv: list[str] | None = None) -> int:
         # metadata-only (listing + one manifest JSON per consumer): no ray
         from .sources.wal import wal_gc
 
+        consumers = [
+            tuple(d.split("::", 1)) if "::" in d else d
+            for d in args.lake_dirs
+        ]
         print(json.dumps(wal_gc(
-            args.wal_dir, args.lake_dirs, keep_last=args.keep_last,
+            args.wal_dir, consumers, keep_last=args.keep_last,
             archive_dir=args.archive_dir, dry_run=args.dry_run,
         )))
         return 0

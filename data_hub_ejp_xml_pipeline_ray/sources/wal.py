@@ -111,7 +111,7 @@ def poll_for_new_segments(
 
 def wal_gc(
     wal_dir: str,
-    consumer_lake_dirs: list[str],
+    consumer_lake_dirs: list,
     *,
     keep_last: int = 2,
     archive_dir: str | None = None,
@@ -134,7 +134,10 @@ def wal_gc(
     committed manifest yet — an unstarted tailer still needs the whole
     WAL. Callers must list EVERY lake tailing this WAL (row, entity,
     nested, …); the engine cannot discover consumers it was never told
-    about, same as MySQL binlog purge.
+    about, same as MySQL binlog purge. A consumer may be a plain lake
+    dir (the default tailer's global watermark) or a ``(lake_dir,
+    source)`` pair for a multi-WAL fan-in lake — its per-source cursor
+    for THIS wal (``CdcConfig.source``).
 
     ``archive_dir`` moves segments instead of deleting (tiered
     storage: the archive can be replayed by pointing a fresh tailer at
@@ -156,12 +159,21 @@ def wal_gc(
         raise ValueError("wal_gc needs at least one consumer lake dir")
     watermarks: dict[str, str] = {}
     unstarted = []
-    for lake in consumer_lake_dirs:
+    for entry in consumer_lake_dirs:
+        lake, source = (
+            entry if isinstance(entry, (tuple, list)) else (entry, None)
+        )
         m = load_manifest(lake)
-        if m is None or not m.watermark:
-            unstarted.append(lake)
+        wm = None if m is None else (
+            m.source_watermarks.get(source) if source is not None
+            else m.watermark
+        )
+        if not wm:
+            unstarted.append(
+                lake if source is None else f"{lake} (source={source})"
+            )
         else:
-            watermarks[lake] = m.watermark
+            watermarks[f"{lake}::{source}" if source else lake] = wm
     if unstarted:
         raise ValueError(
             f"consumer lake(s) with no committed watermark: {unstarted} — "

@@ -112,3 +112,27 @@ def test_mixed_named_and_default_source(two_wals):
     assert m.source_watermarks == {"b": "segment-00003.parquet"}
     assert run_ingest(cfg_default).commits == 0
     assert run_ingest(_cfg(tmp, "b")).commits == 0
+
+
+def test_wal_gc_and_lag_per_source(two_wals):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import wal_lag
+    from data_hub_ejp_xml_pipeline_ray.sources.wal import wal_gc
+
+    tmp = two_wals
+    half = "segment-0000[0-1].parquet"
+    run_ingest(_cfg(tmp, "a", segment_glob=half))
+    lake = os.path.join(tmp, "lake")
+    # lag: the named cursor sees 2 pending segments; the global
+    # watermark is None (would claim the whole WAL pending)
+    lag = wal_lag(lake, os.path.join(tmp, "wal_a"), source="a")
+    assert lag["pending_segments"] == 2
+    assert lag["watermark"] == "segment-00001.parquet"
+    # wal_gc: plain lake dir fails closed (no global watermark) —
+    # a (lake, source) consumer reclaims below the source cursor
+    with pytest.raises(ValueError, match="no committed watermark"):
+        wal_gc(os.path.join(tmp, "wal_a"), [lake], dry_run=True)
+    rep = wal_gc(
+        os.path.join(tmp, "wal_a"), [(lake, "a")],
+        keep_last=0, dry_run=True,
+    )
+    assert rep["reclaimed"] == 2
