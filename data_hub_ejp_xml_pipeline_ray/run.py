@@ -139,6 +139,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--replica-dir", default=None,
                     help="keep this replica table synced from the "
                          "change feed after every commit")
+    sp.add_argument("--dedup-index-dir", default=None,
+                    help="keep this exact-dedup index refreshed from "
+                         "the change feed after every commit")
     sp.add_argument("--auto-maintain", action="store_true",
                     help="run the stat-driven maintenance policy "
                          "(delta fold / compact / split) after each "
@@ -683,9 +686,16 @@ def main(argv: list[str] | None = None) -> int:
             deadline = time.monotonic() + args.timeout
             while time.monotonic() < deadline:
                 m = load_manifest(cfg.lake_dir)
+                # a named source polls ITS cursor — the global
+                # watermark stays None for fan-in lakes, and reading it
+                # here would see every segment as fresh forever (the
+                # deadline would never lapse)
+                wm = None if m is None else (
+                    m.source_watermarks.get(cfg.source)
+                    if cfg.source else m.watermark
+                )
                 fresh = segments_after(
-                    list_segments(cfg.wal_dir, cfg.segment_glob),
-                    m.watermark if m else None,
+                    list_segments(cfg.wal_dir, cfg.segment_glob), wm
                 )
                 if fresh:
                     report = runner(cfg)
@@ -709,6 +719,14 @@ def main(argv: list[str] | None = None) -> int:
 
                         out["replica"] = sync_replica(
                             cfg.lake_dir, args.replica_dir
+                        )
+                    if getattr(args, "dedup_index_dir", None):
+                        from .pipelines.dedup_index import (
+                            refresh_dedup_index,
+                        )
+
+                        out["dedup_index"] = refresh_dedup_index(
+                            cfg.lake_dir, args.dedup_index_dir
                         )
                     if getattr(args, "auto_maintain", False):
                         from .pipelines.maintenance import auto_maintain

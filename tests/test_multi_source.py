@@ -136,3 +136,31 @@ def test_wal_gc_and_lag_per_source(two_wals):
         keep_last=0, dry_run=True,
     )
     assert rep["reclaimed"] == 2
+
+
+def test_poll_with_source_times_out_when_caught_up(two_wals):
+    """Regression: the poll loop's freshness probe read the GLOBAL
+    watermark, which stays None for fan-in lakes — so `poll --source`
+    saw every segment as fresh forever and the timeout deadline kept
+    resetting (the loop never exited)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    tmp = two_wals
+    run_ingest(_cfg(tmp, "a"))  # fully caught up
+    t0 = _time.monotonic()
+    out = subprocess.run(
+        [sys.executable, "-m", "data_hub_ejp_xml_pipeline_ray.run",
+         "poll", "--wal-dir", os.path.join(tmp, "wal_a"),
+         "--lake-dir", os.path.join(tmp, "lake"),
+         "--num-partitions", "8", "--num-cpus", "4",
+         "--source", "a", "--interval", "0.3", "--timeout", "3"],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, PYTHONPATH=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # exited by deadline (no fresh segments), not hung until the
+    # subprocess timeout
+    assert _time.monotonic() - t0 < 100
