@@ -164,3 +164,33 @@ def test_poll_with_source_times_out_when_caught_up(two_wals):
     # exited by deadline (no fresh segments), not hung until the
     # subprocess timeout
     assert _time.monotonic() - t0 < 100
+
+
+def test_cross_source_schema_evolution(tmp_path):
+    """Source A stays on wire v1 while source B emits v2 (extra
+    column, widened type): the lake schema must widen once and A's
+    rows null-fill — schema evolution is per-lake, not per-source."""
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal_a"), seed=71, n_urls=30,
+                 n_events=200, n_segments=2)
+    generate_wal(os.path.join(tmp, "wal_b"), seed=72, n_urls=30,
+                 n_events=200, n_segments=2, v2_from_segment=0)
+    run_ingest(_cfg(tmp, "a"))
+    m1 = load_manifest(os.path.join(tmp, "lake"))
+    assert "content_type" not in m1.schema.names
+    run_ingest(_cfg(tmp, "b"))
+    m2 = load_manifest(os.path.join(tmp, "lake"))
+    assert "content_type" in m2.schema.names  # v2 column arrived via B
+    snap = lake_snapshot(os.path.join(tmp, "lake"))
+    by_src = {}
+    for url, ct in zip(snap.column("url").to_pylist(),
+                       snap.column("content_type").to_pylist()):
+        by_src.setdefault(ct is None, 0)
+        by_src[ct is None] += 1
+    assert by_src.get(True) and by_src.get(False)  # nulls + values mix
+    # and A can still commit AFTER the widen without regressing schema
+    generate_wal(os.path.join(tmp, "wal_a"), seed=73, n_urls=30,
+                 n_events=100, n_segments=1, start_segment=2)
+    assert run_ingest(_cfg(tmp, "a")).commits == 1
+    m3 = load_manifest(os.path.join(tmp, "lake"))
+    assert "content_type" in m3.schema.names
