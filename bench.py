@@ -301,7 +301,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # not the partition — the dial that matters when 10^10 events
     # trickle into a 100-TB lake. SKIPPED at scaling volumes (adds two
     # full ingests per leg).
-    t_mor = t_cow_micro = None
+    t_mor = t_cow_micro = t_idx_build = t_idx_refresh = None
     if n_events <= 2_000_000:
         for mode in ("mor", "cow"):
             mdir = f"{lake}_micro_{mode}"
@@ -318,6 +318,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 t_mor = dt
             else:
                 t_cow_micro = dt
+                # maintained dedup index on the multi-commit lake:
+                # full build pinned one version back, then the
+                # incremental O(last delta) refresh to head — the
+                # 100-TB "never re-hash the corpus" dial
+                from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (  # noqa: E501
+                    refresh_dedup_index,
+                )
+                from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+                    load_manifest,
+                )
+
+                head = load_manifest(mdir).version
+                idx_dir = f"{mdir}_idx"
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                t0 = time.perf_counter()
+                refresh_dedup_index(mdir, idx_dir, at_version=head - 1)
+                t_idx_build = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                r_idx = refresh_dedup_index(mdir, idx_dir)
+                t_idx_refresh = time.perf_counter() - t0
+                assert r_idx["mode"] == "incremental"
+                shutil.rmtree(idx_dir, ignore_errors=True)
             shutil.rmtree(mdir, ignore_errors=True)
 
     # Change-feed + incremental-view timings on the committed bench
@@ -446,6 +468,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 None if t_rep is None else round(t_rep, 3)
             ),
             "mor_microbatch_s": None if t_mor is None else round(t_mor, 3),
+            "dedup_index_build_s": (
+                None if t_idx_build is None else round(t_idx_build, 3)
+            ),
+            "dedup_index_refresh_s": (
+                None if t_idx_refresh is None else round(t_idx_refresh, 3)
+            ),
             "cow_microbatch_s": (
                 None if t_cow_micro is None else round(t_cow_micro, 3)
             ),

@@ -135,6 +135,12 @@ class CdcConfig:
     #: does across segments. ``None`` = the classic single-WAL tailer
     #: (global ``manifest.watermark``).
     source: str | None = None
+    #: Bounded wait for a concurrent writer's lease to clear before
+    #: giving up (seconds). 0 (default) = the classic fail-fast
+    #: rejection. Multi-source deployments set this so N source tailers
+    #: can share one lake without an external scheduler: each waits its
+    #: turn under the writer lock instead of burning a failed pass.
+    lock_wait_s: float = 0.0
 
 
 @dataclass
@@ -530,6 +536,26 @@ def _ingest_one_batch(
     }
 
 
+def _wait_for_writer(cfg: CdcConfig) -> None:
+    """``check_no_live_writer`` with an optional bounded wait
+    (``cfg.lock_wait_s``): concurrent source tailers sharing one lake
+    take turns under the writer lock instead of failing a whole pass.
+    Advisory either way — commits stay CAS-protected."""
+    import time as _time
+
+    from ..state.checkpoint import ConcurrentWriterError
+
+    deadline = _time.monotonic() + cfg.lock_wait_s
+    while True:
+        try:
+            check_no_live_writer(cfg.lake_dir)
+            return
+        except ConcurrentWriterError:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(min(0.25, max(0.05, cfg.lock_wait_s / 40)))
+
+
 def run_ingest(
     cfg: CdcConfig, *, spill_cls=None, lake_schema_fn=None, reduce_fn=None,
     kind: str = "row",
@@ -542,7 +568,7 @@ def run_ingest(
         # constraints quarantine their violations; without the DLQ the
         # rows would be dropped silently — refuse the config instead
         raise ValueError("constraints require quarantine=True")
-    check_no_live_writer(cfg.lake_dir)  # fail fast like the reference
+    _wait_for_writer(cfg)  # fail fast like the reference (or wait)
     manifest = load_manifest(cfg.lake_dir) or LakeManifest(
         num_partitions=cfg.num_partitions, kind=kind
     )

@@ -194,3 +194,30 @@ def test_cross_source_schema_evolution(tmp_path):
     assert run_ingest(_cfg(tmp, "a")).commits == 1
     m3 = load_manifest(os.path.join(tmp, "lake"))
     assert "content_type" in m3.schema.names
+
+
+def test_lock_wait_lets_sources_take_turns(two_wals):
+    """A live writer lease rejects fail-fast by default; with
+    ``lock_wait_s`` the second source waits the lease out instead of
+    burning the pass."""
+    import json as _json
+    import time as _time
+
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import (
+        LOCK_NAME,
+        ConcurrentWriterError,
+    )
+
+    tmp = two_wals
+    lake = os.path.join(tmp, "lake")
+    run_ingest(_cfg(tmp, "a"))
+    # simulate a concurrent writer: a lease expiring ~2 s from now
+    with open(os.path.join(lake, LOCK_NAME), "w") as f:
+        _json.dump({"owner": "other-writer",
+                    "expires_at": _time.time() + 2.0}, f)
+    with pytest.raises(ConcurrentWriterError):
+        run_ingest(_cfg(tmp, "b"))
+    t0 = _time.monotonic()
+    r = run_ingest(_cfg(tmp, "b", lock_wait_s=15.0))
+    assert r.commits == 1
+    assert _time.monotonic() - t0 >= 1.0  # actually waited the lease out
