@@ -82,6 +82,73 @@ def _pairs_table(keys: pa.Array, urls: pa.Array) -> pa.Table:
     return pa.table({"key": keys, "url": urls})
 
 
+@ray.remote(num_cpus=1)
+def _rewrite_pair_bucket(
+    index_dir: str, old_rel: str | None, b_add: pa.Table, b_rem: pa.Table,
+    bucket: int, target: int,
+) -> str | None:
+    """Apply one bucket's (key, url) delta and write the new content-
+    named file — the unit of parallel index refresh. Returns the new
+    file name, or None when the bucket emptied. Removal is by URL
+    alone: a url has exactly one live pair, and its preimage key named
+    this bucket."""
+    old = (
+        pq.read_table(os.path.join(index_dir, old_rel))
+        if old_rel is not None
+        else pa.table({"key": pa.array([], pa.string()),
+                       "url": pa.array([], pa.string())})
+    )
+    if b_rem.num_rows:
+        gone = pc.is_in(old.column("url"), value_set=b_rem.column("url"))
+        old = old.filter(pc.invert(gone))
+    merged = pa.concat_tables([old, b_add]) if b_add.num_rows else old
+    if merged.num_rows == 0:
+        return None
+    fname = f"b{bucket:05d}-v{target:06d}.parquet"
+    pq.write_table(
+        merged.sort_by([("key", "ascending"), ("url", "ascending")]),
+        os.path.join(index_dir, fname),
+    )
+    return fname
+
+
+@ray.remote(num_cpus=1)
+def _rewrite_band_bucket(
+    index_dir: str, old_rel: str | None, b_add: pa.Table, b_rem: pa.Table,
+    bucket: int, target: int,
+) -> str | None:
+    """SimHash variant of :func:`_rewrite_pair_bucket`: retire the
+    url's old rows for exactly the (band, key) combinations its
+    preimage signature names."""
+    old = (
+        pq.read_table(os.path.join(index_dir, old_rel))
+        if old_rel is not None
+        else pa.table({
+            "band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()), "sig": pa.array([], pa.int64()),
+        })
+    )
+    if b_rem.num_rows:
+        old_tag = pc.binary_join_element_wise(
+            pc.cast(old.column("key"), pa.string()), old.column("url"), "\x00",
+        )
+        rem_tag = pc.binary_join_element_wise(
+            pc.cast(b_rem.column("key"), pa.string()), b_rem.column("url"),
+            "\x00",
+        )
+        old = old.filter(pc.invert(pc.is_in(old_tag, value_set=rem_tag)))
+    merged = pa.concat_tables([old, b_add]) if b_add.num_rows else old
+    if merged.num_rows == 0:
+        return None
+    fname = f"s{bucket:05d}-v{target:06d}.parquet"
+    pq.write_table(
+        merged.sort_by([("band", "ascending"), ("key", "ascending"),
+                        ("url", "ascending")]),
+        os.path.join(index_dir, fname),
+    )
+    return fname
+
+
 def refresh_dedup_index(
     lake_dir: str, index_dir: str, *, key_col: str = "text",
     at_version: int | None = None,
@@ -223,37 +290,22 @@ def refresh_dedup_index(
                 set(add_b.tolist()) | set(rem_b.tolist())
             )
             new_files = dict(prev_files)
-            for bucket in touched_buckets:
-                old_path = prev_files.get(str(bucket))
-                old = (
-                    pq.read_table(os.path.join(index_dir, old_path))
-                    if old_path is not None
-                    else pa.table({"key": pa.array([], pa.string()),
-                                   "url": pa.array([], pa.string())})
+            # one Ray task per touched bucket (independent rewrites):
+            # the driver holds only the delta slices, never the buckets
+            refs = [
+                _rewrite_pair_bucket.remote(
+                    index_dir, prev_files.get(str(bucket)),
+                    add_t.filter(pa.array(add_b == bucket)),
+                    rem_t.filter(pa.array(rem_b == bucket)),
+                    bucket, target,
                 )
-                b_add = add_t.filter(pa.array(add_b == bucket))
-                b_rem = rem_t.filter(pa.array(rem_b == bucket))
-                # remove by URL alone: a url has exactly one live pair,
-                # and its preimage key names this bucket
-                if b_rem.num_rows:
-                    gone = pc.is_in(
-                        old.column("url"), value_set=b_rem.column("url")
-                    )
-                    old = old.filter(pc.invert(gone))
-                merged = (
-                    pa.concat_tables([old, b_add]) if b_add.num_rows else old
-                )
-                if merged.num_rows == 0:
+                for bucket in touched_buckets
+            ]
+            for bucket, fname in zip(touched_buckets, ray.get(refs)):
+                if fname is None:
                     new_files.pop(str(bucket), None)  # bucket emptied
-                    continue
-                fname = f"b{bucket:05d}-v{target:06d}.parquet"
-                pq.write_table(
-                    merged.sort_by(
-                        [("key", "ascending"), ("url", "ascending")]
-                    ),
-                    os.path.join(index_dir, fname),
-                )
-                new_files[str(bucket)] = fname
+                else:
+                    new_files[str(bucket)] = fname
             mode, touched = "incremental", len(touched_buckets)
 
     from ..state.store import LOCAL_STORE
@@ -508,43 +560,20 @@ def refresh_simhash_index(
                 {int(x) for x in add_b} | {int(x) for x in rem_b}
             )
             new_files = dict(prev_files)
-            for bucket in touched_buckets:
-                old_path = prev_files.get(str(bucket))
-                old = (
-                    pq.read_table(os.path.join(index_dir, old_path))
-                    if old_path is not None else empty
+            refs = [
+                _rewrite_band_bucket.remote(
+                    index_dir, prev_files.get(str(bucket)),
+                    add_t.filter(pa.array(add_b == bucket)),
+                    rem_t.filter(pa.array(rem_b == bucket)),
+                    bucket, target,
                 )
-                b_add = add_t.filter(pa.array(add_b == bucket))
-                b_rem = rem_t.filter(pa.array(rem_b == bucket))
-                if b_rem.num_rows:
-                    # retire the url's old rows for exactly the (band,
-                    # key) combinations its preimage signature names
-                    old_tag = pc.binary_join_element_wise(
-                        pc.cast(old.column("key"), pa.string()),
-                        old.column("url"), "\x00",
-                    )
-                    rem_tag = pc.binary_join_element_wise(
-                        pc.cast(b_rem.column("key"), pa.string()),
-                        b_rem.column("url"), "\x00",
-                    )
-                    old = old.filter(
-                        pc.invert(pc.is_in(old_tag, value_set=rem_tag))
-                    )
-                merged = (
-                    pa.concat_tables([old, b_add]) if b_add.num_rows else old
-                )
-                if merged.num_rows == 0:
+                for bucket in touched_buckets
+            ]
+            for bucket, fname in zip(touched_buckets, ray.get(refs)):
+                if fname is None:
                     new_files.pop(str(bucket), None)
-                    continue
-                fname = f"s{bucket:05d}-v{target:06d}.parquet"
-                pq.write_table(
-                    merged.sort_by(
-                        [("band", "ascending"), ("key", "ascending"),
-                         ("url", "ascending")]
-                    ),
-                    os.path.join(index_dir, fname),
-                )
-                new_files[str(bucket)] = fname
+                else:
+                    new_files[str(bucket)] = fname
             mode, touched = "incremental", len(touched_buckets)
 
     from ..state.store import LOCAL_STORE
