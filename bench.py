@@ -302,6 +302,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # trickle into a 100-TB lake. SKIPPED at scaling volumes (adds two
     # full ingests per leg).
     t_mor = t_cow_micro = t_idx_build = t_idx_refresh = None
+    t_idx_trickle = None
     if n_events <= 2_000_000:
         for mode in ("mor", "cow"):
             mdir = f"{lake}_micro_{mode}"
@@ -339,6 +340,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 r_idx = refresh_dedup_index(mdir, idx_dir)
                 t_idx_refresh = time.perf_counter() - t0
                 assert r_idx["mode"] == "incremental"
+                # trickle-delta leg: a ~1% predicate delete commits a
+                # SMALL delta; its refresh cost is what incremental
+                # maintenance actually buys (the 1/8-uniform leg above
+                # is the CDF worst case — every partition touched)
+                from data_hub_ejp_xml_pipeline_ray.pipelines.dml import (
+                    delete_where,
+                )
+
+                # urls look like https://site-<i>.example/p/NNNN:
+                # delete exactly sites 7 and 17 — a 2-url delta that
+                # touches <=2 partitions (urls hash-scatter, so even a
+                # few-percent delete would touch EVERY partition)
+                delete_where(
+                    mdir,
+                    [["url", "matches", r"^https://site-1?7\.example/"]],
+                )
+                t0 = time.perf_counter()
+                r_idx2 = refresh_dedup_index(mdir, idx_dir)
+                t_idx_trickle = time.perf_counter() - t0
+                assert r_idx2["mode"] == "incremental"
                 shutil.rmtree(idx_dir, ignore_errors=True)
             shutil.rmtree(mdir, ignore_errors=True)
 
@@ -473,6 +494,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ),
             "dedup_index_refresh_s": (
                 None if t_idx_refresh is None else round(t_idx_refresh, 3)
+            ),
+            "dedup_index_trickle_refresh_s": (
+                None if t_idx_trickle is None else round(t_idx_trickle, 3)
             ),
             "cow_microbatch_s": (
                 None if t_cow_micro is None else round(t_cow_micro, 3)
