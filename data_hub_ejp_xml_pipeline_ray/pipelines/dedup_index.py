@@ -33,6 +33,13 @@ Invariants:
 Staleness: an index whose base version fell out of lake retention
 rebuilds from the pinned head snapshot (same policy as the incremental
 views — what a too-stale Delta-CDF consumer must do).
+
+Concurrency contract (same as the incremental views / replicas): ONE
+refresher per index dir. Refresh is atomic and idempotent against
+crashes, but two LIVE refreshers racing different target versions can
+orphan each other's bucket files — run index refresh from the single
+poll loop (``poll --dedup-index-dir``) or an external scheduler slot,
+exactly like any Delta-CDF consumer group with one active member.
 """
 from __future__ import annotations
 
@@ -810,3 +817,47 @@ def index_pairs(index_dir: str) -> ray.data.Dataset:
                       "url": pa.array([], pa.string())})
         )
     return ray.data.read_parquet(paths)
+
+
+def fsck_index(index_dir: str) -> dict:
+    """Read-only audit of a maintained index dir (exact or simhash):
+    state JSON parses, every referenced bucket file exists and its
+    footer row count is nonzero, and unreferenced ``b*/s*-v*.parquet``
+    files are counted as orphans (crash leftovers — harmless, removed
+    by the next successful publish). Returns ``{"ok": bool, ...}``;
+    the CLI surfaces it via ``dedup-index --fsck``."""
+    import glob as _glob
+
+    states = []
+    for name in (INDEX_STATE, SIMHASH_STATE):
+        path = os.path.join(index_dir, name)
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as f:
+                states.append((name, json.load(f)))
+    if not states:
+        return {"ok": False, "error": f"no index state at {index_dir}"}
+    missing: list[str] = []
+    empty: list[str] = []
+    referenced: set[str] = set()
+    for _name, st in states:
+        for fname in st.get("files", {}).values():
+            referenced.add(fname)
+            path = os.path.join(index_dir, fname)
+            if not os.path.exists(path):
+                missing.append(fname)
+            elif pq.ParquetFile(path).metadata.num_rows == 0:
+                empty.append(fname)
+    on_disk = {
+        os.path.basename(p)
+        for pat in ("b*-v*.parquet", "s*-v*.parquet")
+        for p in _glob.glob(os.path.join(index_dir, pat))
+    }
+    orphans = sorted(on_disk - referenced)
+    return {
+        "ok": not missing and not empty,
+        "indexes": [n for n, _ in states],
+        "buckets": len(referenced),
+        "missing_files": missing,
+        "empty_files": empty,
+        "orphan_files": orphans,
+    }

@@ -418,6 +418,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain the SimHash band index (near-dup "
                     "clusters) instead of the exact key index")
     sp.add_argument("--max-hamming", type=int, default=3)
+    sp.add_argument("--fsck", action="store_true",
+                    help="audit the index dir instead of refreshing "
+                         "(state/file agreement; nonzero exit on "
+                         "missing or empty referenced buckets)")
     sp = sub.add_parser(
         "plan", help="show the scan plan a constrained read would "
                      "execute (partitions/files touched vs skipped) — "
@@ -886,6 +890,12 @@ def main(argv: list[str] | None = None) -> int:
                 args.lake_dir, args.cols or None
             )))
         elif args.cmd == "dedup-index":
+            if getattr(args, "fsck", False):
+                from .pipelines.dedup_index import fsck_index
+
+                rep = fsck_index(args.index_dir)
+                print(json.dumps(rep))
+                return 0 if rep["ok"] else 3
             if args.simhash:
                 from .pipelines.dedup_index import (
                     near_dup_clusters,

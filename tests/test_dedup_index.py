@@ -282,3 +282,31 @@ def test_missing_key_column_raises(lake, tmp_path):
     alter_lake(lake.lake_dir, rename={"lang": "language"})
     with pytest.raises(ValueError, match="not in the lake schema"):
         refresh_dedup_index(lake.lake_dir, idx, key_col="lang")
+
+
+def test_fsck_index_audit(lake, tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        fsck_index,
+        refresh_dedup_index,
+        refresh_simhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    refresh_dedup_index(lake.lake_dir, idx)
+    refresh_simhash_index(lake.lake_dir, idx)
+    rep = fsck_index(idx)
+    assert rep["ok"] and set(rep["indexes"]) == {
+        "_dedup_index.json", "_simhash_index.json"
+    }
+    assert not rep["missing_files"] and not rep["orphan_files"]
+    # orphan: an unreferenced leftover file is a warning, not a failure
+    import shutil
+
+    some = next(f for f in os.listdir(idx) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(idx, some), os.path.join(idx, "b99999-v000099.parquet"))
+    rep2 = fsck_index(idx)
+    assert rep2["ok"] and rep2["orphan_files"] == ["b99999-v000099.parquet"]
+    # missing referenced file -> not ok
+    os.remove(os.path.join(idx, some))
+    rep3 = fsck_index(idx)
+    assert not rep3["ok"] and some in rep3["missing_files"]
