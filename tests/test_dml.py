@@ -350,6 +350,17 @@ def test_random_ingest_dml_maintenance_interleaving_converges(
         done_segments += n
         fold_wal(segs)
 
+        # maintained indexes refresh INSIDE the interleaving: every
+        # phase's random ingest/DML/compaction state must flow through
+        # the incremental path, not a fresh rebuild
+        from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+            refresh_dedup_index,
+            refresh_simhash_index,
+        )
+
+        refresh_dedup_index(lake_dir, os.path.join(tmp, "idx"))
+        refresh_simhash_index(lake_dir, os.path.join(tmp, "sidx"))
+
         op = rng.choice(["delete", "update", "none", "compact"])
         if op in ("delete", "update"):
             lang = rng.choice(["en", "de", "fr", "es", "zh"])
@@ -377,3 +388,40 @@ def test_random_ingest_dml_maintenance_interleaving_converges(
     }
     assert _snapshot_dict(lake_dir) == expected
     assert fsck_lake(lake_dir, deep=True)["ok"]
+
+    # the stepwise-maintained indexes (refreshed mid-interleaving, then
+    # once more at the head) must equal a from-scratch rebuild
+    import pyarrow as _pa
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        index_pairs,
+        near_dup_clusters,
+        refresh_dedup_index,
+        refresh_simhash_index,
+    )
+
+    refresh_dedup_index(lake_dir, os.path.join(tmp, "idx"))
+    refresh_simhash_index(lake_dir, os.path.join(tmp, "sidx"))
+
+    def _all_pairs(d):
+        t = _pa.concat_tables(list(
+            index_pairs(d).iter_batches(batch_format="pyarrow")
+        ))
+        return sorted(zip(t.column("key").to_pylist(),
+                          t.column("url").to_pylist()))
+
+    want_pairs = sorted(
+        (v["text"], url) for url, v in expected.items()
+        if v["text"] is not None
+    )
+    assert _all_pairs(os.path.join(tmp, "idx")) == want_pairs
+    refresh_simhash_index(lake_dir, os.path.join(tmp, "sidx2"))
+
+    def _cl(d):
+        t = _pa.concat_tables(list(
+            near_dup_clusters(d).iter_batches(batch_format="pyarrow")
+        ))
+        return sorted(zip(t.column("url").to_pylist(),
+                          t.column("min_url").to_pylist()))
+
+    assert _cl(os.path.join(tmp, "sidx")) == _cl(os.path.join(tmp, "sidx2"))

@@ -221,3 +221,44 @@ def test_lock_wait_lets_sources_take_turns(two_wals):
     r = run_ingest(_cfg(tmp, "b", lock_wait_s=15.0))
     assert r.commits == 1
     assert _time.monotonic() - t0 >= 1.0  # actually waited the lease out
+
+
+def test_entity_lake_multi_source(tmp_path):
+    """The per-source cursor logic is lake-kind-agnostic: the demuxed
+    ENTITY lake fans in two WALs and converges to the single-WAL
+    entity state."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        run_entity_ingest,
+    )
+
+    tmp = str(tmp_path)
+    generate_wal(os.path.join(tmp, "wal_a"), seed=81, n_urls=20,
+                 n_events=120, n_segments=2, rich_pages=True)
+    generate_wal(os.path.join(tmp, "wal_b"), seed=82, n_urls=20,
+                 n_events=120, n_segments=2, rich_pages=True)
+    for src in ("a", "b"):
+        r = run_entity_ingest(CdcConfig(
+            wal_dir=os.path.join(tmp, f"wal_{src}"),
+            lake_dir=os.path.join(tmp, "elake"),
+            num_partitions=8, extract_concurrency=2, source=src,
+        ))
+        assert r.commits == 1
+    m = load_manifest(os.path.join(tmp, "elake"))
+    assert m.kind == "group" and set(m.source_watermarks) == {"a", "b"}
+    # reference: sequential single-lake ingests (default then named)
+    run_entity_ingest(CdcConfig(
+        wal_dir=os.path.join(tmp, "wal_a"),
+        lake_dir=os.path.join(tmp, "elake_ref"),
+        num_partitions=8, extract_concurrency=2,
+    ))
+    run_entity_ingest(CdcConfig(
+        wal_dir=os.path.join(tmp, "wal_b"),
+        lake_dir=os.path.join(tmp, "elake_ref"),
+        num_partitions=8, extract_concurrency=2, source="b",
+    ))
+    cols = None
+    a = lake_snapshot(os.path.join(tmp, "elake"))
+    b = lake_snapshot(os.path.join(tmp, "elake_ref"))
+    keys = [(c, "ascending") for c in
+            ("url", "entity_type", "link_index", "warc_ts", "seq")]
+    assert a.sort_by(keys).equals(b.sort_by(keys))
