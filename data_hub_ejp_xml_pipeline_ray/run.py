@@ -142,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--dedup-index-dir", default=None,
                     help="keep this exact-dedup index refreshed from "
                          "the change feed after every commit")
+    sp.add_argument("--simhash-index-dir", default=None,
+                    help="keep this SimHash near-dup index refreshed "
+                         "from the change feed after every commit")
     sp.add_argument("--auto-maintain", action="store_true",
                     help="run the stat-driven maintenance policy "
                          "(delta fold / compact / split) after each "
@@ -731,6 +734,14 @@ def main(argv: list[str] | None = None) -> int:
 
                         out["dedup_index"] = refresh_dedup_index(
                             cfg.lake_dir, args.dedup_index_dir
+                        )
+                    if getattr(args, "simhash_index_dir", None):
+                        from .pipelines.dedup_index import (
+                            refresh_simhash_index,
+                        )
+
+                        out["simhash_index"] = refresh_simhash_index(
+                            cfg.lake_dir, args.simhash_index_dir
                         )
                     if getattr(args, "auto_maintain", False):
                         from .pipelines.maintenance import auto_maintain

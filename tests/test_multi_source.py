@@ -256,7 +256,6 @@ def test_entity_lake_multi_source(tmp_path):
         lake_dir=os.path.join(tmp, "elake_ref"),
         num_partitions=8, extract_concurrency=2, source="b",
     ))
-    cols = None
     a = lake_snapshot(os.path.join(tmp, "elake"))
     b = lake_snapshot(os.path.join(tmp, "elake_ref"))
     keys = [(c, "ascending") for c in
