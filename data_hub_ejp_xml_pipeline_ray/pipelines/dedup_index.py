@@ -463,6 +463,11 @@ def refresh_simhash_index(
             f"index built with num_bands={state.get('num_bands')}, "
             f"refresh asked for {num_bands}"
         )
+    if state is not None and state.get("key_col") != key_col:
+        raise ValueError(
+            f"index is keyed by {state.get('key_col')!r}, refresh asked "
+            f"for {key_col!r}"
+        )
     if state is not None and state["lake_version"] == target:
         return {"refreshed": False, "mode": "noop", "lake_version": target}
     if state is not None and state["lake_version"] > target:

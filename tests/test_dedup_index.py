@@ -310,3 +310,16 @@ def test_fsck_index_audit(lake, tmp_path):
     os.remove(os.path.join(idx, some))
     rep3 = fsck_index(idx)
     assert not rep3["ok"] and some in rep3["missing_files"]
+
+
+def test_simhash_index_guards_key_and_bands(lake, tmp_path):
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        refresh_simhash_index,
+    )
+
+    idx = str(tmp_path / "sidx")
+    refresh_simhash_index(lake.lake_dir, idx)
+    with pytest.raises(ValueError, match="num_bands"):
+        refresh_simhash_index(lake.lake_dir, idx, num_bands=8)
+    with pytest.raises(ValueError, match="keyed by"):
+        refresh_simhash_index(lake.lake_dir, idx, key_col="lang")
