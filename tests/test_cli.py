@@ -139,17 +139,20 @@ def test_cli_poll_keeps_dedup_index_fresh(tmp_path):
     wal = str(tmp_path / "wal")
     lake = str(tmp_path / "lake")
     idx = str(tmp_path / "idx")
+    sidx = str(tmp_path / "sidx")
     args = ["poll", "--wal-dir", wal, "--lake-dir", lake,
             "--num-partitions", "4", "--num-cpus", "4",
             "--interval", "0.5", "--timeout", "5",
-            "--dedup-index-dir", idx]
+            "--dedup-index-dir", idx, "--simhash-index-dir", sidx]
     generate_wal(wal, seed=16, n_urls=12, n_events=80, n_segments=2)
     r1 = _run(args)
     assert r1["dedup_index"]["mode"] == "full"
+    assert r1["simhash_index"]["mode"] == "full"
     generate_wal(wal, seed=17, n_urls=12, n_events=40, n_segments=1,
                  start_segment=2)
     r2 = _run(args)
     assert r2["dedup_index"]["mode"] == "incremental"
+    assert r2["simhash_index"]["mode"] == "incremental"
 
 
 def test_cli_export_snapshot(tmp_path):
