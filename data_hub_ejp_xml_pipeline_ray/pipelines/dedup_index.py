@@ -809,6 +809,41 @@ def _clusters_dataset_native(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def dup_drop_urls(index_dir: str) -> ray.data.Dataset:
+    """Urls to EXCLUDE for a canonical corpus: every member of a
+    duplicate group except its min url. One task per bucket (groups
+    never span buckets), result bounded by the duplicate rate."""
+    state = _load_state(index_dir)
+    if state is None:
+        raise FileNotFoundError(f"no dedup index at {index_dir}")
+    paths = [os.path.join(index_dir, f) for f in state["files"].values()]
+    if not paths:
+        return ray.data.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+
+    def drops_of(batch: pa.Table) -> pa.Table:
+        out: list = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path)
+            g = t.group_by("key").aggregate([("url", "min")])
+            mins = pa.table({
+                "key": g.column("key"), "min_url": g.column("url_min"),
+            })
+            # member rows whose url != their group min
+            joined = t.join(mins, keys="key")
+            keep = pc.not_equal(joined.column("url"), joined.column("min_url"))
+            out.append(joined.filter(keep).select(["url"]))
+        if not out:
+            return pa.table({"url": pa.array([], pa.string())})
+        return pa.concat_tables(out)
+
+    files_ds = ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, pa.string())})
+    )
+    return files_ds.map_batches(
+        drops_of, batch_format="pyarrow", batch_size=1
+    )
+
+
 def index_pairs(index_dir: str) -> ray.data.Dataset:
     """The raw live (key, url) pair stream of the index (test surface
     for the convergence law: index pairs == snapshot projection)."""

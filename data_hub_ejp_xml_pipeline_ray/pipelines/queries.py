@@ -3920,6 +3920,56 @@ def q_cdc_multi_source(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_canonical_corpus(sf_dir: str):
+    """Canonical corpus from the MAINTAINED index, DRIVER-ORACLE-
+    CHECKED: the colliding-text lake (built + index-refreshed
+    incrementally like ``cdc_dedup_index``) minus every duplicate
+    group's non-min urls — the curated training corpus a 100-TB
+    pipeline keeps continuously instead of re-deduplicating per run.
+    The drop set streams from the index (bounded by the dup rate) and
+    anti-filters the lake read; result hash-equals the window-LWW SQL
+    state joined to its per-text min url."""
+    import shutil
+
+    from ..sources.synthetic import derive_wal_from_events
+    from .cdc import CdcConfig, read_lake, run_ingest
+    from .dedup_index import dup_drop_urls, refresh_dedup_index
+
+    work = derived_cdc_workdir(sf_dir, "canonical")
+    shutil.rmtree(work, ignore_errors=True)
+    wal = os.path.join(work, "wal")
+    lake = os.path.join(work, "lake")
+    idx = os.path.join(work, "idx")
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), wal, n_segments=8,
+        text_mod=7,
+    )
+    run_ingest(CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=16,
+        segment_glob="segment-0000[0-3].parquet",
+    ))
+    refresh_dedup_index(lake, idx)
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake, num_partitions=16))
+    refresh_dedup_index(lake, idx)
+    # drop set: measured-small (bounded by the dup rate) -> broadcast
+    drop_t = pa.concat_tables(list(
+        dup_drop_urls(idx).iter_batches(batch_format="pyarrow")
+    ))
+    drop_arr = drop_t.column("url").combine_chunks() if isinstance(
+        drop_t.column("url"), pa.ChunkedArray) else drop_t.column("url")
+
+    def anti(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("url"), value_set=drop_arr))
+        t = t.filter(keep)
+        i = t.column_names.index("warc_ts")
+        return t.set_column(
+            i, "warc_ts", t.column("warc_ts").cast(pa.timestamp("us"))
+        )
+
+    ds = read_lake(lake, columns=["url", "warc_ts", "seq", "text", "lang"])
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cdc_catalog(sf_dir: str):
     """Cross-table CATALOG flagship, DRIVER-ORACLE-CHECKED: ONE derived
     WAL feeds TWO member lakes — the page lake and the group-valued
@@ -7506,6 +7556,7 @@ QUERIES = {
     "cdc_dedup_index": q_cdc_dedup_index,
     "cdc_simhash_index": q_cdc_simhash_index,
     "cdc_multi_source": q_cdc_multi_source,
+    "cdc_canonical_corpus": q_cdc_canonical_corpus,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_restore_feed": q_cdc_restore_feed,
     "scd2_history": q_scd2_history,
@@ -8607,6 +8658,26 @@ ORACLE_SQL = {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
         WHERE rn = 1 AND NOT is_del
+    """,
+    # Canonical corpus: window-LWW live state restricted to each
+    # text group's min url (unique texts keep their only row).
+    "cdc_canonical_corpus": """
+        WITH final AS (
+          SELECT url, warc_ts, seq, text, lang FROM (
+            SELECT 'https://u' || CAST(user_id AS VARCHAR)
+                     || '.example/page' AS url,
+                   ts AS warc_ts, event_id AS seq,
+                   'page rev ' || CAST(event_id % 7 AS VARCHAR) AS text,
+                   event_type AS lang,
+                   (event_type = 'error') AS is_del,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                     AS rn
+            FROM events)
+          WHERE rn = 1 AND NOT is_del),
+        g AS (SELECT text, min(url) AS m FROM final GROUP BY text)
+        SELECT f.url, f.warc_ts, f.seq, f.text, f.lang
+        FROM final f JOIN g ON f.text = g.text AND f.url = g.m
     """,
     # Cross-table catalog: the pinned page state is the same window
     # LWW, and the pinned entity lake holds exactly the page/heading/
