@@ -255,7 +255,14 @@ def _ingest_one_batch(
     # dispatch overhead is the non-scaling term on the driver
     events_applied = wal_source.segment_row_counts(segments)
     small_batch = events_applied < cfg.small_batch_events
-    blocks = cfg.read_override_num_blocks or min(max(cpus * 3, 16), 256)
+    # block count ALIGNED to the segment count when that already gives
+    # enough parallelism: whole-file read tasks beat Ray's partial-file
+    # splits (measured at 1.2M/64 segments/32 CPUs: 64 blocks 4.8 s vs
+    # 96 blocks 6.0 s — the 96 shape re-reads row groups across tasks)
+    n_segs = len(segments)
+    blocks = cfg.read_override_num_blocks or (
+        n_segs if n_segs >= cpus else min(max(cpus * 3, 16), 256)
+    )
     if small_batch and cfg.read_override_num_blocks is None:
         # a trickle commit doesn't need 96 read tasks for 150k rows —
         # fewer blocks = fewer spill files + fewer dispatches, and the
