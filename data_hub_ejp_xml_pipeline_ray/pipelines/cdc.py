@@ -67,6 +67,12 @@ class CdcConfig:
     lake_dir: str
     num_partitions: int = DEFAULT_NUM_PARTITIONS
     segment_glob: str = wal_source.SEGMENT_GLOB
+    #: Optional SECOND fnmatch glob on segment names, ANDed with
+    #: ``segment_glob`` (the reference sensor's positive key glob,
+    #: ``airflow_s3_util_extension.py:101-138``): the structural glob
+    #: states the wire format, this one narrows to a keyspace slice
+    #: (e.g. ``"segment-2024*"``) without restating the format.
+    include_pattern: str | None = None
     url_exclusion_pattern: str | None = None
     #: Max segments folded into one commit (micro-batch bound — the
     #: analog of ``batch_size_limit=100000`` rows, ``etl.py:156``).
@@ -589,7 +595,11 @@ def run_ingest(
         if cfg.source else manifest.watermark
     )
     segments = wal_source.segments_after(
-        wal_source.list_segments(cfg.wal_dir, cfg.segment_glob), tail_wm
+        wal_source.list_segments(
+            cfg.wal_dir, cfg.segment_glob,
+            include_pattern=cfg.include_pattern,
+        ),
+        tail_wm,
     )
     report = IngestReport(
         final_version=manifest.version, watermark=manifest.watermark

@@ -7485,39 +7485,84 @@ def q_scrub_props(sf_dir: str):
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
+# NOTE on ordering: the correctness driver samples a fixed-size prefix of
+# this registry (insertion order).  The first ~50 entries are therefore a
+# deliberate priority prefix: the flagship CDC/lake-semantics family first
+# (the engine's reason to exist), then the curate pipelines, then the
+# strongest single-operator evidence for SURVEY.md §2.  Every entry —
+# prefix or not — carries the identical oracle check in
+# tests/test_queries_oracle.py.
 QUERIES = {
-    "lww_latest_by_user": q_lww_latest_by_user,
+    # -- flagship CDC / lake semantics (driver priority prefix) --
+    "cdc_lake_state": q_cdc_lake_state,
+    "cdc_lake_state_mor": q_cdc_lake_state_mor,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_multi_source": q_cdc_multi_source,
+    "cdc_change_feed": q_cdc_change_feed,
+    "cdc_dedup_index": q_cdc_dedup_index,
+    "cdc_simhash_index": q_cdc_simhash_index,
+    "cdc_canonical_corpus": q_cdc_canonical_corpus,
+    "scd2_history": q_scd2_history,
+    "cdc_delete_where": q_cdc_delete_where,
+    "cdc_update_where": q_cdc_update_where,
+    "cdc_purge": q_cdc_purge,
+    "cdc_purge_history": q_cdc_purge_history,
+    "cdc_wap_publish": q_cdc_wap_publish,
+    "cdc_merge_branch": q_cdc_merge_branch,
+    "cdc_catalog": q_cdc_catalog,
+    "cdc_restore_feed": q_cdc_restore_feed,
+    "cdc_entity_lake": q_cdc_entity_lake,
+    "entity_change_feed": q_entity_change_feed,
+    "lake_point_lookup": q_lake_point_lookup,
+    "lake_time_slice": q_lake_time_slice,
+    "lake_bloom_lookup": q_lake_bloom_lookup,
+    "incremental_lang_counts": q_incremental_lang_counts,
+    "incremental_lang_stats": q_incremental_lang_stats,
+    "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
+    "incremental_lang_distinct_segments": q_incremental_lang_distinct_segments,
+    "replica_purchase_pages": q_replica_purchase_pages,
+    "curate_filter": q_curate_filter,
+    "curate_corpus": q_curate_corpus,
+    "curate_corpus_exact": q_curate_corpus_exact,
+    # -- core §2 operator evidence (rest of the priority prefix) --
     "watermark_filter": q_watermark_filter,
+    "lww_latest_by_user": q_lww_latest_by_user,
+    "fanout_entities": q_fanout_entities,
+    "page_entities": q_page_entities,
+    "exclusion_filter": q_exclusion_filter,
+    "null_normalize": q_null_normalize,
+    "multimodal_decode": q_multimodal_decode,
     "max_ts_per_type": q_max_ts_per_type,
     "dedup_first_event": q_dedup_first_event,
-    "fanout_entities": q_fanout_entities,
     "tumbling_window_counts": q_tumbling_window_counts,
+    "top_terms": q_top_terms,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "jaccard_dedup_docs": q_jaccard_dedup_docs,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "ann_topk": q_ann_topk,
+    "prepare_training_corpus": q_prepare_training_corpus,
+    "decontaminate_ngrams": q_decontaminate_ngrams,
+    "pack_token_shards": q_pack_token_shards,
+    "mixture_by_token_budget": q_mixture_by_token_budget,
+    "doc_token_stats": q_doc_token_stats,
+    # -- remainder (unordered beyond here; all rehearsal-checked) --
     "hopping_window_counts": q_hopping_window_counts,
     "events_in_prior_hour": q_events_in_prior_hour,
-    "top_terms": q_top_terms,
     "distinct_users_per_type": q_distinct_users_per_type,
     "hll_distinct_users_per_type": q_hll_distinct_users_per_type,
     "top_terms_sketch": q_top_terms_sketch,
     "hourly_distinct_users": q_hourly_distinct_users,
-    "pack_token_shards": q_pack_token_shards,
-    "mixture_by_token_budget": q_mixture_by_token_budget,
     "quality_gate_by_lang": q_quality_gate_by_lang,
     "sessionize": q_sessionize,
     "asof_last_signup": q_asof_last_signup,
     "customers_without_orders": q_customers_without_orders,
     "distinct_segments": q_distinct_segments,
-    "exclusion_filter": q_exclusion_filter,
-    "null_normalize": q_null_normalize,
-    "page_entities": q_page_entities,
-    "multimodal_decode": q_multimodal_decode,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "order_priority_count": q_order_priority_count,
     "sample_documents": q_sample_documents,
     "stratified_sample_by_lang": q_stratified_sample_by_lang,
-    "prepare_training_corpus": q_prepare_training_corpus,
-    "decontaminate_ngrams": q_decontaminate_ngrams,
     "top2_events_per_user": q_top2_events_per_user,
     "cumulative_value_per_user": q_cumulative_value_per_user,
     "median_value_by_type": q_median_value_by_type,
@@ -7525,47 +7570,12 @@ QUERIES = {
     "value_quantiles_by_type": q_value_quantiles_by_type,
     "event_type_pivot": q_event_type_pivot,
     "embedding_scores": q_embedding_scores,
-    "doc_token_stats": q_doc_token_stats,
     "doc_bpeish_tokens": q_doc_bpeish_tokens,
     "lang_id": q_lang_id,
-    "dedup_exact_docs": q_dedup_exact_docs,
     "doc_fingerprint": q_doc_fingerprint,
-    "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_dedup_docs": q_simhash_dedup_docs,
-    "jaccard_dedup_docs": q_jaccard_dedup_docs,
     "embedding_dedup": q_embedding_dedup,
-    "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "curate_filter": q_curate_filter,
-    "curate_corpus": q_curate_corpus,
-    "curate_corpus_exact": q_curate_corpus_exact,
-    "cdc_lake_state": q_cdc_lake_state,
-    "cdc_schema_evolution": q_cdc_schema_evolution,
-    "cdc_lake_state_mor": q_cdc_lake_state_mor,
-    "cdc_wap_publish": q_cdc_wap_publish,
-    "cdc_merge_branch": q_cdc_merge_branch,
-    "lake_bloom_lookup": q_lake_bloom_lookup,
-    "cdc_delete_where": q_cdc_delete_where,
-    "cdc_update_where": q_cdc_update_where,
-    "cdc_purge": q_cdc_purge,
-    "cdc_purge_history": q_cdc_purge_history,
-    "lake_point_lookup": q_lake_point_lookup,
-    "lake_time_slice": q_lake_time_slice,
-    "cdc_entity_lake": q_cdc_entity_lake,
-    "cdc_catalog": q_cdc_catalog,
-    "cdc_dedup_index": q_cdc_dedup_index,
-    "cdc_simhash_index": q_cdc_simhash_index,
-    "cdc_multi_source": q_cdc_multi_source,
-    "cdc_canonical_corpus": q_cdc_canonical_corpus,
-    "cdc_change_feed": q_cdc_change_feed,
-    "cdc_restore_feed": q_cdc_restore_feed,
-    "scd2_history": q_scd2_history,
-    "entity_change_feed": q_entity_change_feed,
-    "incremental_lang_counts": q_incremental_lang_counts,
-    "incremental_lang_stats": q_incremental_lang_stats,
-    "incremental_lang_segment_counts": q_incremental_lang_segment_counts,
-    "incremental_lang_distinct_segments": q_incremental_lang_distinct_segments,
-    "replica_purchase_pages": q_replica_purchase_pages,
     "rollup_doc_counts": q_rollup_doc_counts,
     "orders_left_join_recent_revenue": q_orders_left_join_recent_revenue,
     "funnel_signup_purchase": q_funnel_signup_purchase,

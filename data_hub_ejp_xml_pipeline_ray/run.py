@@ -71,6 +71,8 @@ def _cfg_from_args(args) -> "CdcConfig":
     extra = {}
     if getattr(args, "segment_glob", None):
         extra["segment_glob"] = args.segment_glob
+    if getattr(args, "include_pattern", None):
+        extra["include_pattern"] = args.include_pattern
     if getattr(args, "constraint", None):
         extra["constraints"] = [_parse_constraint(c) for c in args.constraint]
     if getattr(args, "merge_mode", None):
@@ -110,6 +112,10 @@ def main(argv: list[str] | None = None) -> int:
                             help="WAL segment glob (default segment-*.parquet; "
                                  "use segment-*.jsonl for a JSONL wire WAL, "
                                  "segment-* for mixed)")
+            sp.add_argument("--include-pattern", default=None,
+                            help="second fnmatch glob on segment names, "
+                                 "ANDed with --segment-glob (positive "
+                                 "keyspace slice, e.g. segment-2024*)")
             sp.add_argument("--constraint", action="append", default=None,
                             metavar="COL,OP[,VALUE]",
                             help="ingest-time CHECK constraint, repeatable "
@@ -702,7 +708,11 @@ def main(argv: list[str] | None = None) -> int:
                     if cfg.source else m.watermark
                 )
                 fresh = segments_after(
-                    list_segments(cfg.wal_dir, cfg.segment_glob), wm
+                    list_segments(
+                        cfg.wal_dir, cfg.segment_glob,
+                        include_pattern=cfg.include_pattern,
+                    ),
+                    wm,
                 )
                 if fresh:
                     report = runner(cfg)

@@ -61,13 +61,18 @@ def list_segments(
     wal_dir: str,
     pattern: str = SEGMENT_GLOB,
     exclusion_pattern: str | None = None,
+    include_pattern: str | None = None,
 ) -> list[SegmentMeta]:
     """List WAL segments sorted by name (the processing order invariant).
 
     ``pattern`` is an fnmatch glob and ``exclusion_pattern`` a regex on
     the segment name — mirroring the reference's glob + exclusion-regex
     pair (``airflow_s3_util_extension.py:120-127``; exclusion at
-    ``ejp_zip.py:61-63``).
+    ``ejp_zip.py:61-63``). ``include_pattern`` is a SECOND fnmatch glob
+    ANDed with ``pattern`` — the reference sensor's positive key glob
+    (``airflow_s3_util_extension.py:101-138``): ``pattern`` states the
+    wire format (``segment-*.parquet``), ``include_pattern`` narrows to
+    a keyspace slice (``segment-2024*``) without restating the format.
     """
     if not os.path.isdir(wal_dir):
         return []
@@ -75,6 +80,8 @@ def list_segments(
     out = []
     for name in sorted(os.listdir(wal_dir)):
         if not fnmatch.fnmatch(name, pattern):
+            continue
+        if include_pattern is not None and not fnmatch.fnmatch(name, include_pattern):
             continue
         if exclude is not None and exclude.match(name):
             continue

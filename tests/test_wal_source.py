@@ -32,6 +32,56 @@ def test_list_sorted_glob_and_exclusion(tmp_path):
     assert [s.name for s in segs] == ["segment-00000.parquet", "segment-00002.parquet"]
 
 
+def test_include_pattern_is_positive_keyspace_glob(tmp_path):
+    # the reference sensor's positive key glob
+    # (airflow_s3_util_extension.py:101-138): ANDed with the structural
+    # wire-format glob, so a slice pattern need not restate the format
+    d = str(tmp_path)
+    for name in ["segment-2024-a.parquet", "segment-2024-b.parquet",
+                 "segment-2025-a.parquet"]:
+        _touch_parquet(os.path.join(d, name))
+    segs = list_segments(d, include_pattern="segment-2024*")
+    assert [s.name for s in segs] == [
+        "segment-2024-a.parquet", "segment-2024-b.parquet"
+    ]
+    # composes with the exclusion regex (include first, then exclude)
+    segs = list_segments(
+        d, include_pattern="segment-2024*", exclusion_pattern=r".*-b\.parquet"
+    )
+    assert [s.name for s in segs] == ["segment-2024-a.parquet"]
+
+
+def test_ingest_honors_include_pattern(tmp_path, ray_session):
+    # the tailer only sees the included slice: ingest commits the 2024
+    # segments and the watermark points at the last INCLUDED segment
+    import shutil
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        CdcConfig, load_manifest, run_ingest,
+    )
+
+    wal = os.path.join(str(tmp_path), "wal")
+    generate_wal(wal, n_events=300, n_segments=3, seed=7)
+    names = sorted(os.listdir(wal))
+    assert len(names) == 3
+    # rename to two keyspace slices: first two -> 2024, last -> 2025
+    for old, new in [
+        (names[0], "segment-2024-00000.parquet"),
+        (names[1], "segment-2024-00001.parquet"),
+        (names[2], "segment-2025-00000.parquet"),
+    ]:
+        shutil.move(os.path.join(wal, old), os.path.join(wal, new))
+    lake = os.path.join(str(tmp_path), "lake")
+    report = run_ingest(CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=4,
+        include_pattern="segment-2024*",
+    ))
+    assert report.segments_processed == [
+        "segment-2024-00000.parquet", "segment-2024-00001.parquet"
+    ]
+    assert load_manifest(lake).watermark == "segment-2024-00001.parquet"
+
+
 def test_watermark_strictly_greater(tmp_path):
     d = str(tmp_path)
     for i in range(3):
