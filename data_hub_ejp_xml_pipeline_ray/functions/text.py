@@ -71,44 +71,62 @@ def extract_text_reference(raw_html: bytes | str | None) -> str | None:
     return html.unescape(html.unescape(strip_markup(raw_html)))
 
 
-def _unescape_twice_array(arr: pa.Array) -> pa.Array:
-    """Apply double html.unescape to a string array. Vector fast-path:
-    rows without ``&`` are returned as-is (unescape is identity there);
-    only rows containing ``&`` pay the Python call."""
+def unescape_array(arr: pa.Array, times: int = 2) -> pa.Array:
+    """Apply ``html.unescape`` ``times``-fold to a string array. Vector
+    fast-path: rows without ``&`` are returned as-is (unescape is
+    identity there); only rows containing ``&`` pay the Python call."""
     mask = pc.match_substring(arr, "&")
     if pc.any(mask).as_py() is not True:
         return arr
     py = arr.to_pylist()
-    out = [
-        (html.unescape(html.unescape(s)) if (s is not None and "&" in s) else s)
-        for s in py
-    ]
+    out = []
+    for s in py:
+        if s is not None and "&" in s:
+            for _ in range(times):
+                s = html.unescape(s)
+        out.append(s)
     return pa.array(out, type=arr.type)
 
 
-def extract_text_column(html_col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Vectorized engine implementation of :func:`extract_text_reference`
-    over a ``binary`` (or string) Arrow column. Null in -> null out."""
+def _unescape_twice_array(arr: pa.Array) -> pa.Array:
+    return unescape_array(arr, 2)
+
+
+def html_to_string_array(html_col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """``binary`` html -> ``string`` with the reference's lenient decode
+    (``errors="replace"``); whole-column zero-copy cast when the column
+    is valid UTF-8, per-row fallback only otherwise."""
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
     if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(html_col.type):
         try:
-            col = html_col.cast(pa.string())
+            return html_col.cast(pa.string())
         except pa.ArrowInvalid:
             # Invalid UTF-8 somewhere: fall back to per-row lenient decode.
-            col = pa.array(
+            return pa.array(
                 [
                     None if b is None else b.decode("utf-8", errors="replace")
                     for b in html_col.to_pylist()
                 ],
                 type=pa.string(),
             )
-    else:
-        col = html_col
+    return html_col
+
+
+def strip_markup_array(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized :func:`strip_markup` (4 RE2 kernel passes over the
+    whole column)."""
     col = pc.replace_substring_regex(col, pattern=_COMMENT_RE, replacement="")
     col = pc.replace_substring_regex(col, pattern=_SCRIPT_RE, replacement="")
     col = pc.replace_substring_regex(col, pattern=_STYLE_RE, replacement="")
     col = pc.replace_substring_regex(col, pattern=_TAG_RE, replacement="")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return _unescape_twice_array(col)
+    return col
+
+
+def extract_text_column(html_col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized engine implementation of :func:`extract_text_reference`
+    over a ``binary`` (or string) Arrow column. Null in -> null out."""
+    col = html_to_string_array(html_col)
+    return _unescape_twice_array(strip_markup_array(col))

@@ -732,9 +732,18 @@ def q_quality_gate_by_lang(sf_dir: str):
 
 def q_top_terms(sf_dir: str):
     """Corpus term top-k (the canonical map-reduce): per-batch token
-    explosion + LOCAL count combiner, tiny global groupby sum, sort +
-    limit. Deterministic tiebreak by term."""
+    explosion + LOCAL count combiner, then term-hash-bucketed exact
+    sums with a per-bucket keep-50 — a term's full count lands in
+    exactly ONE bucket, so the global top-50 is a subset of the
+    per-bucket top-50s and the final sort sees <= 50 x buckets
+    candidate rows, never the vocabulary (whose junk-token tail is
+    itself web-scale). Deterministic tiebreak by term."""
+    num_buckets = _buckets_for(sf_dir, "documents", rows_per_bucket=50_000)
     ds = _read(sf_dir, "documents", ["text"], rows_per_block=2_000)
+
+    _CNT = pa.schema([("term", pa.string()), ("n", pa.int64()),
+                      ("th", pa.int64())])
+    _OUT = pa.schema([("term", pa.string()), ("n", pa.int64())])
 
     def local_counts(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
@@ -746,15 +755,32 @@ def q_top_terms(sf_dir: str):
             .explode("term")
             .drop_nulls()
             .group_by("term").agg(pl.len().cast(pl.Int64).alias("n"))
+            .with_columns(
+                th=pl.col("term").hash(seed=0).reinterpret(signed=True)
+            )
         )
-        return out.to_arrow().cast(
-            pa.schema([("term", pa.string()), ("n", pa.int64())])
+        out = out.to_arrow().cast(_CNT)
+        return out.append_column(
+            "_bucket", _hash_bucket(out.column("th"), num_buckets)
         )
+
+    def top50_bucket(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by("term").agg(pl.col("n").sum())
+            .sort(["n", "term"], descending=[True, False])
+            .head(50)
+            .select(["term", "n"])
+        )
+        return out.to_arrow().cast(_OUT)
 
     counts = ds.map_batches(local_counts, batch_format="pyarrow",
                             zero_copy_batch=True)
-    agg = counts.groupby("term").aggregate(Sum("n", alias_name="n"))
-    return agg.sort(["n", "term"], descending=[True, False]).limit(50)
+    candidates = counts.groupby("_bucket").map_groups(
+        lambda g: top50_bucket(g.drop_columns(["_bucket"])),
+        batch_format="pyarrow",
+    )
+    return candidates.sort(["n", "term"], descending=[True, False]).limit(50)
 
 
 # ---------------------------------------------------------------------------

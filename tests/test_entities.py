@@ -93,3 +93,46 @@ def test_fanout_mode_streams():
 def test_bad_mode():
     with pytest.raises(ValueError):
         PageEntityExtractor(mode="wat")
+
+
+def test_batch_kernel_matches_row_spec():
+    # the vectorized batch kernel (extract_all -> explode ->
+    # extract_groups) must agree with the per-row spec on every doc,
+    # including null html, bad UTF-8, entity-encoded hrefs, empty
+    # hrefs, markup inside anchors/headings and missing titles
+    from data_hub_ejp_xml_pipeline_ray.stages.entities import (
+        parse_page_entities_batch,
+    )
+
+    rng = random.Random(31)
+    htmls = [generate_rich_page(rng, version=i)[0] for i in range(40)]
+    htmls = [h.encode() if isinstance(h, str) else h for h in htmls]
+    htmls += [
+        None, b"", b"<a href='x'>one</a> no title",
+        b'<a href="a?x=1&amp;y=2">t</a>',
+        b"<title>T &amp;amp; U</title><h2>He<b>ad</b> &lt;x&gt;</h2>",
+        b"<a href=''>e</a><A HREF='z'>Z</A>",
+        b"\xff\xfe bad utf8 <a href='u'>v</a>",
+        b"<h1>a</h1><h3>b</h3><a href='1'>x</a><a href=\"2\">y</a>",
+    ]
+    p = parse_page_entities_batch(pa.array(htmls, type=pa.binary()))
+    li = hi = 0
+    for i, h in enumerate(htmls):
+        spec = parse_page_entities("u", h)
+        assert p.title[i].as_py() == spec["title"], i
+        nl = int(p.link_counts[i])
+        nh = int(p.heading_counts[i])
+        assert nl == len(spec["links"]) and nh == len(spec["headings"]), i
+        for j in range(nl):
+            assert {
+                "href": p.link_href[li + j].as_py(),
+                "anchor": p.link_anchor[li + j].as_py(),
+                "link_index": p.link_index[li + j].as_py(),
+            } == spec["links"][j], (i, j)
+        for j in range(nh):
+            assert {
+                "level": p.heading_level[hi + j].as_py(),
+                "text": p.heading_text[hi + j].as_py(),
+            } == spec["headings"][j], (i, j)
+        li += nl
+        hi += nh
