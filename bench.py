@@ -119,6 +119,41 @@ BENCH_QUERIES = [
 WAL_GEN_VERSION = 1
 
 
+def _heavy_dup_corpus() -> str:
+    """Deterministic high-duplication corpus cached in /tmp: 60k docs
+    in 15k clusters of 4 near-identical texts (~90k true near-dup
+    pairs) — enough that the LSH candidate stream crosses
+    PAIR_DRIVER_THRESHOLD NATURALLY and the Dataset-native clustering
+    tail (minlabel_components) runs un-mocked; the r4 verdict flagged
+    that path as never exercised outside monkeypatch parity tests."""
+    path = os.path.join(tempfile.gettempdir(), "graft_heavy_dup_v1.parquet")
+    if not os.path.exists(path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7171)
+        vocab = np.array([f"word{i:04d}" for i in range(5000)])
+        ids, texts = [], []
+        n_clusters, k = 15_000, 4
+        for c in range(n_clusters):
+            base = " ".join(vocab[rng.integers(0, len(vocab), 40)])
+            for m in range(k):
+                ids.append(c * k + m)
+                # ~3 trigram-shingles differ out of ~40: Jaccard ~0.85,
+                # above the 0.8 verify threshold for every in-cluster pair
+                texts.append(base if m == 0 else f"{base} tail{m} c{c % 7}")
+        tmp = path + ".tmp"
+        import pyarrow as _pa
+
+        pq.write_table(
+            pa.table({"doc_id": _pa.array(ids, _pa.int64()),
+                      "text": texts}), tmp
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def _bench_wal_dir(sf_dir: str, n_events: int) -> str:
     """Deterministic WAL cached under /tmp, keyed by size + generator
     version — generated once, reused by every parallelism level (same
@@ -390,6 +425,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 t_nested = time.perf_counter() - t0
             shutil.rmtree(edir, ignore_errors=True)
 
+    # Dataset-native near-dup clustering under a NATURAL heavy load:
+    # ~90k verified pairs keep the candidate stream a Dataset end to
+    # end (distinct -> verify -> minlabel_components) — the >50k branch
+    # the driver fast path never takes at sf0.1. SKIPPED at scaling
+    # volumes like every auxiliary leg.
+    t_heavy_dedup = heavy_pairs = heavy_survivors = None
+    if n_events <= 2_000_000:
+        from data_hub_ejp_xml_pipeline_ray.stages.dedup import (
+            PAIR_DRIVER_THRESHOLD,
+            minhash_dedup,
+        )
+
+        corpus = _heavy_dup_corpus()
+        t0 = time.perf_counter()
+        res = minhash_dedup(
+            ray.data.read_parquet([corpus]), concurrency=16,
+        )
+        heavy_survivors = res["survivors_ds"].count()
+        t_heavy_dedup = time.perf_counter() - t0
+        heavy_pairs = len(res["pairs"])
+        # the leg is only evidence if the native path actually ran
+        assert heavy_pairs >= PAIR_DRIVER_THRESHOLD, heavy_pairs
+
     # Change-feed + incremental-view timings on the committed bench
     # lake: the 0->1 feed scans every partition once (insert-only), so
     # rows/s here is the feed's lake-scan throughput; the view build is
@@ -522,6 +580,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "nested_ingest_s": (
                 None if t_nested is None else round(t_nested, 3)
             ),
+            "heavy_neardup_native_s": (
+                None if t_heavy_dedup is None else round(t_heavy_dedup, 3)
+            ),
+            "heavy_neardup_pairs": heavy_pairs,
+            "heavy_neardup_survivors": heavy_survivors,
             "dedup_index_build_s": (
                 None if t_idx_build is None else round(t_idx_build, 3)
             ),
@@ -548,6 +611,141 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             if v.get("capped_dropped_pairs")
         },
     }
+
+
+def run_soak() -> dict:
+    """Steady-state soak: N trickle commits (one WAL segment surfaced
+    per iteration) against a MERGE-ON-READ lake with the full
+    operational loop per commit — maintained exact-dedup + simhash
+    index refreshes, the auto_maintain policy (delta folding /
+    tombstone compaction / splits from manifest stats), and WAL GC
+    every 10 commits. This measures the claim the r4 machinery makes
+    and no per-leg bench could: that per-commit latency stays FLAT as
+    history accumulates (no compaction debt, no manifest bloat, no
+    index lag) over hundreds of commits.
+
+    Env: GRAFT_SOAK_COMMITS (default 120), GRAFT_SOAK_EVENTS_PER
+    (default 4000). Prints one JSON line with p50/p99 per phase
+    (first/middle/last thirds), file/manifest counts, index lag and
+    WAL backlog at the end.
+    """
+    import ray
+
+    commits = int(os.environ.get("GRAFT_SOAK_COMMITS", "120"))
+    ev_per = int(os.environ.get("GRAFT_SOAK_EVENTS_PER", "4000"))
+    num_cpus = NUM_CPUS
+    ray.init(
+        address="local", num_cpus=num_cpus,
+        include_dashboard=False, ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from data_hub_ejp_xml_pipeline_ray.pipelines.cdc import (
+        CdcConfig, run_ingest, wal_lag,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        refresh_dedup_index, refresh_simhash_index,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        auto_maintain,
+    )
+    from data_hub_ejp_xml_pipeline_ray.sources.synthetic import generate_wal
+    from data_hub_ejp_xml_pipeline_ray.sources.wal import wal_gc
+    from data_hub_ejp_xml_pipeline_ray.state.checkpoint import load_manifest
+
+    base = os.path.join(tempfile.gettempdir(), f"graft_soak_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    pending = os.path.join(base, "pending")   # pre-generated stream
+    wal = os.path.join(base, "wal")           # what the tailer sees
+    lake = os.path.join(base, "lake")
+    os.makedirs(wal, exist_ok=True)
+    generate_wal(
+        pending, seed=9000, n_urls=max(2000, commits * ev_per // 40),
+        n_events=commits * ev_per, n_segments=commits,
+        hot_fraction=0.01, hot_mass=0.3, delete_fraction=0.05,
+    )
+    segs = sorted(
+        n for n in os.listdir(pending) if n.endswith(".parquet")
+    )
+    assert len(segs) == commits, (len(segs), commits)
+    cfg = CdcConfig(
+        wal_dir=wal, lake_dir=lake, num_partitions=32,
+        merge_mode="mor", retain_versions=2,
+    )
+    idx_dir, sim_dir = os.path.join(base, "idx"), os.path.join(base, "sim")
+    lat = {"ingest": [], "dedup_idx": [], "simhash_idx": [], "maintain": []}
+    extras = []
+    for i, name in enumerate(segs):
+        os.rename(os.path.join(pending, name), os.path.join(wal, name))
+        t0 = time.perf_counter()
+        rep = run_ingest(cfg)
+        lat["ingest"].append(time.perf_counter() - t0)
+        assert rep.commits == 1, (i, rep.commits)
+        t0 = time.perf_counter()
+        refresh_dedup_index(lake, idx_dir)
+        lat["dedup_idx"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        refresh_simhash_index(lake, sim_dir)
+        lat["simhash_idx"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acts = auto_maintain(lake)
+        lat["maintain"].append(time.perf_counter() - t0)
+        if acts.get("deltas_folded") or acts.get("compacted"):
+            extras.append({"commit": i, **{
+                k: acts[k] for k in ("deltas_folded", "compacted", "splits")
+            }})
+        if (i + 1) % 10 == 0:
+            wal_gc(wal, [lake], keep_last=2)
+
+    def pctl(xs, q):
+        xs = sorted(xs)
+        return round(xs[min(len(xs) - 1, int(q * len(xs)))], 3)
+
+    def drift(xs):
+        third = max(1, len(xs) // 3)
+        return {
+            "p50_first": pctl(xs[:third], 0.5),
+            "p50_last": pctl(xs[-third:], 0.5),
+            "p99_first": pctl(xs[:third], 0.99),
+            "p99_last": pctl(xs[-third:], 0.99),
+        }
+
+    m = load_manifest(lake)
+    data_files = sum(
+        1 for _ in os.listdir(os.path.join(lake, "data"))
+    ) if os.path.isdir(os.path.join(lake, "data")) else 0
+    lag = wal_lag(lake, wal)
+    import json as _json
+
+    idx_state = _json.loads(
+        open(os.path.join(idx_dir, "_dedup_index.json")).read()
+    )
+    out = {
+        "metric": "soak_commit_latency (trickle MOR + index refresh + "
+                  "auto-maintain per commit)",
+        "unit": "sec",
+        "commits": commits,
+        "events_per_commit": ev_per,
+        "num_cpus": num_cpus,
+        "latency": {k: drift(v) for k, v in lat.items()},
+        "total_wall_s": round(sum(sum(v) for v in lat.values()), 1),
+        "lake": {
+            "version": m.version,
+            "data_files": data_files,
+            "delta_files_pending": sum(
+                len(v) for v in m.delta_files.values()
+            ),
+            "partitions": len(m.partitions),
+        },
+        "index_lag_versions": m.version - int(idx_state["lake_version"]),
+        "wal_backlog_segments": lag["pending_segments"],
+        "maintenance_events": extras[-5:],
+        "maintenance_count": len(extras),
+    }
+    ray.shutdown()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def run_scaling() -> dict:
@@ -629,5 +827,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--soak" in sys.argv:
+        print(json.dumps(run_soak()))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

@@ -49,7 +49,7 @@ from ..state.checkpoint import (
     tag_version,
     utcnow_iso,
 )
-from ..state.store import LOCAL_STORE, Store
+from ..state.store import Store, resolve_store
 
 CATALOG_FILE = "_catalog.json"
 CATALOG_TAG = "catalog"
@@ -64,7 +64,7 @@ def load_catalog(catalog_dir: str, *, store: Store | None = None) -> dict | None
     """The committed catalog document, or None before the first commit:
     ``{"version": n, "committed_at": iso,
     "tables": {name: {"dir": path, "version": v}}}``."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(catalog_dir)
     try:
         return json.loads(store.get_bytes(_catalog_path(catalog_dir)))
     except FileNotFoundError:
@@ -83,7 +83,7 @@ def commit_catalog(
     set may grow/shrink between commits (dropped members lose their
     catalog pin). Raises :class:`ConcurrentWriterError` when another
     catalog committer won the CAS race."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(catalog_dir)
     resolved: dict[str, dict[str, Any]] = {}
     for name, (lake_dir, version) in tables.items():
         if version is None:

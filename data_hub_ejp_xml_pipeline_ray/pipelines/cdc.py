@@ -286,7 +286,23 @@ def _ingest_one_batch(
     # (which degenerates on a low-cardinality partition key), and the
     # extracted text never re-enters the object store. The take_all()
     # is the phase barrier — only tiny manifest rows reach the driver.
-    staging_root = cfg.staging_root or os.path.join(cfg.lake_dir, "_staging")
+    if cfg.staging_root:
+        staging_root = cfg.staging_root
+    elif cfg.lake_dir.startswith("objstore://"):
+        # staging is node-local scratch BY DESIGN (see CdcConfig): an
+        # object-store lake still spills to the worker's local disk —
+        # shipping per-block spill row groups through the bucket would
+        # double the write path for files that die minutes later
+        import hashlib as _hl
+        import tempfile as _tf
+
+        staging_root = os.path.join(
+            _tf.gettempdir(),
+            "graft_staging_"
+            + _hl.sha1(cfg.lake_dir.encode()).hexdigest()[:12],
+        )
+    else:
+        staging_root = os.path.join(cfg.lake_dir, "_staging")
     # staging is per-WRITER (uuid suffix), not just per-token: two
     # concurrent writers racing the same batch would otherwise share
     # spill paths, and the commit winner's cleanup would delete the
@@ -837,7 +853,9 @@ def read_lake(
         read_kwargs = dict(columns=target.names, schema=target)
     if filter is not None:
         read_kwargs["filter"] = filter
-    out = ray.data.read_parquet(paths, **read_kwargs).map_batches(
+    from ..state.iofs import read_parquet_dataset
+
+    out = read_parquet_dataset(paths, **read_kwargs).map_batches(
         conform, batch_format="pyarrow", zero_copy_batch=True
     )
     if read_cols is not columns and columns is not None:
@@ -1087,7 +1105,9 @@ def changes_between(
             # of every older manifest's — guarded above)
             from ..schemas import apply_renames, physical_read_columns
 
-            f = pq.ParquetFile(p)
+            from ..state.iofs import parquet_file
+
+            f = parquet_file(p)
             want = physical_read_columns(list(schema.names), feed_renames)
             avail = [c for c in want if c in set(f.schema_arrow.names)]
             return conform_table(
@@ -1497,7 +1517,9 @@ def entity_changes_between(
         def read_file(p: str) -> pa.Table:
             from ..schemas import apply_renames, physical_read_columns
 
-            f = pq.ParquetFile(p)
+            from ..state.iofs import parquet_file
+
+            f = parquet_file(p)
             want = physical_read_columns(list(schema.names), feed_renames)
             avail = [c for c in want if c in set(f.schema_arrow.names)]
             return conform_table(
@@ -1604,19 +1626,16 @@ def read_errors(lake_dir: str) -> pa.Table:
     """Quarantined dead-letter rows (``<lake>/_errors``): the wire rows
     that failed the WAL contract or UTF-8 decode, with ``error`` tag +
     ``_src_segment`` provenance. Empty table when the lake is clean."""
-    import glob as _glob
-
     from ..stages.merge import ERRORS_SCHEMA
+    from ..state.iofs import list_data_files, read_table
 
     files = sorted(
-        f for f in _glob.glob(os.path.join(lake_dir, ERRORS_DIR, "*.parquet"))
-        if not f.endswith(".raw.parquet")  # raw siblings are redrive input
+        f for f in list_data_files(os.path.join(lake_dir, ERRORS_DIR))
+        if f.endswith(".parquet") and not f.endswith(".raw.parquet")
     )
     if not files:
         return ERRORS_SCHEMA.empty_table()
-    import pyarrow.parquet as pq
-
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.concat_tables([read_table(f) for f in files])
 
 
 def redrive_errors(cfg: CdcConfig, fixer=None) -> dict:
@@ -1803,6 +1822,7 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
     from ..schemas import apply_renames, conform_table
 
     from ..stages.merge import reduce_fn_for_kind
+    from ..state.iofs import read_table as _iofs_read_table
 
     tables = []
     for part, part_urls in sorted(by_part.items()):
@@ -1812,7 +1832,7 @@ def lookup_urls(lake_dir: str, urls: list[str]) -> pa.Table:
         pieces = [
             conform_table(
                 apply_renames(
-                    pq.read_table(
+                    _iofs_read_table(
                         os.path.join(lake_dir, rel),
                         filters=[("url", "in", part_urls)],
                     ),

@@ -315,9 +315,9 @@ def refresh_dedup_index(
                     new_files[str(bucket)] = fname
             mode, touched = "incremental", len(touched_buckets)
 
-    from ..state.store import LOCAL_STORE
+    from ..state.store import resolve_store
 
-    LOCAL_STORE.put_atomic(
+    resolve_store(index_dir).put_atomic(
         os.path.join(index_dir, INDEX_STATE),
         json.dumps({
             "lake_version": target, "key_col": key_col,
@@ -588,9 +588,9 @@ def refresh_simhash_index(
                     new_files[str(bucket)] = fname
             mode, touched = "incremental", len(touched_buckets)
 
-    from ..state.store import LOCAL_STORE
+    from ..state.store import resolve_store
 
-    LOCAL_STORE.put_atomic(
+    resolve_store(state_path).put_atomic(
         state_path,
         json.dumps({
             "lake_version": target, "key_col": key_col,

@@ -298,11 +298,11 @@ def refresh_live_stats(
         stats.sort_by([(k, "ascending") for k in keys]),
         os.path.join(view_dir, fname),
     )
-    from ..state.store import LOCAL_STORE
+    from ..state.store import resolve_store
 
     # atomic publish via the storage seam (fsync'd rename locally,
     # plain conditional PUT on an object store — see state/store.py)
-    LOCAL_STORE.put_atomic(
+    resolve_store(view_dir).put_atomic(
         os.path.join(view_dir, VIEW_STATE),
         json.dumps({
             "lake_version": target, "file": fname, "key": keys,
@@ -505,9 +505,9 @@ def _refresh_affected_key(
     pq.write_table(
         view.sort_by([(key, "ascending")]), os.path.join(view_dir, fname)
     )
-    from ..state.store import LOCAL_STORE
+    from ..state.store import resolve_store
 
-    LOCAL_STORE.put_atomic(
+    resolve_store(spath).put_atomic(
         spath,
         json.dumps({
             "lake_version": target, "file": fname, **signature,

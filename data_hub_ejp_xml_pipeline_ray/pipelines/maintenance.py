@@ -297,7 +297,6 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
     import zlib
 
     from ..state.checkpoint import (
-        LOCAL_STORE,
         list_branches,
         list_purged,
         record_purged,
@@ -326,7 +325,9 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
                 f"{list_branches(lake_dir)}: publish or delete them "
                 "first — a purge cannot rewrite files a branch pins"
             )
-        store = LOCAL_STORE
+        from ..state.store import resolve_store
+
+        store = resolve_store(lake_dir)
         versions = list_versions(lake_dir)
         mans = {}
         for v in versions:
@@ -1352,10 +1353,10 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
     }
     # files only a live BRANCH references are pinned, not orphaned
     from ..state.checkpoint import _branch_pinned_relpaths
-    from ..state.store import LOCAL_STORE
+    from ..state.store import resolve_store
 
     try:
-        referenced |= _branch_pinned_relpaths(lake_dir, LOCAL_STORE)
+        referenced |= _branch_pinned_relpaths(lake_dir, resolve_store(lake_dir))
     except RuntimeError as e:  # unreadable branch state: report, go on
         errors.append(str(e))
     data_dir = os.path.join(lake_dir, DATA_DIR)

@@ -280,9 +280,9 @@ def sync_replica(
         )
         verify_lock(replica_dir, lock_token)  # fencing before deletes
         gc_unreferenced(replica_dir, new_manifest, previous=rm)
-        from ..state.store import LOCAL_STORE
+        from ..state.store import resolve_store
 
-        LOCAL_STORE.put_atomic(conf_path, _json.dumps(conf).encode("utf-8"))
+        resolve_store(conf_path).put_atomic(conf_path, _json.dumps(conf).encode("utf-8"))
     return {
         "synced": True,
         "mode": (

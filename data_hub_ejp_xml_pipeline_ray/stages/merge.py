@@ -267,7 +267,8 @@ def write_dead_letters(
     ``errors-<h>.raw.parquet`` — the redrive input."""
     import hashlib
 
-    os.makedirs(errors_dir, exist_ok=True)
+    from ..state.iofs import write_table_atomic
+
     key = hashlib.sha1()
     key.update(str(err.num_rows).encode())
     key.update(
@@ -278,14 +279,9 @@ def write_dead_letters(
         ).encode()
     )
     path = os.path.join(errors_dir, f"errors-{key.hexdigest()[:16]}.parquet")
-    tmp = path + ".inprogress"
-    pq.write_table(err, tmp)
-    os.replace(tmp, path)
+    write_table_atomic(err, path)
     if raw is not None:
-        raw_path = path[: -len(".parquet")] + ".raw.parquet"
-        tmp = raw_path + ".inprogress"
-        pq.write_table(raw, tmp)
-        os.replace(tmp, raw_path)
+        write_table_atomic(raw, path[: -len(".parquet")] + ".raw.parquet")
     return path
 
 #: Hidden lake column persisting delete markers. Tombstones MUST be
@@ -512,9 +508,11 @@ def read_effective_partition(
         None if need is None
         else physical_read_columns(list(schema.names), renames or [])
     )
+    from ..state.iofs import parquet_file
+
     pieces = []
     for rel in rels:
-        f = pq.ParquetFile(os.path.join(lake_dir, rel))
+        f = parquet_file(os.path.join(lake_dir, rel))
         avail = (
             None if read_names is None
             else [c for c in read_names if c in set(f.schema_arrow.names)]
@@ -812,15 +810,17 @@ class PartitionMerger:
         off the ingest path."""
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+        from ..state.iofs import file_exists, file_size, parquet_file, write_table_atomic
+
         rel = partition_delta_relpath(part, self._token)
         out_path = os.path.join(self._lake_dir, rel)
-        if os.path.exists(out_path):
+        if file_exists(out_path):
             # partition-level resume, same contract as the CoW branch
-            meta = pq.ParquetFile(out_path)
+            meta = parquet_file(out_path)
             return {
                 "part": part, "path": rel,
                 "rows": meta.metadata.num_rows,
-                "bytes": os.path.getsize(out_path),
+                "bytes": file_size(out_path),
                 "events_applied": 0,
                 "tombstones": 0,
                 "resumed": True,
@@ -832,13 +832,10 @@ class PartitionMerger:
         tombstones = int(
             pa.compute.sum(delta.column(DELETED_COL)).as_py() or 0
         ) if DELETED_COL in delta.column_names else 0
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        tmp = out_path + ".inprogress"
-        pq.write_table(delta, tmp)
-        os.replace(tmp, out_path)
+        nbytes = write_table_atomic(delta, out_path)
         return {
             "part": part, "path": rel, "rows": delta.num_rows,
-            "bytes": os.path.getsize(out_path),
+            "bytes": nbytes,
             "events_applied": events_applied, "tombstones": tombstones,
         }
 
@@ -858,10 +855,12 @@ class PartitionMerger:
         # file IS this merge's complete result from a previous attempt
         # of the same micro-batch — skip the rework (per-partition
         # checkpoint granularity on batch retry).
+        from ..state.iofs import file_exists, file_size, parquet_file, read_table, write_table_atomic
+
         rel = partition_file_relpath(part, self._token)
         out_path = os.path.join(self._lake_dir, rel)
-        if os.path.exists(out_path):
-            meta = pq.ParquetFile(out_path)
+        if file_exists(out_path):
+            meta = parquet_file(out_path)
             done = meta.read(columns=[DELETED_COL]) if DELETED_COL in [
                 f.name for f in meta.schema_arrow
             ] else None
@@ -873,7 +872,7 @@ class PartitionMerger:
             return {
                 "part": part, "path": rel,
                 "rows": meta.metadata.num_rows,
-                "bytes": os.path.getsize(out_path),
+                "bytes": file_size(out_path),
                 "events_applied": 0,  # replay: no new events counted
                 "tombstones": tomb,
                 "resumed": True,
@@ -890,14 +889,14 @@ class PartitionMerger:
         base_rel = self._base_partitions.get(part)
         pieces = []
         if base_rel is not None:
-            base = pq.read_table(os.path.join(self._lake_dir, base_rel))
+            base = read_table(os.path.join(self._lake_dir, base_rel))
             pieces.append(
                 conform_table(apply_renames(base, self._renames),
                               self._lake_schema)
             )
         for rel in self._base_deltas.get(part, ()):
             # pending MOR deltas fold into this rewrite (auto-compact)
-            t = pq.read_table(os.path.join(self._lake_dir, rel))
+            t = read_table(os.path.join(self._lake_dir, rel))
             pieces.append(
                 conform_table(apply_renames(t, self._renames),
                               self._lake_schema)
@@ -919,13 +918,10 @@ class PartitionMerger:
             }
         rel = partition_file_relpath(part, self._token)
         out_path = os.path.join(self._lake_dir, rel)
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        tmp = out_path + ".inprogress"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, out_path)  # readers never observe partial files
+        nbytes = write_table_atomic(merged, out_path)
         return {
             "part": part, "path": rel, "rows": merged.num_rows,
-            "bytes": os.path.getsize(out_path),
+            "bytes": nbytes,
             "events_applied": events_applied, "tombstones": tombstones,
         }
 

@@ -37,7 +37,7 @@ from typing import Any, Iterator
 import pyarrow as pa
 
 from ..schemas import schema_from_json, schema_to_json
-from .store import LOCAL_STORE, Store
+from .store import Store, resolve_store
 
 MANIFEST_NAME = "_manifest.json"
 LOCK_NAME = "_commit.lock"
@@ -249,7 +249,7 @@ def list_versions(lake_dir: str, *, store: Store | None = None) -> list[int]:
     Every commit writes an immutable per-version snapshot alongside the
     current-pointer swap (Delta/Iceberg-style version history);
     :func:`vacuum`-style retention prunes old ones."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     out = []
     for path in store.list_prefix(os.path.join(lake_dir, SNAPSHOTS_DIR)):
         name = os.path.basename(path)
@@ -271,7 +271,7 @@ def tags_path(lake_dir: str) -> str:
 def list_tags(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
     """Named refs -> pinned snapshot version (the Iceberg TAG analog).
     Empty dict when no tag was ever created."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     try:
         raw = store.get_bytes(tags_path(lake_dir))
     except FileNotFoundError:
@@ -292,11 +292,24 @@ def branch_dir(lake_dir: str, name: str) -> str:
 def list_branches(lake_dir: str, *, store: Store | None = None) -> list[str]:
     """Names of branches with a committed manifest, sorted."""
     root = os.path.join(lake_dir, BRANCHES_DIR)
-    if not os.path.isdir(root):
+    store = store if store is not None else resolve_store(lake_dir)
+    if lake_dir.startswith("objstore://"):
+        from .objstore import _actor, split_objstore_path
+
+        import ray
+
+        sname, key = split_objstore_path(root)
+        names = [
+            k.rstrip("/").rsplit("/", 1)[-1]
+            for k in ray.get(_actor(sname).list_prefix.remote(key))
+            if k.endswith("/")
+        ]
+    elif os.path.isdir(root):
+        names = os.listdir(root)
+    else:
         return []
-    store = store or LOCAL_STORE
     return sorted(
-        name for name in os.listdir(root)
+        name for name in names
         if store.exists(manifest_path(os.path.join(root, name)))
     )
 
@@ -391,7 +404,7 @@ def tag_version(
     current committed one."""
     import re as _re
 
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
         raise ValueError(
             f"invalid tag name {name!r} (alnum first, then [A-Za-z0-9._-])"
@@ -417,7 +430,7 @@ def delete_tag(
 ) -> bool:
     """Remove a tag (its pinned version becomes prunable again on the
     next retention/vacuum pass). True = removed, False = didn't exist."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     existed = name in list_tags(lake_dir, store=store)
     _cas_update_tags(
         lake_dir, store,
@@ -453,7 +466,7 @@ def pinned_snapshot(
     A reader that dies without cleanup leaves a ``pin-`` tag behind;
     list_tags makes them visible and delete_tag reclaims them — an
     operator decision, exactly like abandoned Iceberg refs."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     name = f"pin-{uuid.uuid4().hex[:12]}"
     v = tag_version(lake_dir, name, version, store=store)
     try:
@@ -476,7 +489,7 @@ def list_cursors(lake_dir: str, *, store: Store | None = None) -> dict[str, int]
     (the empty pre-lake). Cursor versions are PINNED against retention
     and vacuum like tags — the feed a consumer has not yet read can
     never be pruned out from under it."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     try:
         raw = store.get_bytes(cursors_path(lake_dir))
     except FileNotFoundError:
@@ -496,7 +509,7 @@ def advance_cursor(
     Returns False on a lost race or a stale token."""
     import re as _re
 
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", consumer):
         raise ValueError(f"invalid consumer name {consumer!r}")
     if int(to_version) < int(from_version):
@@ -518,7 +531,7 @@ def delete_cursor(
 ) -> bool:
     """Drop a consumer cursor (its pinned version becomes prunable on
     the next retention/vacuum pass). True = removed."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     existed = consumer in list_cursors(lake_dir, store=store)
     _cas_update_intmap(
         cursors_path(lake_dir), store,
@@ -545,7 +558,7 @@ def list_purged(lake_dir: str, *, store: Store | None = None) -> dict[str, int]:
     The url strings themselves are retained here by necessity (the
     filter needs them) — the same residual every production purge
     design carries until WAL retention ages the source out."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     try:
         raw = store.get_bytes(purged_path(lake_dir))
     except FileNotFoundError:
@@ -559,7 +572,7 @@ def record_purged(
     """CAS-merge urls into the purge registry at ``version``. Keeps the
     EARLIEST purge version on re-purge (monotone: feeds already
     synthesized the delete at the first purge)."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
 
     def upd(cur: dict[str, int]) -> dict[str, int]:
         for u in urls:
@@ -607,7 +620,7 @@ def load_manifest(
     ``etl_state.py:26-52``). With ``version``, read that retained
     snapshot instead (time travel) — raises FileNotFoundError when the
     snapshot was vacuumed or never existed."""
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     if version is not None:
         try:
             raw = store.get_bytes(snapshot_path(lake_dir, version))
@@ -638,7 +651,9 @@ def writer_lock(
     skips the run); a lock whose lease expired is broken — the holder
     crashed without releasing (leases bound the outage a dead writer
     can cause on shared storage, where no advisory flock exists)."""
-    os.makedirs(lake_dir, exist_ok=True)
+    store = resolve_store(lake_dir)
+    if not lake_dir.startswith("objstore://"):
+        os.makedirs(lake_dir, exist_ok=True)
     # lock_name scopes INDEPENDENT critical sections (e.g. the DLQ
     # redrive serializes its file shuffle under its own lease while the
     # inner commit still takes the main writer lock — different files,
@@ -646,91 +661,60 @@ def writer_lock(
     path = os.path.join(lake_dir, lock_name or LOCK_NAME)
     token = f"{owner or f'pid-{os.getpid()}'}-{uuid.uuid4().hex[:8]}"
     while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                json.dump(
-                    {"owner": token, "expires_at": time.time() + lease_seconds}, f
-                )
-                f.flush()
-                os.fsync(f.fileno())
+        doc_bytes = json.dumps(
+            {"owner": token, "expires_at": time.time() + lease_seconds}
+        ).encode("utf-8")
+        if store.put_if_absent(path, doc_bytes):
             break
-        except FileExistsError:
-            try:
-                with open(path, "r", encoding="utf-8") as f:
-                    doc = json.load(f)
-            except FileNotFoundError:
-                continue  # holder released between create and read: retry
-            except json.JSONDecodeError:
-                # racer mid-write: NEVER remove (the old remove-here path
-                # could delete a LIVE holder's just-created lock);
-                # re-read after a beat — the write is tiny
-                time.sleep(0.05)
-                continue
-            if doc.get("expires_at", 0) >= time.time():
-                raise ConcurrentWriterError(
-                    f"lake {lake_dir} is locked by {doc.get('owner')} "
-                    f"(lease expires in "
-                    f"{doc.get('expires_at', 0) - time.time():.0f}s)"
-                )
-            _break_stale_lock(path, doc)
+        try:
+            raw = store.get_bytes(path)
+            doc = json.loads(raw)
+        except FileNotFoundError:
+            continue  # holder released between create and read: retry
+        except json.JSONDecodeError:
+            # racer mid-write on a non-atomic backend: NEVER remove
+            # (could delete a LIVE holder's just-created lock);
+            # re-read after a beat — the write is tiny
+            time.sleep(0.05)
+            continue
+        if doc.get("expires_at", 0) >= time.time():
+            raise ConcurrentWriterError(
+                f"lake {lake_dir} is locked by {doc.get('owner')} "
+                f"(lease expires in "
+                f"{doc.get('expires_at', 0) - time.time():.0f}s)"
+            )
+        # stale lease: ATOMIC conditional delete of the exact stale
+        # bytes we read (a racer's fresh lock is never removed — the
+        # POSIX store rename-claims and restores on mismatch, the
+        # object store compares server-side), then EVERY waiter loops
+        # back to the create-if-absent acquire, where exactly one wins.
+        # Never swap-in-place here: a replace would recreate the lock
+        # through a window in which a racer's put_if_absent can also
+        # succeed — two holders.
+        store.delete_if_matches(path, raw)
     try:
         yield token
     finally:
-        # release only if still ours (a lease-breaker may have replaced it)
+        # release only if still ours (a lease-breaker may have replaced
+        # it): read-verify, then conditional delete against those bytes
         try:
-            with open(path, "r", encoding="utf-8") as f:
-                doc = json.load(f)
-            if doc.get("owner") == token:
-                os.remove(path)
+            raw = store.get_bytes(path)
+            if json.loads(raw).get("owner") == token:
+                store.delete_if_matches(path, raw)
         except (FileNotFoundError, json.JSONDecodeError):
             pass
 
 
-def _break_stale_lock(path: str, stale_doc: dict) -> None:
-    """Break an expired lock ATOMICALLY: rename it to a unique name so
-    of N waiters exactly one performs the break (the others' renames
-    fail with FileNotFoundError and they loop back to the O_EXCL
-    acquire). The renamed file is then inspected: if a NEW holder
-    re-created the lock between our read and the rename (so we stole a
-    live lock), restore it. Two waiters can therefore never both
-    'break and recreate' into two simultaneous holders."""
-    broken = f"{path}.broken-{uuid.uuid4().hex[:8]}"
-    try:
-        os.rename(path, broken)
-    except FileNotFoundError:
-        return  # another waiter broke it first; loop to acquire
-    try:
-        with open(broken, "r", encoding="utf-8") as f:
-            got = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        got = None
-    if (
-        got is not None
-        and got.get("owner") != stale_doc.get("owner")
-        and got.get("expires_at", 0) >= time.time()
-    ):
-        # we renamed a LIVE lock created after our staleness read —
-        # put it back (unless the path was re-taken meanwhile, in which
-        # case the fencing checks in verify_lock/gc are the backstop)
-        if not os.path.exists(path):
-            with contextlib.suppress(OSError):
-                os.rename(broken, path)
-                return
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(broken)
-
-
 def verify_lock(lake_dir: str, token: str) -> None:
-    """Fencing check: raise unless the on-disk lock is still OURS. A
+    """Fencing check: raise unless the stored lock is still OURS. A
     writer whose lease expired (and was broken by a successor) fails
     here BEFORE destructive actions — call it immediately before
     :func:`gc_unreferenced` / :func:`commit_manifest` in long-running
     writers so a zombie holder cannot delete a successor's files."""
+    store = resolve_store(lake_dir)
     path = os.path.join(lake_dir, LOCK_NAME)
     try:
-        with open(path, "r", encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(store.get_bytes(path))
     except (FileNotFoundError, json.JSONDecodeError) as e:
         raise ConcurrentWriterError(
             f"lock at {lake_dir} is gone or unreadable — lease lost"
@@ -749,10 +733,10 @@ def check_no_live_writer(lake_dir: str) -> None:
     Advisory only — commits stay CAS-protected regardless; this just
     keeps a concurrent run from burning a whole pipeline pass it is
     guaranteed to lose."""
+    store = resolve_store(lake_dir)
     path = os.path.join(lake_dir, LOCK_NAME)
     try:
-        with open(path, "r", encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = json.loads(store.get_bytes(path))
     except (FileNotFoundError, json.JSONDecodeError):
         return
     if doc.get("expires_at", 0) >= time.time():
@@ -765,17 +749,29 @@ def check_no_live_writer(lake_dir: str) -> None:
 def renew_lock(
     lake_dir: str, token: str, *, lease_seconds: float = DEFAULT_LEASE_SECONDS
 ) -> None:
-    """Extend our lease (atomic tmp+rename after verifying ownership).
+    """Extend our lease (conditional swap after verifying ownership).
     Long-running writers renew at batch boundaries so a slow-but-alive
     run never goes stale mid-flight."""
-    verify_lock(lake_dir, token)
+    store = resolve_store(lake_dir)
     path = os.path.join(lake_dir, LOCK_NAME)
-    tmp = f"{path}.renew-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"owner": token, "expires_at": time.time() + lease_seconds}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    try:
+        raw = store.get_bytes(path)
+        doc = json.loads(raw)
+    except (FileNotFoundError, json.JSONDecodeError) as e:
+        raise ConcurrentWriterError(
+            f"lock at {lake_dir} is gone or unreadable — lease lost"
+        ) from e
+    if doc.get("owner") != token:
+        raise ConcurrentWriterError(
+            f"lock at {lake_dir} is now held by {doc.get('owner')} — "
+            f"this writer's lease was broken"
+        )
+    store.replace_if_matches(
+        path, raw,
+        json.dumps(
+            {"owner": token, "expires_at": time.time() + lease_seconds}
+        ).encode("utf-8"),
+    )
 
 
 def _same_logical_commit(a: LakeManifest, b: LakeManifest) -> bool:
@@ -821,7 +817,7 @@ def commit_manifest(
     without it the publish is unconditional (fresh lake bootstrap)."""
     from .zones import refresh_zones
 
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     pointer = manifest_path(lake_dir)
     try:
         current_bytes: bytes | None = store.get_bytes(pointer)
@@ -929,7 +925,7 @@ def gc_unreferenced(
     (the Delta/Iceberg retention model)."""
     if retain_versions is _FROM_MANIFEST:
         retain_versions = manifest.retain_versions
-    store = store or LOCAL_STORE
+    store = store if store is not None else resolve_store(lake_dir)
     removed = []
     live = {os.path.normpath(rel) for rel in manifest.all_data_relpaths()}
     if previous is not None:
@@ -982,13 +978,15 @@ def gc_unreferenced(
             if store.delete(snap):
                 removed.append(os.path.normpath(
                     os.path.join(SNAPSHOTS_DIR, f"v{v:06d}.json")))
+    from .iofs import delete_file, list_data_files
+
     data_dir = os.path.join(lake_dir, DATA_DIR)
-    if not os.path.isdir(data_dir):
-        return removed
-    for name in os.listdir(data_dir):
-        rel = os.path.normpath(os.path.join(DATA_DIR, name))
+    for path in list_data_files(data_dir):
+        rel = os.path.normpath(
+            os.path.join(DATA_DIR, path.rsplit("/", 1)[-1])
+        )
         if rel not in live:
-            os.remove(os.path.join(lake_dir, rel))
+            delete_file(os.path.join(lake_dir, rel))
             removed.append(rel)
     return removed
 

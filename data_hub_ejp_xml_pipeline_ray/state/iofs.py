@@ -1,0 +1,134 @@
+"""Data-plane I/O routing: every lake DATA file (partition parquet,
+delta file, dead-letter blob) read/written by the engine goes through
+these helpers, so a lake whose ``lake_dir`` is an ``objstore://`` URL
+streams its data through the object-store backend while POSIX lakes
+keep their exact local fast path (tmp + fsync + rename publishes).
+
+Object-store publishes need no rename: data files are immutable and
+content-addressed (deterministic batch-token names, see
+``checkpoint.partition_file_relpath``), so a whole-object PUT of the
+final key is already atomic and idempotent. Reads are ranged GETs via
+the fsspec adapter — a parquet footer probe pulls the footer, not the
+object.
+"""
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .objstore import is_objstore_path, pyarrow_fs, strip_for_fs
+from .store import resolve_store
+
+
+def write_table_atomic(table: pa.Table, path: str, **write_kwargs) -> int:
+    """Publish a parquet data file atomically; returns its size in
+    bytes. POSIX: tmp + rename (readers never observe a partial file).
+    Object store: serialize to a buffer and PUT the final key (atomic
+    at object granularity)."""
+    if is_objstore_path(path):
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink, **write_kwargs)
+        data = sink.getvalue().to_pybytes()
+        resolve_store(path).put_atomic(path, data)
+        return len(data)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.inprogress-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp, **write_kwargs)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def read_table(
+    path: str, columns: list[str] | None = None, **kwargs
+) -> pa.Table:
+    if is_objstore_path(path):
+        return pq.read_table(
+            strip_for_fs(path), columns=columns,
+            filesystem=pyarrow_fs(), **kwargs,
+        )
+    return pq.read_table(path, columns=columns, **kwargs)
+
+
+def parquet_file(path: str) -> pq.ParquetFile:
+    """Open for metadata/row-group reads. Object store: ranged GETs
+    (footer-sized), not a whole-object download."""
+    if is_objstore_path(path):
+        return pq.ParquetFile(
+            pyarrow_fs().open_input_file(strip_for_fs(path))
+        )
+    return pq.ParquetFile(path)
+
+
+def file_exists(path: str) -> bool:
+    if is_objstore_path(path):
+        return resolve_store(path).exists(path)
+    return os.path.exists(path)
+
+
+def file_size(path: str) -> int:
+    if is_objstore_path(path):
+        return resolve_store(path).size(path)
+    return os.path.getsize(path)
+
+
+def delete_file(path: str) -> bool:
+    if is_objstore_path(path):
+        return resolve_store(path).delete(path)
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def list_data_files(dir_path: str, *, recursive: bool = False) -> list[str]:
+    """Paths of files under a directory-like prefix (sorted).
+    Non-recursive by default, matching ``os.listdir`` call sites."""
+    if is_objstore_path(dir_path):
+        store = resolve_store(dir_path)
+        if not recursive:
+            return store.list_prefix(dir_path)
+        out, stack = [], [dir_path]
+        seen = set()
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            import ray
+
+            from .objstore import split_objstore_path, _actor
+
+            name, key = split_objstore_path(d)
+            h = _actor(name)
+            for k in ray.get(h.list_prefix.remote(key, recursive=True)):
+                out.append(f"objstore://{name}/{k}")
+        return sorted(out)
+    if not os.path.isdir(dir_path):
+        return []
+    if not recursive:
+        return sorted(
+            os.path.join(dir_path, n) for n in os.listdir(dir_path)
+        )
+    out = []
+    for root, _, files in os.walk(dir_path):
+        out.extend(os.path.join(root, f) for f in files)
+    return sorted(out)
+
+
+def read_parquet_dataset(paths: list[str], **kwargs):
+    """``ray.data.read_parquet`` routed by path scheme: objstore paths
+    get the actor-backed filesystem (read tasks stream ranged GETs from
+    the bucket actor — the same shape as an S3 read), local paths keep
+    the native reader."""
+    import ray.data
+
+    if paths and is_objstore_path(paths[0]):
+        return ray.data.read_parquet(
+            [strip_for_fs(p) for p in paths],
+            filesystem=pyarrow_fs(), **kwargs,
+        )
+    return ray.data.read_parquet(paths, **kwargs)

@@ -1,0 +1,438 @@
+r"""Network object-store backend: an S3-semantics blob service + the
+:class:`~.store.Store` client and filesystem adapters that let a whole
+lake live at ``objstore://<store>/<key...>`` instead of a POSIX path.
+
+The reference's storage layer is actually S3
+(``ejp_xml_pipeline/data_store/s3_data_service.py:8-60``: GET/PUT of
+whole objects, paginated prefix listing) — this module is the engine's
+equivalent, built so the SAME code paths run in the sandbox and on a
+real object store:
+
+* :class:`ObjectStoreService` — a Ray actor emulating an S3-style
+  bucket with STRONG read-after-write consistency and conditional
+  writes (``If-None-Match: *`` / ``If-Match: <etag>`` — the semantics
+  S3 ships today). One actor per named store; every Ray worker in the
+  cluster reaches the same state, so it is a faithful stand-in for a
+  shared bucket, unlike an in-process dict. Supports per-op latency
+  injection (network RTT) and mutation-fault injection (writer crash)
+  so the commit protocol's object-store behavior is testable.
+* :class:`RayObjectStore` — the :class:`~.store.Store` implementation
+  over that service: the manifest/lock/commit protocol runs UNCHANGED
+  (it was made rename-free in round 4 precisely for this). On a real
+  deployment this class is swapped for one that issues conditional
+  PUTs to S3/GCS; the key layout and protocol stay byte-identical.
+* :class:`ObjStoreFileSystem` — an fsspec filesystem over the service
+  (ranged GETs for parquet footer/column reads; whole-object PUT on
+  writer close, which is the atomic unit of an object store), plus
+  :func:`pyarrow_fs` wrapping it for ``pyarrow.parquet`` /
+  ``ray.data.read_parquet(filesystem=...)``. The filesystem is
+  STATELESS and pickle-cheap — Ray tasks deserialize it and re-resolve
+  the named actor, so a Dataset read plans on the driver and streams
+  blocks from the store inside tasks, exactly like an S3 read.
+
+Data files stay immutable whole-object PUTs (content-addressed names,
+see ``store.py``'s data-plane note), so no rename/append is ever
+needed; the only conditional writes are the tiny metadata blobs.
+"""
+from __future__ import annotations
+
+import time
+
+from .store import Store
+
+OBJSTORE_SCHEME = "objstore://"
+_NAMESPACE = "graft-objstore"
+
+
+def is_objstore_path(path: str) -> bool:
+    return isinstance(path, str) and path.startswith(OBJSTORE_SCHEME)
+
+
+def split_objstore_path(path: str) -> tuple[str, str]:
+    """``objstore://name/a/b`` -> ``("name", "a/b")``."""
+    rest = path[len(OBJSTORE_SCHEME):]
+    name, _, key = rest.partition("/")
+    if not name:
+        raise ValueError(f"objstore path missing store name: {path!r}")
+    return name, key
+
+
+class ObjectStoreService:
+    """The bucket emulator (run as a named Ray actor). All mutations
+    are serialized through the actor — the moral equivalent of S3's
+    strong consistency + conditional-write arbitration.
+
+    ``latency_s`` adds a fixed sleep per operation (network RTT
+    injection); ``fail_after(n)`` makes the (n+1)-th MUTATING call
+    raise (writer-crash injection, same contract as
+    ``store.InMemoryCASStore``)."""
+
+    def __init__(self, latency_s: float = 0.0):
+        self._blobs: dict[str, bytes] = {}
+        self._latency_s = latency_s
+        self._fail_after: int | None = None
+        self.mutations = 0
+
+    # -- test hooks ---------------------------------------------------
+    def set_latency(self, latency_s: float) -> None:
+        self._latency_s = latency_s
+
+    def fail_after(self, n: int | None) -> None:
+        self._fail_after = n
+        self.mutations = 0
+
+    def stats(self) -> dict:
+        return {"objects": len(self._blobs), "mutations": self.mutations,
+                "bytes": sum(len(b) for b in self._blobs.values())}
+
+    def _lat(self) -> None:
+        if self._latency_s:
+            time.sleep(self._latency_s)
+
+    def _tick(self) -> None:
+        if self._fail_after is not None and self.mutations >= self._fail_after:
+            from .store import InjectedFault
+
+            raise InjectedFault(
+                f"injected crash after {self.mutations} mutations"
+            )
+        self.mutations += 1
+
+    # -- S3-shaped surface --------------------------------------------
+    def get(self, key: str, start: int | None = None,
+            end: int | None = None) -> bytes:
+        self._lat()
+        if key not in self._blobs:
+            raise FileNotFoundError(key)
+        data = self._blobs[key]
+        if start is None and end is None:
+            return data
+        return data[start or 0: end if end is not None else len(data)]
+
+    def head(self, key: str) -> int | None:
+        """Size, or None when absent (HEAD)."""
+        self._lat()
+        data = self._blobs.get(key)
+        return None if data is None else len(data)
+
+    def put(self, key: str, data: bytes) -> None:
+        self._lat()
+        self._tick()
+        self._blobs[key] = bytes(data)
+
+    def put_if_none_match(self, key: str, data: bytes) -> bool:
+        """Conditional create (``If-None-Match: *``)."""
+        self._lat()
+        self._tick()
+        if key in self._blobs:
+            return False
+        self._blobs[key] = bytes(data)
+        return True
+
+    def put_if_match(self, key: str, expected: bytes, data: bytes) -> bool:
+        """Conditional replace (``If-Match``; the emulator compares the
+        bytes the caller read — content-addressed etag semantics)."""
+        self._lat()
+        self._tick()
+        if self._blobs.get(key) != expected:
+            return False
+        self._blobs[key] = bytes(data)
+        return True
+
+    def delete(self, key: str) -> bool:
+        self._lat()
+        self._tick()
+        return self._blobs.pop(key, None) is not None
+
+    def delete_if_match(self, key: str, expected: bytes) -> bool:
+        self._lat()
+        self._tick()
+        if self._blobs.get(key) != expected:
+            return False
+        del self._blobs[key]
+        return True
+
+    def list_prefix(self, prefix: str, *, recursive: bool = False,
+                    with_sizes: bool = False):
+        """Keys under a ``/``-delimited prefix (sorted). Non-recursive
+        mimics ``Delimiter=/`` listing: immediate children only, with
+        pseudo-directories suffixed ``/``."""
+        self._lat()
+        pre = prefix.rstrip("/") + "/" if prefix else ""
+        out: dict[str, int | None] = {}
+        for k, v in self._blobs.items():
+            if not k.startswith(pre):
+                continue
+            tail = k[len(pre):]
+            if recursive or "/" not in tail:
+                out[k] = len(v)
+            else:
+                out[pre + tail.split("/", 1)[0] + "/"] = None
+        items = sorted(out.items())
+        if with_sizes:
+            return items
+        return [k for k, _ in items]
+
+
+def ensure_object_store(name: str, *, latency_s: float = 0.0):
+    """Get-or-create the named bucket actor (idempotent across the Ray
+    session; detached so every job/worker resolves the same instance)."""
+    import ray
+
+    return (
+        ray.remote(ObjectStoreService)
+        .options(
+            name=name, namespace=_NAMESPACE, lifetime="detached",
+            get_if_exists=True, num_cpus=0,
+        )
+        .remote(latency_s=latency_s)
+    )
+
+
+def _actor(name: str):
+    import ray
+
+    try:
+        return ray.get_actor(name, namespace=_NAMESPACE)
+    except ValueError as e:
+        raise FileNotFoundError(
+            f"object store {name!r} does not exist — create it with "
+            f"ensure_object_store({name!r})"
+        ) from e
+
+
+class RayObjectStore(Store):
+    """:class:`~.store.Store` over :class:`ObjectStoreService` actors.
+    Paths are full ``objstore://name/key`` URLs; one client instance
+    serves any number of named stores (handles cached per name, and
+    dropped on pickle so workers re-resolve locally)."""
+
+    def __init__(self) -> None:
+        self._handles: dict = {}
+
+    def __reduce__(self):
+        return (RayObjectStore, ())
+
+    def _h(self, path: str):
+        name, key = split_objstore_path(path)
+        h = self._handles.get(name)
+        if h is None:
+            h = self._handles[name] = _actor(name)
+        return h, key
+
+    def get_bytes(self, path: str) -> bytes:
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.get.remote(key))
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        import ray
+
+        h, key = self._h(path)
+        ray.get(h.put.remote(key, data))
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.put_if_none_match.remote(key, data))
+
+    def replace_if_matches(self, path: str, expected: bytes, data: bytes) -> bool:
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.put_if_match.remote(key, expected, data))
+
+    def delete(self, path: str) -> bool:
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.delete.remote(key))
+
+    def delete_if_matches(self, path: str, expected: bytes) -> bool:
+        # server-side conditional delete: atomic at the bucket, not
+        # read-verify-delete at the client
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.delete_if_match.remote(key, expected))
+
+    def exists(self, path: str) -> bool:
+        import ray
+
+        h, key = self._h(path)
+        return ray.get(h.head.remote(key)) is not None
+
+    def size(self, path: str) -> int:
+        import ray
+
+        h, key = self._h(path)
+        n = ray.get(h.head.remote(key))
+        if n is None:
+            raise FileNotFoundError(path)
+        return n
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        import ray
+
+        h, key = self._h(prefix)
+        name, _ = split_objstore_path(prefix)
+        return [
+            f"{OBJSTORE_SCHEME}{name}/{k}"
+            for k in ray.get(h.list_prefix.remote(key))
+            if not k.endswith("/")
+        ]
+
+
+try:  # pragma: no cover - import guard exercised implicitly
+    from fsspec import AbstractFileSystem
+    from fsspec.spec import AbstractBufferedFile
+
+    _HAVE_FSSPEC = True
+except ImportError:  # pragma: no cover
+    AbstractFileSystem = object  # type: ignore[misc,assignment]
+    AbstractBufferedFile = object  # type: ignore[misc,assignment]
+    _HAVE_FSSPEC = False
+
+
+class ObjStoreFileSystem(AbstractFileSystem):
+    """fsspec filesystem over the bucket actors: paths are
+    ``<store-name>/<key...>`` (the ``objstore://`` scheme stripped).
+    Reads are ranged GETs (parquet footers / column chunks never pull
+    the whole object); writes buffer locally and PUT the whole object
+    on close — the object store's atomic unit, so a reader never sees
+    a torn file. Stateless across pickling (workers re-resolve the
+    named actor)."""
+
+    protocol = "objstore"
+    root_marker = ""
+
+    def __reduce__(self):
+        return (ObjStoreFileSystem, ())
+
+    @classmethod
+    def _strip_protocol(cls, path):
+        path = super()._strip_protocol(path)
+        return path.lstrip("/")
+
+    def _split(self, path: str):
+        path = self._strip_protocol(path)
+        name, _, key = path.partition("/")
+        if not name:
+            raise ValueError(f"objstore path missing store name: {path!r}")
+        return _actor(name), name, key
+
+    def info(self, path, **kwargs):
+        import ray
+
+        h, name, key = self._split(path)
+        size = ray.get(h.head.remote(key))
+        if size is not None:
+            return {"name": f"{name}/{key}", "size": size, "type": "file"}
+        if ray.get(h.list_prefix.remote(key)):
+            return {"name": f"{name}/{key}", "size": 0, "type": "directory"}
+        if key == "":  # the bucket root always exists
+            return {"name": name, "size": 0, "type": "directory"}
+        raise FileNotFoundError(path)
+
+    def ls(self, path, detail=True, **kwargs):
+        import ray
+
+        h, name, key = self._split(path)
+        entries = []
+        for k, size in ray.get(
+            h.list_prefix.remote(key, with_sizes=True)
+        ):
+            if k.endswith("/"):
+                entries.append({"name": f"{name}/{k.rstrip('/')}",
+                                "size": 0, "type": "directory"})
+            else:
+                entries.append({"name": f"{name}/{k}", "size": size,
+                                "type": "file"})
+        if not entries:
+            # a file path lists as itself; a missing path raises
+            info = self.info(path)
+            if info["type"] == "file":
+                entries = [info]
+        return entries if detail else [e["name"] for e in entries]
+
+    def exists(self, path, **kwargs):
+        try:
+            self.info(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def cat_file(self, path, start=None, end=None, **kwargs):
+        import ray
+
+        h, _, key = self._split(path)
+        return ray.get(h.get.remote(key, start, end))
+
+    def pipe_file(self, path, value, **kwargs):
+        import ray
+
+        h, _, key = self._split(path)
+        ray.get(h.put.remote(key, bytes(value)))
+
+    def rm_file(self, path):
+        import ray
+
+        h, _, key = self._split(path)
+        ray.get(h.delete.remote(key))
+
+    _rm = rm_file
+
+    def mkdir(self, path, create_parents=True, **kwargs):
+        pass  # directories are implicit on an object store
+
+    def makedirs(self, path, exist_ok=True):
+        pass
+
+    def created(self, path):  # pragma: no cover - not tracked
+        raise NotImplementedError
+
+    def modified(self, path):  # pragma: no cover - not tracked
+        raise NotImplementedError
+
+    def _open(self, path, mode="rb", block_size=None, autocommit=True,
+              cache_options=None, **kwargs):
+        return _ObjStoreFile(
+            self, path, mode, block_size=block_size or 5 * 2**20,
+            autocommit=autocommit, cache_options=cache_options, **kwargs
+        )
+
+
+class _ObjStoreFile(AbstractBufferedFile):
+    """Ranged-GET reader / buffer-then-PUT writer."""
+
+    def _fetch_range(self, start, end):
+        return self.fs.cat_file(self.path, start=start, end=end)
+
+    def _initiate_upload(self):
+        self._chunks: list[bytes] = []
+
+    def _upload_chunk(self, final=False):
+        self.buffer.seek(0)
+        self._chunks.append(self.buffer.read())
+        if final:
+            self.fs.pipe_file(self.path, b"".join(self._chunks))
+        return True
+
+
+def pyarrow_fs():
+    """The filesystem for ``pyarrow.parquet`` / ``ray.data`` reads of
+    ``objstore://`` lakes. Paths passed to it are ``name/key`` (use
+    :func:`strip_for_fs`)."""
+    if not _HAVE_FSSPEC:  # pragma: no cover
+        raise RuntimeError("fsspec is required for objstore:// data reads")
+    import pyarrow.fs as pafs
+
+    return pafs.PyFileSystem(pafs.FSSpecHandler(ObjStoreFileSystem()))
+
+
+def strip_for_fs(path: str) -> str:
+    """``objstore://name/key`` -> ``name/key`` (what :func:`pyarrow_fs`
+    expects)."""
+    return path[len(OBJSTORE_SCHEME):] if is_objstore_path(path) else path

@@ -107,6 +107,11 @@ class Store(ABC):
             return False
         return self.delete(path)
 
+    def size(self, path: str) -> int:
+        """Blob size in bytes; FileNotFoundError when absent. Default:
+        full read (backends override with a HEAD/stat)."""
+        return len(self.get_bytes(path))
+
 
 class LocalFsStore(Store):
     """POSIX implementation — the default for every lake path in this
@@ -173,6 +178,34 @@ class LocalFsStore(Store):
         except FileNotFoundError:
             return False
 
+    def delete_if_matches(self, path: str, expected: bytes) -> bool:
+        # ATOMIC single-winner (unlike the base read-verify-delete):
+        # rename-claim the blob, verify the claimed content, then remove
+        # it — a concurrent writer's fresh blob is restored, never
+        # deleted. Required by the writer-lock's stale-lease break: a
+        # non-atomic delete could remove a LIVE successor's lock.
+        claimed = f"{path}.del-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(path, claimed)
+        except FileNotFoundError:
+            return False
+        try:
+            with open(claimed, "rb") as f:
+                got = f.read()
+        except FileNotFoundError:  # pragma: no cover — we own `claimed`
+            return False
+        if got != expected:
+            if not os.path.exists(path):
+                with contextlib.suppress(OSError):
+                    os.rename(claimed, path)
+                    return False
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(claimed)
+            return False
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(claimed)
+        return True
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
@@ -180,6 +213,9 @@ class LocalFsStore(Store):
         if not os.path.isdir(prefix):
             return []
         return sorted(os.path.join(prefix, n) for n in os.listdir(prefix))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
 
 class InMemoryCASStore(Store):
@@ -243,6 +279,17 @@ class InMemoryCASStore(Store):
             self._tick()
             return self._blobs.pop(path, None) is not None
 
+    def delete_if_matches(self, path: str, expected: bytes) -> bool:
+        # atomic compare-and-delete under the single lock (conditional
+        # DELETE / If-Match) — the base class's read-verify-delete is
+        # two operations and would let a racer's fresh blob be deleted
+        with self._lock:
+            self._tick()
+            if self._blobs.get(path) != expected:
+                return False
+            del self._blobs[path]
+            return True
+
     def exists(self, path: str) -> bool:
         with self._lock:
             return path in self._blobs
@@ -259,3 +306,22 @@ class InMemoryCASStore(Store):
 #: process-wide default — every existing call site that does not pass a
 #: store keeps its exact POSIX behavior
 LOCAL_STORE = LocalFsStore()
+
+_RAY_OBJECT_STORE = None
+
+
+def resolve_store(path: str) -> Store:
+    """Route a lake path to its storage backend by URL scheme:
+    ``objstore://<store>/<key>`` -> the Ray-actor bucket emulator
+    (:mod:`.objstore` — the S3-semantics backend), anything else ->
+    :data:`LOCAL_STORE`. Every metadata call site resolves through
+    here, so pointing ``lake_dir`` at a store URL moves the WHOLE
+    commit protocol onto the object store with no other change."""
+    if isinstance(path, str) and path.startswith("objstore://"):
+        global _RAY_OBJECT_STORE
+        if _RAY_OBJECT_STORE is None:
+            from .objstore import RayObjectStore
+
+            _RAY_OBJECT_STORE = RayObjectStore()
+        return _RAY_OBJECT_STORE
+    return LOCAL_STORE

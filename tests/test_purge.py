@@ -289,11 +289,11 @@ def test_purge_crash_retry_converges(tmp_path, monkeypatch):
     commit: the head still serves the key; the RETRY rewrites the
     remaining files idempotently (deterministic purge names) and
     completes — final state equals a never-crashed purge."""
-    from data_hub_ejp_xml_pipeline_ray.state import checkpoint as ckpt
+    from data_hub_ejp_xml_pipeline_ray.state import store as store_mod
 
     cfg = _mk_lake(str(tmp_path))
     victims = sorted(_urls_of(lake_snapshot(cfg.lake_dir)))[:2]
-    real_store = ckpt.LOCAL_STORE
+    real_store = store_mod.LOCAL_STORE
     state = {"snapshot_writes": 0}
 
     class CrashingStore:
@@ -307,10 +307,10 @@ def test_purge_crash_retry_converges(tmp_path, monkeypatch):
                     raise RuntimeError("simulated crash mid-purge")
             real_store.put_atomic(path, data)
 
-    monkeypatch.setattr(ckpt, "LOCAL_STORE", CrashingStore())
+    monkeypatch.setattr(store_mod, "LOCAL_STORE", CrashingStore())
     with pytest.raises(RuntimeError, match="simulated crash"):
         purge_urls(cfg.lake_dir, victims)
-    monkeypatch.setattr(ckpt, "LOCAL_STORE", real_store)
+    monkeypatch.setattr(store_mod, "LOCAL_STORE", real_store)
     out = purge_urls(cfg.lake_dir, victims)  # retry
     assert out["purged"]
     for v in list_versions(cfg.lake_dir):

@@ -334,12 +334,12 @@ def test_zones_identical_across_crashed_commit_retry(tmp_path, monkeypatch):
     retry: the retried commit recomputes byte-identical zones (footers
     are immutable, refresh is deterministic), and the final manifest's
     zones equal a clean never-crashed lake's."""
-    from data_hub_ejp_xml_pipeline_ray.state import checkpoint as ckpt
+    from data_hub_ejp_xml_pipeline_ray.state import store as store_mod
 
     wal = str(tmp_path / "wal")
     generate_wal(wal, seed=51, n_urls=40, n_events=500, n_segments=2)
 
-    real_store = ckpt.LOCAL_STORE
+    real_store = store_mod.LOCAL_STORE
     crashed = {"done": False}
 
     class CrashingStore:
@@ -355,12 +355,12 @@ def test_zones_identical_across_crashed_commit_retry(tmp_path, monkeypatch):
     lake_a = str(tmp_path / "lake_a")
     cfg = CdcConfig(wal_dir=wal, lake_dir=lake_a, num_partitions=4,
                     extract_concurrency=2)
-    monkeypatch.setattr(ckpt, "LOCAL_STORE", CrashingStore())
+    monkeypatch.setattr(store_mod, "LOCAL_STORE", CrashingStore())
     with pytest.raises(RuntimeError, match="simulated crash"):
         run_ingest(cfg)
     assert crashed["done"] and load_manifest(lake_a) is None
     run_ingest(cfg)  # retry completes the v1 commit
-    monkeypatch.setattr(ckpt, "LOCAL_STORE", real_store)
+    monkeypatch.setattr(store_mod, "LOCAL_STORE", real_store)
 
     lake_b = str(tmp_path / "lake_b")
     run_ingest(CdcConfig(wal_dir=wal, lake_dir=lake_b, num_partitions=4,
