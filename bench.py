@@ -683,14 +683,17 @@ def run_soak() -> dict:
         lat["ingest"].append(time.perf_counter() - t0)
         assert rep.commits == 1, (i, rep.commits)
         t0 = time.perf_counter()
+        acts = auto_maintain(lake)
+        lat["maintain"].append(time.perf_counter() - t0)
+        # refresh AFTER maintenance so end-of-commit index lag is the
+        # true steady-state number (a maintenance commit bumps the lake
+        # version; the indexes' compaction-crossing refresh handles it)
+        t0 = time.perf_counter()
         refresh_dedup_index(lake, idx_dir)
         lat["dedup_idx"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         refresh_simhash_index(lake, sim_dir)
         lat["simhash_idx"].append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        acts = auto_maintain(lake)
-        lat["maintain"].append(time.perf_counter() - t0)
         if acts.get("deltas_folded") or acts.get("compacted"):
             extras.append({"commit": i, **{
                 k: acts[k] for k in ("deltas_folded", "compacted", "splits")

@@ -151,16 +151,16 @@ def clone_lake(
     m = load_manifest(src_dir, version=version)
     if m is None:
         raise FileNotFoundError(f"no committed lake at {src_dir}")
-    if os.path.isdir(dst_dir) and os.listdir(dst_dir):
+    from ..state.iofs import copy_file, list_data_files
+
+    if list_data_files(dst_dir) or list_data_files(dst_dir, recursive=True):
         raise FileExistsError(f"dst {dst_dir} is not empty")
     rels = sorted(m.all_data_relpaths())
     copied_bytes = 0
     for rel in rels:
-        src = os.path.join(src_dir, rel)
-        dst = os.path.join(dst_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
-        copied_bytes += os.path.getsize(dst)
+        copied_bytes += copy_file(
+            os.path.join(src_dir, rel), os.path.join(dst_dir, rel)
+        )
     clone = LakeManifest(
         num_partitions=m.num_partitions,
         version=1,
@@ -355,8 +355,10 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
         def scrub_one(rel: str) -> dict:
             """Rewrite one file without the purged urls. Idempotent:
             the output name is a pure function of (file, url-set)."""
+            from ..state.iofs import file_size, read_table, write_table_atomic
+
             path = os.path.join(lake_dir, rel)
-            t = pq.read_table(path)
+            t = read_table(path)
             mask = pc.is_in(t.column("url"), value_set=value_set)
             removed = int(pc.sum(mask).as_py() or 0)
             if removed == 0:
@@ -372,7 +374,7 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
                     .as_py() or 0
                 )
 
-            old_bytes = os.path.getsize(path)
+            old_bytes = file_size(path)
             if kept.num_rows == 0:
                 return {
                     "rel": rel, "new_rel": None, "removed": removed,
@@ -387,14 +389,12 @@ def purge_urls(lake_dir: str, urls: list[str]) -> dict:
                     break
             new_rel = f"{stem}-purge-{ptoken}{suffix}"
             out_path = os.path.join(lake_dir, new_rel)
-            tmp = out_path + ".inprogress"
-            pq.write_table(kept, tmp)
-            os.replace(tmp, out_path)
+            nbytes = write_table_atomic(kept, out_path)
             return {
                 "rel": rel, "new_rel": new_rel, "removed": removed,
                 "removed_tombstones": tombs(rm), "rows": kept.num_rows,
                 "tombstones": tombs(kept),
-                "bytes": os.path.getsize(out_path),
+                "bytes": nbytes,
                 "old_bytes": old_bytes,
                 "zone": file_zone_doc(out_path),
             }
@@ -662,16 +662,12 @@ def _fold_rewrite(
                 out["path"].append(None)
                 out["bytes"].append(0)
                 continue
+            from ..state.iofs import write_table_atomic
+
             new_rel = os.path.join(DATA_DIR, f"part-{part:05d}-{token}.parquet")
             out_path = os.path.join(lake_dir, new_rel)
-            # a fresh BRANCH has no local data/ dir yet (all its files
-            # are inherited ../../ references)
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            tmp = out_path + ".inprogress"
-            pq.write_table(kept, tmp)
-            os.replace(tmp, out_path)
             out["path"].append(new_rel)
-            out["bytes"].append(os.path.getsize(out_path))
+            out["bytes"].append(write_table_atomic(kept, out_path))
         return pa.table({
             "part": pa.array(out["part"], pa.int64()),
             "path": pa.array(out["path"], pa.string()),
@@ -892,21 +888,18 @@ def split_partition(lake_dir: str, part: int) -> dict:
             sub = table.filter(_pa.array(child == c))
             if sub.num_rows == 0:
                 continue
+            from ..state.iofs import write_table_atomic
+
             new_rel = os.path.join("data", f"part-{c:05d}-{token}.parquet")
             out_path = os.path.join(lake_dir, new_rel)
-            # a fresh BRANCH has no local data/ dir yet (all its files
-            # are inherited ../../ references)
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            tmp = out_path + ".inprogress"
-            pq.write_table(sub, tmp)
-            os.replace(tmp, out_path)
+            nbytes = write_table_atomic(sub, out_path)
             tomb = (
                 int(pc.sum(sub.column(_DEL)).as_py() or 0)
                 if _DEL in sub.column_names else 0
             )
             out.append({
                 "part": c, "path": new_rel, "rows": sub.num_rows,
-                "tombstones": tomb, "bytes": os.path.getsize(out_path),
+                "tombstones": tomb, "bytes": nbytes,
             })
         return out
 
@@ -1084,13 +1077,13 @@ def cluster_lake(
                         table, sort_keys=[(k, "ascending") for k in keys]
                     )
                 table = table.take(idx)
+                from ..state.iofs import write_table_atomic
+
                 new_rel = os.path.join("data", f"part-{part:05d}-{token}.parquet")
                 out_path = os.path.join(lake_dir, new_rel)
-                # a fresh BRANCH has no local data/ dir yet
-                os.makedirs(os.path.dirname(out_path), exist_ok=True)
-                tmp = out_path + ".inprogress"
-                pq.write_table(table, tmp, row_group_size=row_group_rows)
-                os.replace(tmp, out_path)
+                nbytes_out = write_table_atomic(
+                    table, out_path, row_group_size=row_group_rows
+                )
                 out_parts.append(part)
                 out_paths.append(new_rel)
                 out_rows.append(table.num_rows)
@@ -1099,7 +1092,7 @@ def cluster_lake(
                         .as_py() or 0)
                     if DELETED_COL in table.column_names else 0
                 )
-                out_bytes.append(os.path.getsize(out_path))
+                out_bytes.append(nbytes_out)
             return pa.table(
                 {"part": pa.array(out_parts, pa.int64()),
                  "path": pa.array(out_paths, pa.string()),
@@ -1181,10 +1174,13 @@ def _fsck_partition_task(
     from ..stages.merge import DELETED_COL as _DEL
     from ..stages.merge import stable_hash_partition as _route
 
+    from ..state.iofs import parquet_file as _pfile
+    from ..state.iofs import read_table as _rtable
+
     path = os.path.join(lake_dir, rel)
-    pf = _pq.ParquetFile(path)
+    pf = _pfile(path)
     cols = ["url"] + ([_DEL] if _DEL in pf.schema_arrow.names else [])
-    t = _pq.read_table(path, columns=cols)
+    t = _rtable(path, columns=cols)
     rows = t.num_rows
     tombs = (
         int(_pc.sum(_pc.fill_null(t.column(_DEL), False)).as_py() or 0)
@@ -1282,8 +1278,10 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         for part in m.all_parts():
             base_rel = m.partitions.get(part)
             for rel in m.part_files(part):
+                from ..state.iofs import file_exists as _fexists
+
                 path = os.path.join(lake_dir, rel)
-                if not os.path.exists(path):
+                if not _fexists(path):
                     errors.append(f"v{v} part {part}: missing data file {rel}")
                     continue
                 files_checked += 1
@@ -1293,14 +1291,18 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
                 if not meta:
                     warnings.append(f"part {part}: no partition_meta stats")
                     continue
-                actual_bytes = os.path.getsize(path)
+                from ..state.iofs import file_size as _fsize
+
+                actual_bytes = _fsize(path)
                 if "bytes" in meta and int(meta["bytes"]) != actual_bytes:
                     errors.append(
                         f"part {part}: manifest bytes {meta['bytes']} != "
                         f"file bytes {actual_bytes} ({rel})"
                     )
                 try:
-                    footer_rows = pq.ParquetFile(path).metadata.num_rows
+                    from ..state.iofs import parquet_file as _pf2
+
+                    footer_rows = _pf2(path).metadata.num_rows
                 except Exception as e:  # torn write / truncation / tail junk
                     errors.append(
                         f"part {part}: unreadable parquet footer ({rel}): {e!r}"
@@ -1359,12 +1361,16 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
         referenced |= _branch_pinned_relpaths(lake_dir, resolve_store(lake_dir))
     except RuntimeError as e:  # unreadable branch state: report, go on
         errors.append(str(e))
+    from ..state.iofs import file_exists as _bexists
+    from ..state.iofs import list_data_files as _ldata
+    from ..state.iofs import list_subdirs as _lsub
+
     data_dir = os.path.join(lake_dir, DATA_DIR)
     orphans = 0
-    if os.path.isdir(data_dir):
-        for name in sorted(os.listdir(data_dir)):
-            if os.path.normpath(os.path.join(DATA_DIR, name)) not in referenced:
-                orphans += 1
+    for fpath in _ldata(data_dir):
+        name = fpath.rsplit("/", 1)[-1]
+        if os.path.normpath(os.path.join(DATA_DIR, name)) not in referenced:
+            orphans += 1
     if orphans:
         warnings.append(
             f"{orphans} unreferenced data file(s) awaiting GC"
@@ -1381,14 +1387,16 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
     for bname in branch_names:
         bdir = _bdir(lake_dir, bname)
         bm = load_manifest(bdir)
+        from ..state.iofs import normalize_path as _npath
+
         for rel in sorted(bm.all_data_relpaths()):
-            if not os.path.exists(os.path.join(bdir, rel)):
+            if not _bexists(_npath(os.path.join(bdir, rel))):
                 errors.append(
                     f"branch {bname!r}: missing data file {rel}"
                 )
     broot = os.path.join(lake_dir, "_branches")
-    if os.path.isdir(broot):
-        for bname in sorted(os.listdir(broot)):
+    if True:
+        for bname in _lsub(broot):
             if bname not in branch_names:
                 warnings.append(
                     f"branch dir {bname!r} has no committed manifest "
@@ -1482,7 +1490,9 @@ def fsck_lake(lake_dir: str, *, deep: bool = False) -> dict:
                 import pyarrow.compute as _pc
                 import pyarrow.parquet as _pq
 
-                t = _pq.read_table(
+                from ..state.iofs import read_table as _rt
+
+                t = _rt(
                     os.path.join(lake_dir, rel), columns=["url"]
                 )
                 hits = _pc.sum(_pc.is_in(

@@ -3044,6 +3044,47 @@ def q_cdc_lake_state(sf_dir: str):
     return snap.select(["url", "warc_ts", "seq", "text", "lang"])
 
 
+def q_cdc_lake_state_objstore(sf_dir: str):
+    """Object-store flagship, DRIVER-ORACLE-CHECKED: the identical
+    derived-WAL ingest with ``lake_dir`` on the S3-semantics bucket
+    actor (``state/objstore.py``) — manifest commits via conditional
+    PUTs, partition files via whole-object PUTs, the merge's base
+    reads and the snapshot read via ranged GETs through the fsspec
+    adapter. Hash-equal to the same window-LWW SQL oracle as
+    ``cdc_lake_state``: the storage backend is invisible to the
+    table's logical state."""
+    import shutil
+
+    import ray as _ray
+
+    from ..sources.synthetic import derive_wal_from_events
+    from ..state.objstore import ensure_object_store
+    from .cdc import CdcConfig, lake_snapshot, run_ingest
+
+    work = derived_cdc_workdir(sf_dir, "lake_objstore")
+    shutil.rmtree(work, ignore_errors=True)
+    derive_wal_from_events(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(work, "wal"),
+        n_segments=8,
+    )
+    h = ensure_object_store("qlake-objstore")
+    # the bucket actor is session-long: wipe any previous run's keys so
+    # the query is idempotent (exercises list+delete on the store)
+    for k in _ray.get(h.list_prefix.remote("", recursive=True)):
+        _ray.get(h.delete.remote(k))
+    lake = "objstore://qlake-objstore/lake"
+    run_ingest(CdcConfig(
+        wal_dir=os.path.join(work, "wal"), lake_dir=lake,
+        num_partitions=16,
+    ))
+    snap = lake_snapshot(lake)
+    i = snap.column_names.index("warc_ts")
+    snap = snap.set_column(
+        i, "warc_ts", snap.column("warc_ts").cast(pa.timestamp("us"))
+    )
+    return snap.select(["url", "warc_ts", "seq", "text", "lang"])
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     """Metadata-only DDL flagship, DRIVER-ORACLE-CHECKED: ingest half
     the derived WAL, ``alter_lake`` (rename lang->language, add
@@ -7521,6 +7562,7 @@ def q_scrub_props(sf_dir: str):
 QUERIES = {
     # -- flagship CDC / lake semantics (driver priority prefix) --
     "cdc_lake_state": q_cdc_lake_state,
+    "cdc_lake_state_objstore": q_cdc_lake_state_objstore,
     "cdc_lake_state_mor": q_cdc_lake_state_mor,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_multi_source": q_cdc_multi_source,
@@ -8110,6 +8152,8 @@ ORACLE_SQL = {
           FROM events)
         WHERE rn = 1 AND NOT is_del
     """,
+    # The storage backend is invisible to logical state: the objstore
+    # flagship shares cdc_lake_state's window-LWW oracle verbatim.
     # Metadata-only DDL: the rename is pure SQL aliasing of the SAME
     # window-LWW state (event_type AS language), the added column is
     # NULL for every row (no writer ever populated it), the dropped
@@ -8935,6 +8979,7 @@ ORACLE_SQL["orders_left_join_recent_revenue"] = """
 # identical result contract to decontaminate_ngrams: the bloom is a
 # prefilter, the semi-join restores exactness — same NOT EXISTS oracle.
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate_ngrams"]
+ORACLE_SQL["cdc_lake_state_objstore"] = ORACLE_SQL["cdc_lake_state"]
 
 ORACLE_SQL["distinct_sources_by_lang"] = """
     SELECT lang,

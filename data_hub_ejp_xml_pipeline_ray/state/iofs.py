@@ -119,6 +119,64 @@ def list_data_files(dir_path: str, *, recursive: bool = False) -> list[str]:
     return sorted(out)
 
 
+def normalize_path(path: str) -> str:
+    """``..``-collapse that survives URL schemes (``os.path.normpath``
+    would fold ``objstore://`` to ``objstore:/``)."""
+    if is_objstore_path(path):
+        import posixpath
+
+        from .objstore import split_objstore_path
+
+        name, key = split_objstore_path(path)
+        return f"objstore://{name}/{posixpath.normpath(key)}"
+    return os.path.normpath(path)
+
+
+def copy_file(src: str, dst: str) -> int:
+    """Copy one immutable data file (scheme-mixed ok: POSIX<->store);
+    returns bytes copied. Store targets are whole-object PUTs."""
+    if not is_objstore_path(src) and not is_objstore_path(dst):
+        import shutil
+
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        shutil.copyfile(src, dst)
+        return os.path.getsize(dst)
+    if is_objstore_path(src):
+        data = resolve_store(src).get_bytes(src)
+    else:
+        with open(src, "rb") as f:
+            data = f.read()
+    if is_objstore_path(dst):
+        resolve_store(dst).put_atomic(dst, data)
+    else:
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        with open(dst, "wb") as f:
+            f.write(data)
+    return len(data)
+
+
+def list_subdirs(dir_path: str) -> list[str]:
+    """Immediate subdirectory NAMES under a directory-like prefix
+    (pseudo-directories on an object store)."""
+    if is_objstore_path(dir_path):
+        import ray
+
+        from .objstore import _actor, split_objstore_path
+
+        name, key = split_objstore_path(dir_path)
+        return sorted(
+            k.rstrip("/").rsplit("/", 1)[-1]
+            for k in ray.get(_actor(name).list_prefix.remote(key))
+            if k.endswith("/")
+        )
+    if not os.path.isdir(dir_path):
+        return []
+    return sorted(
+        n for n in os.listdir(dir_path)
+        if os.path.isdir(os.path.join(dir_path, n))
+    )
+
+
 def read_parquet_dataset(paths: list[str], **kwargs):
     """``ray.data.read_parquet`` routed by path scheme: objstore paths
     get the actor-backed filesystem (read tasks stream ranged GETs from

@@ -230,6 +230,55 @@ def test_ingest_crash_resume_on_objstore(bucket, tmp_path):
     assert lake_snapshot(obj_lake).equals(lake_snapshot(posix_lake))
 
 
+def test_maintenance_lifecycle_on_objstore(bucket, tmp_path):
+    """The operational loop runs unchanged on the object store: MOR
+    micro-batches accumulate delta files, compaction folds them, purge
+    rewrites history, fsck audits state/file agreement, and a clone
+    pulls the lake back to POSIX byte-identically."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.maintenance import (
+        auto_maintain,
+        clone_lake,
+        compact_deltas,
+        fsck_lake,
+        purge_urls,
+    )
+
+    name, _ = bucket
+    wal = _wal(tmp_path)
+    obj_lake = f"objstore://{name}/lake"
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=obj_lake, num_partitions=8,
+                         merge_mode="mor", max_segments_per_batch=1))
+    m = load_manifest(obj_lake)
+    assert sum(len(v) for v in m.delta_files.values()) > 0
+    before = lake_snapshot(obj_lake)
+    r = compact_deltas(obj_lake)
+    assert r["delta_files_folded"] > 0
+    m2 = load_manifest(obj_lake)
+    assert sum(len(v) for v in m2.delta_files.values()) == 0
+    assert lake_snapshot(obj_lake).equals(before)
+    report = fsck_lake(obj_lake, deep=True)
+    assert report["ok"], report["errors"]
+    # purge a live url: gone from head AND retained history
+    victim = before.column("url")[0].as_py()
+    out = purge_urls(obj_lake, [victim])
+    assert out["purged"]
+    for v in [None] + list(
+        __import__(
+            "data_hub_ejp_xml_pipeline_ray.state.checkpoint",
+            fromlist=["list_versions"],
+        ).list_versions(obj_lake)
+    ):
+        snap = lake_snapshot(obj_lake, version=v)
+        assert victim not in set(snap.column("url").to_pylist())
+    auto_maintain(obj_lake)
+    report = fsck_lake(obj_lake, deep=True)
+    assert report["ok"], report["errors"]
+    # clone store -> POSIX: logical state identical
+    dst = os.path.join(str(tmp_path), "clone")
+    clone_lake(obj_lake, dst)
+    assert lake_snapshot(dst).equals(lake_snapshot(obj_lake))
+
+
 def test_latency_injection_still_correct(bucket, tmp_path):
     name, handle = bucket
     ray.get(handle.set_latency.remote(0.002))
