@@ -288,14 +288,13 @@ def publish_branch(
             return pr
 
         parts, deltas, zones = _rewrite_manifest_paths(branch, to_parent)
+        from ..state.iofs import copy_file, file_exists
+
         for brel, prel in sorted(moved.items()):
             dst = os.path.join(lake_dir, prel)
-            if os.path.exists(dst):
+            if file_exists(dst):
                 continue  # our own crashed attempt: identical bytes
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            tmp = dst + ".tmp"
-            shutil.copyfile(os.path.join(bdir, brel), tmp)
-            os.replace(tmp, dst)
+            copy_file(os.path.join(bdir, brel), dst)
 
         new_m = LakeManifest(
             num_partitions=branch.num_partitions,
@@ -449,18 +448,17 @@ def merge_branch(
             if merged.num_rows == 0:
                 return {"part": part, "rel": None, "rows": 0, "bytes": 0,
                         "tombstones": 0}
+            from ..state.iofs import write_table_atomic
+
             rel = partition_file_relpath(part, token)
             out = os.path.join(lake_dir, rel)
-            os.makedirs(os.path.dirname(out), exist_ok=True)
-            tmp_p = out + ".inprogress"
-            pq.write_table(merged, tmp_p)
-            os.replace(tmp_p, out)
+            nbytes = write_table_atomic(merged, out)
             tombs = (
                 int(pa.compute.sum(merged.column(DELETED_COL)).as_py() or 0)
                 if DELETED_COL in merged.column_names else 0
             )
             return {"part": part, "rel": rel, "rows": merged.num_rows,
-                    "bytes": os.path.getsize(out), "tombstones": tombs}
+                    "bytes": nbytes, "tombstones": tombs}
 
         stats = ray.get([merge_part.remote(p) for p in touched])
 

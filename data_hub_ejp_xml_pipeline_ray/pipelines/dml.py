@@ -217,15 +217,19 @@ def _dml_commit(
             (op, predicate, SET, base version, partition)."""
             pa.set_cpu_count(1)
             pa.set_io_thread_count(2)
+            from ..state.iofs import (
+                file_exists, file_size, parquet_file, write_table_atomic,
+            )
+
             rel = partition_delta_relpath(part, token)
             out_path = os.path.join(lake_dir, rel)
-            if os.path.exists(out_path):  # crash-retry resume
-                f = pq.ParquetFile(out_path)
+            if file_exists(out_path):  # crash-retry resume
+                f = parquet_file(out_path)
                 t = f.read(columns=[DELETED_COL])
                 return {
                     "part": part, "rel": rel,
                     "rows": f.metadata.num_rows,
-                    "bytes": os.path.getsize(out_path),
+                    "bytes": file_size(out_path),
                     "tombstones": int(
                         pc.sum(pc.fill_null(t.column(DELETED_COL), False))
                         .as_py() or 0
@@ -253,13 +257,10 @@ def _dml_commit(
                 pc.sum(pc.fill_null(delta.column(DELETED_COL), False))
                 .as_py() or 0
             )
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            tmp = out_path + ".inprogress"
-            pq.write_table(delta, tmp)
-            os.replace(tmp, out_path)
+            nbytes = write_table_atomic(delta, out_path)
             return {
                 "part": part, "rel": rel, "rows": delta.num_rows,
-                "bytes": os.path.getsize(out_path),
+                "bytes": nbytes,
                 "tombstones": tombstones, "matched": matched,
             }
 

@@ -74,19 +74,18 @@ def list_segments(
     wire format (``segment-*.parquet``), ``include_pattern`` narrows to
     a keyspace slice (``segment-2024*``) without restating the format.
     """
-    if not os.path.isdir(wal_dir):
-        return []
+    from ..state.iofs import list_files_sized
+
     exclude = re.compile(exclusion_pattern) if exclusion_pattern else None
     out = []
-    for name in sorted(os.listdir(wal_dir)):
+    for name, path, size in list_files_sized(wal_dir):
         if not fnmatch.fnmatch(name, pattern):
             continue
         if include_pattern is not None and not fnmatch.fnmatch(name, include_pattern):
             continue
         if exclude is not None and exclude.match(name):
             continue
-        path = os.path.join(wal_dir, name)
-        out.append(SegmentMeta(name=name, path=path, size_bytes=os.path.getsize(path)))
+        out.append(SegmentMeta(name=name, path=path, size_bytes=size))
     return out
 
 
@@ -193,13 +192,14 @@ def wal_gc(
     victims = reclaimable[: max(0, len(reclaimable) - keep_last)]
     reclaimed_bytes = sum(s.size_bytes for s in victims)
     if not dry_run:
-        if archive_dir is not None:
+        from ..state.iofs import copy_file, delete_file
+
+        if archive_dir is not None and not archive_dir.startswith("objstore://"):
             os.makedirs(archive_dir, exist_ok=True)
         for s in victims:
             if archive_dir is not None:
-                os.replace(s.path, os.path.join(archive_dir, s.name))
-            else:
-                os.remove(s.path)
+                copy_file(s.path, os.path.join(archive_dir, s.name))
+            delete_file(s.path)
     return {
         "wal": wal_dir,
         "min_watermark": min_wm,
@@ -233,8 +233,10 @@ def _jsonl_segment_schema(path: str) -> pa.Schema:
 
     from ..schemas import EVENTS_SCHEMA_V2
 
+    from ..state.iofs import open_binary
+
     buf = io.BytesIO()
-    with open(path, "rb") as f:
+    with open_binary(path) as f:
         for i, line in enumerate(f):
             if i >= _JSONL_SCHEMA_SAMPLE_LINES:
                 break
@@ -249,9 +251,11 @@ def _jsonl_segment_schema(path: str) -> pa.Schema:
 def unified_wire_schema(segments: list[SegmentMeta]) -> pa.Schema:
     """Unify the physical schemas of the given segments (parquet footer
     scan / jsonl head sample only — never a data read)."""
+    from ..state.iofs import parquet_file
+
     schemas = [
         _jsonl_segment_schema(s.path) if _is_jsonl(s)
-        else pq.read_schema(s.path)
+        else parquet_file(s.path).schema_arrow
         for s in segments
     ]
     return unify_many(schemas)
@@ -263,15 +267,17 @@ def segment_row_counts(segments: list[SegmentMeta]) -> int:
     newline count (bytes scan, no parse — at real scale a jsonl WAL
     writer would ship a sidecar count instead, and this is the slot
     it would plug into)."""
+    from ..state.iofs import open_binary, parquet_file
+
     total = 0
     for s in segments:
         if _is_jsonl(s):
-            with open(s.path, "rb") as f:
+            with open_binary(s.path) as f:
                 # line iteration, not newline count: robust to a
                 # foreign writer omitting the final newline
                 total += sum(1 for _ in f)
         else:
-            total += pq.ParquetFile(s.path).metadata.num_rows
+            total += parquet_file(s.path).metadata.num_rows
     return total
 
 
@@ -305,7 +311,9 @@ def read_segments(
         nb = override_num_blocks
         if nb is not None and js_segs:
             nb = max(1, nb * len(pq_segs) // len(segments))
-        parts.append(ray.data.read_parquet(
+        from ..state.iofs import read_parquet_dataset
+
+        parts.append(read_parquet_dataset(
             [s.path for s in pq_segs],
             override_num_blocks=nb,
             include_paths=include_paths,  # per-record provenance (M2)
@@ -318,7 +326,9 @@ def read_segments(
         # Arrow JSON reader yields string html / ISO-string warc_ts;
         # the conform pass below (or the fused conform in the spill
         # actor) casts them to the canonical wire types.
-        parts.append(ray.data.read_json(
+        from ..state.iofs import read_json_dataset
+
+        parts.append(read_json_dataset(
             [s.path for s in js_segs],
             override_num_blocks=nb,
             include_paths=include_paths,

@@ -155,6 +155,46 @@ def copy_file(src: str, dst: str) -> int:
     return len(data)
 
 
+def list_files_sized(dir_path: str) -> list[tuple[str, str, int]]:
+    """``(name, full_path, size_bytes)`` for files directly under a
+    directory-like prefix, sorted by name — the tailer's listing shape
+    (an S3 LIST returns sizes with the keys; POSIX stats them)."""
+    if is_objstore_path(dir_path):
+        import ray
+
+        from .objstore import _actor, split_objstore_path
+
+        name, key = split_objstore_path(dir_path)
+        try:
+            items = ray.get(
+                _actor(name).list_prefix.remote(key, with_sizes=True)
+            )
+        except FileNotFoundError:
+            return []
+        return sorted(
+            (k.rsplit("/", 1)[-1], f"objstore://{name}/{k}", int(sz))
+            for k, sz in items
+            if not k.endswith("/")
+        )
+    if not os.path.isdir(dir_path):
+        return []
+    out = []
+    for n in sorted(os.listdir(dir_path)):
+        p = os.path.join(dir_path, n)
+        if os.path.isfile(p):
+            out.append((n, p, os.path.getsize(p)))
+    return out
+
+
+def open_binary(path: str):
+    """Open for streaming binary read (ranged on the object store)."""
+    if is_objstore_path(path):
+        from .objstore import ObjStoreFileSystem
+
+        return ObjStoreFileSystem().open(strip_for_fs(path), "rb")
+    return open(path, "rb")
+
+
 def list_subdirs(dir_path: str) -> list[str]:
     """Immediate subdirectory NAMES under a directory-like prefix
     (pseudo-directories on an object store)."""
@@ -175,6 +215,19 @@ def list_subdirs(dir_path: str) -> list[str]:
         n for n in os.listdir(dir_path)
         if os.path.isdir(os.path.join(dir_path, n))
     )
+
+
+def read_json_dataset(paths: list[str], **kwargs):
+    """``ray.data.read_json`` routed by path scheme (see
+    :func:`read_parquet_dataset`)."""
+    import ray.data
+
+    if paths and is_objstore_path(paths[0]):
+        return ray.data.read_json(
+            [strip_for_fs(p) for p in paths],
+            filesystem=pyarrow_fs(), **kwargs,
+        )
+    return ray.data.read_json(paths, **kwargs)
 
 
 def read_parquet_dataset(paths: list[str], **kwargs):

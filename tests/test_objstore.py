@@ -279,6 +279,61 @@ def test_maintenance_lifecycle_on_objstore(bucket, tmp_path):
     assert lake_snapshot(dst).equals(lake_snapshot(obj_lake))
 
 
+def test_wal_tail_from_objstore(bucket, tmp_path):
+    """The reference tails S3 directly (S3HookNewFileMonitor): with the
+    WAL segments in the bucket too, the tailer lists the prefix (sizes
+    come with the keys, like an S3 LIST), watermark-filters, reads the
+    segments through the actor filesystem, and commits — both ends of
+    the pipeline on the object store, final state equal to the
+    all-POSIX run."""
+    from data_hub_ejp_xml_pipeline_ray.sources.wal import (
+        list_segments,
+        wal_gc,
+    )
+    from data_hub_ejp_xml_pipeline_ray.state.iofs import copy_file
+
+    name, _ = bucket
+    local_wal = _wal(tmp_path)
+    obj_wal = f"objstore://{name}/wal"
+    for seg in sorted(os.listdir(local_wal)):
+        copy_file(os.path.join(local_wal, seg), f"{obj_wal}/{seg}")
+    segs = list_segments(obj_wal)
+    assert [s.name for s in segs] == sorted(os.listdir(local_wal))
+    assert all(s.size_bytes > 0 for s in segs)
+    obj_lake = f"objstore://{name}/lake"
+    rep = run_ingest(CdcConfig(wal_dir=obj_wal, lake_dir=obj_lake,
+                               num_partitions=8))
+    assert rep.commits == 1 and rep.events_applied == 1500
+    posix_lake = os.path.join(str(tmp_path), "plake")
+    run_ingest(CdcConfig(wal_dir=local_wal, lake_dir=posix_lake,
+                         num_partitions=8))
+    assert lake_snapshot(obj_lake).equals(lake_snapshot(posix_lake))
+    # WAL retention works against the bucket too (keep_last=0: every
+    # segment at-or-below the committed watermark is reclaimable)
+    out = wal_gc(obj_wal, [obj_lake], keep_last=0)
+    assert out["reclaimed"] == 4
+    assert list_segments(obj_wal) == []
+
+
+def test_predicate_dml_on_objstore(bucket, tmp_path):
+    """DELETE ... WHERE appends its O(matched) delta file to the bucket
+    and the merge-on-read scan hides the rows — same law as POSIX."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dml import delete_where
+
+    name, _ = bucket
+    wal = _wal(tmp_path)
+    obj_lake = f"objstore://{name}/lake"
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=obj_lake, num_partitions=8))
+    before = lake_snapshot(obj_lake)
+    langs = set(before.column("lang").to_pylist())
+    target = sorted(langs)[0]
+    out = delete_where(obj_lake, [["lang", "==", target]])
+    assert out["rows_matched"] > 0
+    after = lake_snapshot(obj_lake)
+    assert target not in set(after.column("lang").to_pylist())
+    assert after.num_rows == before.num_rows - out["rows_matched"]
+
+
 def test_latency_injection_still_correct(bucket, tmp_path):
     name, handle = bucket
     ray.get(handle.set_latency.remote(0.002))
