@@ -425,6 +425,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 t_nested = time.perf_counter() - t0
             shutil.rmtree(edir, ignore_errors=True)
 
+    # Ingest with the LAKE ON THE OBJECT STORE (S3-semantics bucket
+    # actor, 2ms injected RTT): same WAL, same merge — measures the
+    # commit path when every manifest write is a conditional PUT and
+    # every partition file a whole-object PUT. SKIPPED at scaling
+    # volumes.
+    t_objstore = None
+    if n_events <= 2_000_000:
+        from data_hub_ejp_xml_pipeline_ray.state.objstore import (
+            ensure_object_store,
+        )
+
+        h = ensure_object_store("bench", latency_s=0.002)
+        for k in ray.get(h.list_prefix.remote("", recursive=True)):
+            ray.get(h.delete.remote(k))
+        cfg_s = CdcConfig(
+            wal_dir=wal, lake_dir="objstore://bench/lake",
+            num_partitions=64, max_segments_per_batch=64,
+            staging_root=staging_root,
+        )
+        t0 = time.perf_counter()
+        run_ingest(cfg_s)
+        t_objstore = time.perf_counter() - t0
+        for k in ray.get(h.list_prefix.remote("", recursive=True)):
+            ray.get(h.delete.remote(k))
+
     # Dataset-native near-dup clustering under a NATURAL heavy load:
     # ~90k verified pairs keep the candidate stream a Dataset end to
     # end (distinct -> verify -> minlabel_components) — the >50k branch
@@ -579,6 +604,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ),
             "nested_ingest_s": (
                 None if t_nested is None else round(t_nested, 3)
+            ),
+            "objstore_ingest_s": (
+                None if t_objstore is None else round(t_objstore, 3)
             ),
             "heavy_neardup_native_s": (
                 None if t_heavy_dedup is None else round(t_heavy_dedup, 3)

@@ -88,25 +88,18 @@ def list_data_files(dir_path: str, *, recursive: bool = False) -> list[str]:
     """Paths of files under a directory-like prefix (sorted).
     Non-recursive by default, matching ``os.listdir`` call sites."""
     if is_objstore_path(dir_path):
-        store = resolve_store(dir_path)
         if not recursive:
-            return store.list_prefix(dir_path)
-        out, stack = [], [dir_path]
-        seen = set()
-        while stack:
-            d = stack.pop()
-            if d in seen:
-                continue
-            seen.add(d)
-            import ray
+            return resolve_store(dir_path).list_prefix(dir_path)
+        import ray
 
-            from .objstore import split_objstore_path, _actor
+        from .objstore import _actor, split_objstore_path
 
-            name, key = split_objstore_path(d)
-            h = _actor(name)
-            for k in ray.get(h.list_prefix.remote(key, recursive=True)):
-                out.append(f"objstore://{name}/{k}")
-        return sorted(out)
+        name, key = split_objstore_path(dir_path)
+        try:
+            keys = ray.get(_actor(name).list_prefix.remote(key, recursive=True))
+        except FileNotFoundError:
+            return []
+        return sorted(f"objstore://{name}/{k}" for k in keys)
     if not os.path.isdir(dir_path):
         return []
     if not recursive:

@@ -65,6 +65,27 @@ def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_driver_priority_prefix_covers_flagships():
+    # the correctness driver samples a fixed-size registry PREFIX
+    # (insertion order); the flagship CDC/lake family must sit inside
+    # the first 50 entries so its driver rows exist — guard the order
+    # against accidental re-sorting
+    from data_hub_ejp_xml_pipeline_ray.pipelines.queries import QUERIES
+
+    prefix = list(QUERIES)[:50]
+    flagships = {
+        "cdc_lake_state", "cdc_lake_state_objstore", "cdc_lake_state_mor",
+        "cdc_schema_evolution", "cdc_multi_source", "cdc_change_feed",
+        "cdc_dedup_index", "cdc_simhash_index", "cdc_canonical_corpus",
+        "scd2_history", "cdc_delete_where", "cdc_update_where",
+        "cdc_purge", "cdc_wap_publish", "cdc_merge_branch", "cdc_catalog",
+        "cdc_entity_lake", "lake_point_lookup", "lake_bloom_lookup",
+        "incremental_lang_counts", "replica_purchase_pages",
+    }
+    missing = flagships - set(prefix)
+    assert not missing, f"flagships outside the driver prefix: {missing}"
+
+
 def test_query_matches_oracle(name, con):
     ray_df = _to_pandas(QUERIES[name](SF_DIR))
     sql_df = con.execute(ORACLE_SQL[name]).df()
