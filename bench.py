@@ -436,7 +436,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ensure_object_store,
         )
 
-        h = ensure_object_store("bench", latency_s=0.002)
+        h = ensure_object_store("bench")
+        # set explicitly: get_if_exists would keep a prior actor's RTT
+        ray.get(h.set_latency.remote(0.002))
         for k in ray.get(h.list_prefix.remote("", recursive=True)):
             ray.get(h.delete.remote(k))
         cfg_s = CdcConfig(
@@ -470,8 +472,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         heavy_survivors = res["survivors_ds"].count()
         t_heavy_dedup = time.perf_counter() - t0
         heavy_pairs = len(res["pairs"])
-        # the leg is only evidence if the native path actually ran
-        assert heavy_pairs >= PAIR_DRIVER_THRESHOLD, heavy_pairs
+        # the leg is only evidence if the native path actually ran —
+        # record the fact rather than assert (an assert here would cost
+        # the whole bench JSON if corpus/threshold defaults ever move)
+        heavy_native = bool(heavy_pairs >= PAIR_DRIVER_THRESHOLD)
 
     # Change-feed + incremental-view timings on the committed bench
     # lake: the 0->1 feed scans every partition once (insert-only), so
@@ -613,6 +617,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ),
             "heavy_neardup_pairs": heavy_pairs,
             "heavy_neardup_survivors": heavy_survivors,
+            "heavy_neardup_native_path": (
+                None if t_heavy_dedup is None else heavy_native
+            ),
             "dedup_index_build_s": (
                 None if t_idx_build is None else round(t_idx_build, 3)
             ),

@@ -1357,7 +1357,7 @@ def wal_lag(
     ``S3NewKeyFromLastDataDownloadDateSensor``). ``pending_events`` is
     None when a pending segment's format carries no footer row count
     (JSONL)."""
-    import pyarrow.parquet as pq
+    from ..state.iofs import parquet_file
 
     m = load_manifest(lake_dir)
     if m is None:
@@ -1375,7 +1375,7 @@ def wal_lag(
     events: int | None = 0
     for s in segs:
         if s.path.endswith(".parquet"):
-            events += pq.ParquetFile(s.path).metadata.num_rows
+            events += parquet_file(s.path).metadata.num_rows
         else:
             events = None
             break

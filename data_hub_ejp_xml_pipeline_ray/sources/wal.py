@@ -26,7 +26,6 @@ import time
 from dataclasses import dataclass
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data
 
 from ..schemas import conform_table, unify_many
