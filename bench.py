@@ -794,7 +794,13 @@ def run_scaling() -> dict:
     + phase barrier) doesn't dominate either measurement — per the
     BASELINE.md protocol.
     """
-    lo_cpus, hi_cpus = 8, 32
+    # N and 4N are env-tunable: on a shared host whose aggregate memory
+    # bandwidth fluctuates, the 32-way level can hit the BOX's current
+    # ceiling rather than the code's scalability — a 4->16 pair measures
+    # the same criterion below that ceiling (both pairs recorded in
+    # BASELINE.md with the paired-code control)
+    lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     events = os.environ.get("GRAFT_BENCH_EVENTS", "8000000")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     # If the measured efficiency lands below this, the whole two-level
