@@ -64,11 +64,15 @@ _REMOVE_OPS = ("update_preimage", "delete")
 
 
 def _load_state(index_dir: str) -> dict | None:
-    path = os.path.join(index_dir, INDEX_STATE)
-    if not os.path.exists(path):
+    from ..state.store import resolve_store
+
+    try:
+        raw = resolve_store(index_dir).get_bytes(
+            os.path.join(index_dir, INDEX_STATE)
+        )
+    except FileNotFoundError:
         return None
-    with open(path, "r", encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(raw)
 
 
 def _bucket_of(keys: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
@@ -99,8 +103,10 @@ def _rewrite_pair_bucket(
     file name, or None when the bucket emptied. Removal is by URL
     alone: a url has exactly one live pair, and its preimage key named
     this bucket."""
+    from ..state.iofs import read_table as _iofs_read
+
     old = (
-        pq.read_table(os.path.join(index_dir, old_rel))
+        _iofs_read(os.path.join(index_dir, old_rel))
         if old_rel is not None
         else pa.table({"key": pa.array([], pa.string()),
                        "url": pa.array([], pa.string())})
@@ -111,8 +117,10 @@ def _rewrite_pair_bucket(
     merged = pa.concat_tables([old, b_add]) if b_add.num_rows else old
     if merged.num_rows == 0:
         return None
+    from ..state.iofs import write_table_atomic
+
     fname = f"b{bucket:05d}-v{target:06d}.parquet"
-    pq.write_table(
+    write_table_atomic(
         merged.sort_by([("key", "ascending"), ("url", "ascending")]),
         os.path.join(index_dir, fname),
     )
@@ -127,8 +135,10 @@ def _rewrite_band_bucket(
     """SimHash variant of :func:`_rewrite_pair_bucket`: retire the
     url's old rows for exactly the (band, key) combinations its
     preimage signature names."""
+    from ..state.iofs import read_table as _iofs_read
+
     old = (
-        pq.read_table(os.path.join(index_dir, old_rel))
+        _iofs_read(os.path.join(index_dir, old_rel))
         if old_rel is not None
         else pa.table({
             "band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
@@ -147,8 +157,10 @@ def _rewrite_band_bucket(
     merged = pa.concat_tables([old, b_add]) if b_add.num_rows else old
     if merged.num_rows == 0:
         return None
+    from ..state.iofs import write_table_atomic
+
     fname = f"s{bucket:05d}-v{target:06d}.parquet"
-    pq.write_table(
+    write_table_atomic(
         merged.sort_by([("band", "ascending"), ("key", "ascending"),
                         ("url", "ascending")]),
         os.path.join(index_dir, fname),
@@ -197,7 +209,8 @@ def refresh_dedup_index(
             f"{m_target.schema.names} (renamed or dropped by alter_lake?)"
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    if not index_dir.startswith("objstore://"):
+        os.makedirs(index_dir, exist_ok=True)
     prev_files = dict(state["files"]) if state is not None else {}
     if state is None:
         num_buckets = _buckets_from_lake(manifest)
@@ -231,8 +244,10 @@ def refresh_dedup_index(
                 return pa.table({"bucket": pa.array([], pa.int32()),
                                  "file": pa.array([], pa.string())})
             bucket = int(group.column("_bucket")[0].as_py())
+            from ..state.iofs import write_table_atomic
+
             fname = f"b{bucket:05d}-v{target:06d}.parquet"
-            pq.write_table(
+            write_table_atomic(
                 group.drop_columns(["_bucket"]).sort_by(
                     [("key", "ascending"), ("url", "ascending")]
                 ),
@@ -324,12 +339,11 @@ def refresh_dedup_index(
             "num_buckets": num_buckets, "files": new_files,
         }).encode("utf-8"),
     )
+    from ..state.iofs import delete_file as _idel
+
     live = set(new_files.values())
     for fname in set(prev_files.values()) - live:
-        try:
-            os.remove(os.path.join(index_dir, fname))
-        except FileNotFoundError:
-            pass
+        _idel(os.path.join(index_dir, fname))
     return {
         "refreshed": True, "mode": mode, "lake_version": target,
         "buckets_touched": touched,
@@ -356,7 +370,9 @@ def dup_groups(index_dir: str, *, min_urls: int = 2) -> ray.data.Dataset:
         out_n: list = []
         out_u: list = []
         for path in batch.column("path").to_pylist():
-            t = pq.read_table(path)  # written sorted by (key, url)
+            from ..state.iofs import read_table as _rt
+
+            t = _rt(path)  # written sorted by (key, url)
             g = t.group_by("key").aggregate(
                 [("url", "count"), ("url", "min")]
             )
@@ -453,11 +469,13 @@ def refresh_simhash_index(
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     target = manifest.version if at_version is None else int(at_version)
+    from ..state.store import resolve_store as _rs
+
     state_path = os.path.join(index_dir, SIMHASH_STATE)
-    state = None
-    if os.path.exists(state_path):
-        with open(state_path, "r", encoding="utf-8") as f:
-            state = json.load(f)
+    try:
+        state = json.loads(_rs(state_path).get_bytes(state_path))
+    except FileNotFoundError:
+        state = None
     if state is not None and state.get("num_bands") != num_bands:
         raise ValueError(
             f"index built with num_bands={state.get('num_bands')}, "
@@ -489,7 +507,8 @@ def refresh_simhash_index(
             f"{m_target.schema.names} (renamed or dropped by alter_lake?)"
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    if not index_dir.startswith("objstore://"):
+        os.makedirs(index_dir, exist_ok=True)
     prev_files = dict(state["files"]) if state is not None else {}
     if state is None:
         num_buckets = _buckets_from_lake(manifest)
@@ -515,8 +534,10 @@ def refresh_simhash_index(
                 return pa.table({"bucket": pa.array([], pa.int32()),
                                  "file": pa.array([], pa.string())})
             bucket = int(group.column("_bucket")[0].as_py())
+            from ..state.iofs import write_table_atomic
+
             fname = f"s{bucket:05d}-v{target:06d}.parquet"
-            pq.write_table(
+            write_table_atomic(
                 group.drop_columns(["_bucket"]).sort_by(
                     [("band", "ascending"), ("key", "ascending"),
                      ("url", "ascending")]
@@ -598,12 +619,11 @@ def refresh_simhash_index(
             "files": new_files,
         }).encode("utf-8"),
     )
+    from ..state.iofs import delete_file as _idel
+
     live = set(new_files.values())
     for fname in set(prev_files.values()) - live:
-        try:
-            os.remove(os.path.join(index_dir, fname))
-        except FileNotFoundError:
-            pass
+        _idel(os.path.join(index_dir, fname))
     return {
         "refreshed": True, "mode": mode, "lake_version": target,
         "buckets_touched": touched,
@@ -623,11 +643,13 @@ def near_dup_clusters(
     from ..functions.hashing import UnionFind
     from ..stages.dedup import CAP_MARKER, simhash_verify_table
 
+    from ..state.store import resolve_store as _rs_sh
+
     state_path = os.path.join(index_dir, SIMHASH_STATE)
-    if not os.path.exists(state_path):
+    try:
+        state = json.loads(_rs_sh(state_path).get_bytes(state_path))
+    except FileNotFoundError:
         raise FileNotFoundError(f"no simhash index at {index_dir}")
-    with open(state_path, "r", encoding="utf-8") as f:
-        state = json.load(f)
     num_bands = int(state["num_bands"])
     paths = [os.path.join(index_dir, f) for f in state["files"].values()]
     out_schema = pa.schema([
@@ -639,8 +661,10 @@ def near_dup_clusters(
     def verify_bucket(batch: pa.Table) -> pa.Table:
         out_a: list[str] = []
         out_b: list[str] = []
+        from ..state.iofs import read_table as _rt
+
         for path in batch.column("path").to_pylist():
-            t = pq.read_table(path)
+            t = _rt(path)
             urls = t.column("url").combine_chunks() if isinstance(
                 t.column("url"), pa.ChunkedArray) else t.column("url")
             enc = pc.dictionary_encode(urls)
@@ -821,9 +845,11 @@ def dup_drop_urls(index_dir: str) -> ray.data.Dataset:
         return ray.data.from_arrow(pa.table({"url": pa.array([], pa.string())}))
 
     def drops_of(batch: pa.Table) -> pa.Table:
+        from ..state.iofs import read_table as _rt
+
         out: list = []
         for path in batch.column("path").to_pylist():
-            t = pq.read_table(path)
+            t = _rt(path)
             g = t.group_by("key").aggregate([("url", "min")])
             mins = pa.table({
                 "key": g.column("key"), "min_url": g.column("url_min"),
@@ -856,7 +882,9 @@ def index_pairs(index_dir: str) -> ray.data.Dataset:
             pa.table({"key": pa.array([], pa.string()),
                       "url": pa.array([], pa.string())})
         )
-    return ray.data.read_parquet(paths)
+    from ..state.iofs import read_parquet_dataset
+
+    return read_parquet_dataset(paths)
 
 
 def fsck_index(index_dir: str) -> dict:
@@ -866,14 +894,20 @@ def fsck_index(index_dir: str) -> dict:
     files are counted as orphans (crash leftovers — harmless, removed
     by the next successful publish). Returns ``{"ok": bool, ...}``;
     the CLI surfaces it via ``dedup-index --fsck``."""
-    import glob as _glob
+    from ..state.iofs import (
+        file_exists as _fex,
+        list_data_files as _ldf,
+        parquet_file as _pf,
+    )
+    from ..state.store import resolve_store as _rs_f
 
     states = []
     for name in (INDEX_STATE, SIMHASH_STATE):
         path = os.path.join(index_dir, name)
-        if os.path.exists(path):
-            with open(path, "r", encoding="utf-8") as f:
-                states.append((name, json.load(f)))
+        try:
+            states.append((name, json.loads(_rs_f(path).get_bytes(path))))
+        except FileNotFoundError:
+            pass
     if not states:
         return {"ok": False, "error": f"no index state at {index_dir}"}
     missing: list[str] = []
@@ -883,14 +917,17 @@ def fsck_index(index_dir: str) -> dict:
         for fname in st.get("files", {}).values():
             referenced.add(fname)
             path = os.path.join(index_dir, fname)
-            if not os.path.exists(path):
+            if not _fex(path):
                 missing.append(fname)
-            elif pq.ParquetFile(path).metadata.num_rows == 0:
+            elif _pf(path).metadata.num_rows == 0:
                 empty.append(fname)
+    import fnmatch as _fnm
+
     on_disk = {
-        os.path.basename(p)
-        for pat in ("b*-v*.parquet", "s*-v*.parquet")
-        for p in _glob.glob(os.path.join(index_dir, pat))
+        p.rsplit("/", 1)[-1]
+        for p in _ldf(index_dir)
+        if _fnm.fnmatch(p.rsplit("/", 1)[-1], "b*-v*.parquet")
+        or _fnm.fnmatch(p.rsplit("/", 1)[-1], "s*-v*.parquet")
     }
     orphans = sorted(on_disk - referenced)
     return {

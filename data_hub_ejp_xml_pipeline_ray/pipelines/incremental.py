@@ -57,11 +57,15 @@ _OP_SIGN = {
 
 
 def _load_state(view_dir: str) -> dict | None:
-    path = os.path.join(view_dir, VIEW_STATE)
-    if not os.path.exists(path):
+    from ..state.store import resolve_store
+
+    try:
+        raw = resolve_store(view_dir).get_bytes(
+            os.path.join(view_dir, VIEW_STATE)
+        )
+    except FileNotFoundError:
         return None
-    with open(path, "r", encoding="utf-8") as f:
-        return json.load(f)
+    return json.loads(raw)
 
 
 def _metric_type(t: pa.DataType) -> pa.DataType:
@@ -290,11 +294,10 @@ def refresh_live_stats(
             stats = merged.to_arrow().cast(old_tab.to_arrow().schema)
         mode = "incremental"
 
-    os.makedirs(view_dir, exist_ok=True)
-    fname = f"stats-v{target:06d}.parquet"
-    import pyarrow.parquet as pq
+    from ..state.iofs import write_table_atomic
 
-    pq.write_table(
+    fname = f"stats-v{target:06d}.parquet"
+    write_table_atomic(
         stats.sort_by([(k, "ascending") for k in keys]),
         os.path.join(view_dir, fname),
     )
@@ -310,10 +313,9 @@ def refresh_live_stats(
         }).encode("utf-8"),
     )
     if prev_file is not None and prev_file != fname:
-        try:
-            os.remove(os.path.join(view_dir, prev_file))
-        except FileNotFoundError:
-            pass
+        from ..state.iofs import delete_file
+
+        delete_file(os.path.join(view_dir, prev_file))
     return {
         "refreshed": True, "mode": mode, "lake_version": target,
         "keys": stats.num_rows,
@@ -435,11 +437,13 @@ def _refresh_affected_key(
     if manifest is None:
         raise FileNotFoundError(f"no committed lake at {lake_dir}")
     target = manifest.version if at_version is None else int(at_version)
+    from ..state.store import resolve_store as _rs
+
     spath = os.path.join(view_dir, state_file)
-    state = None
-    if os.path.exists(spath):
-        with open(spath, "r", encoding="utf-8") as f:
-            state = json.load(f)
+    try:
+        state = json.loads(_rs(spath).get_bytes(spath))
+    except FileNotFoundError:
+        state = None
     if state is not None and any(
         state.get(k) != v for k, v in signature.items()
     ):
@@ -498,11 +502,10 @@ def _refresh_affected_key(
             mode = "incremental"
             recomputed = len(affected)
 
-    os.makedirs(view_dir, exist_ok=True)
-    fname = f"{fname_prefix}-v{target:06d}.parquet"
-    import pyarrow.parquet as pq
+    from ..state.iofs import write_table_atomic
 
-    pq.write_table(
+    fname = f"{fname_prefix}-v{target:06d}.parquet"
+    write_table_atomic(
         view.sort_by([(key, "ascending")]), os.path.join(view_dir, fname)
     )
     from ..state.store import resolve_store
@@ -514,10 +517,9 @@ def _refresh_affected_key(
         }).encode("utf-8"),
     )
     if prev_file is not None and prev_file != fname:
-        try:
-            os.remove(os.path.join(view_dir, prev_file))
-        except FileNotFoundError:
-            pass
+        from ..state.iofs import delete_file
+
+        delete_file(os.path.join(view_dir, prev_file))
     return {
         "refreshed": True, "mode": mode, "lake_version": target,
         "keys": view.num_rows, "keys_recomputed": recomputed,
@@ -595,26 +597,30 @@ def refresh_live_distinct(
 
 def read_distinct_view(view_dir: str) -> pa.Table:
     """The committed count-distinct view as an Arrow table."""
-    spath = os.path.join(view_dir, DISTINCT_STATE)
-    if not os.path.exists(spath):
-        raise FileNotFoundError(f"no committed distinct view at {view_dir}")
-    with open(spath, "r", encoding="utf-8") as f:
-        state = json.load(f)
-    import pyarrow.parquet as pq
+    from ..state.store import resolve_store as _rs3
 
-    return pq.read_table(os.path.join(view_dir, state["file"]))
+    spath = os.path.join(view_dir, DISTINCT_STATE)
+    try:
+        state = json.loads(_rs3(spath).get_bytes(spath))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no committed distinct view at {view_dir}")
+    from ..state.iofs import read_table
+
+    return read_table(os.path.join(view_dir, state["file"]))
 
 
 def read_extrema_view(view_dir: str) -> pa.Table:
     """The committed extrema view as an Arrow table, sorted by key."""
-    spath = os.path.join(view_dir, EXTREMA_STATE)
-    if not os.path.exists(spath):
-        raise FileNotFoundError(f"no committed extrema view at {view_dir}")
-    with open(spath, "r", encoding="utf-8") as f:
-        state = json.load(f)
-    import pyarrow.parquet as pq
+    from ..state.store import resolve_store as _rs2
 
-    return pq.read_table(os.path.join(view_dir, state["file"]))
+    spath = os.path.join(view_dir, EXTREMA_STATE)
+    try:
+        state = json.loads(_rs2(spath).get_bytes(spath))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no committed extrema view at {view_dir}")
+    from ..state.iofs import read_table
+
+    return read_table(os.path.join(view_dir, state["file"]))
 
 
 def read_view(view_dir: str) -> pa.Table:
@@ -624,4 +630,6 @@ def read_view(view_dir: str) -> pa.Table:
         raise FileNotFoundError(f"no committed view at {view_dir}")
     import pyarrow.parquet as pq
 
-    return pq.read_table(os.path.join(view_dir, state["file"]))
+    from ..state.iofs import read_table
+
+    return read_table(os.path.join(view_dir, state["file"]))

@@ -88,10 +88,14 @@ def sync_replica(
                 if predicate is not None else None)
         ),
     }
+    from ..state.store import resolve_store as _rs
+
     conf_path = os.path.join(replica_dir, REPLICA_STATE)
-    if os.path.exists(conf_path):
-        with open(conf_path, "r", encoding="utf-8") as f:
-            prev_conf = _json.load(f)
+    try:
+        prev_conf = _json.loads(_rs(conf_path).get_bytes(conf_path))
+    except FileNotFoundError:
+        prev_conf = None
+    if prev_conf is not None:
         if prev_conf != conf:
             raise ValueError(
                 f"replica {replica_dir} was built with {prev_conf}, "
@@ -161,7 +165,8 @@ def sync_replica(
     def apply(group: pa.Table) -> pa.Table:
         import numpy as np
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+
+        from ..state.iofs import read_table as _iofs_read
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
@@ -182,7 +187,7 @@ def sync_replica(
         if old_rel is not None:
             old = conform_table(
                 apply_renames(
-                    pq.read_table(os.path.join(replica_dir, old_rel)),
+                    _iofs_read(os.path.join(replica_dir, old_rel)),
                     src_renames,
                 ),
                 schema,
@@ -198,10 +203,9 @@ def sync_replica(
         rel = partition_file_relpath(part, token)
         out_path = os.path.join(replica_dir, rel)
         if new.num_rows:
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            tmp = out_path + ".inprogress"
-            pq.write_table(new.sort_by("url"), tmp)
-            os.replace(tmp, out_path)
+            from ..state.iofs import write_table_atomic
+
+            write_table_atomic(new.sort_by("url"), out_path)
         return pa.table({
             "part": pa.array([part], pa.int64()),
             "rel": pa.array([rel if new.num_rows else None], pa.string()),
@@ -232,10 +236,12 @@ def sync_replica(
             new_partitions.pop(part, None)
             new_meta.pop(part, None)
         else:
+            from ..state.iofs import file_size as _fsize
+
             new_partitions[part] = row["rel"]
             new_meta[part] = {
                 "rows": int(row["rows"]), "tombstones": 0,
-                "bytes": os.path.getsize(
+                "bytes": _fsize(
                     os.path.join(replica_dir, row["rel"])
                 ),
                 "modulus": num_p,

@@ -294,14 +294,12 @@ def list_branches(lake_dir: str, *, store: Store | None = None) -> list[str]:
     root = os.path.join(lake_dir, BRANCHES_DIR)
     store = store if store is not None else resolve_store(lake_dir)
     if lake_dir.startswith("objstore://"):
-        from .objstore import _actor, split_objstore_path
-
-        import ray
+        from .objstore import _actor, _call, split_objstore_path
 
         sname, key = split_objstore_path(root)
         names = [
             k.rstrip("/").rsplit("/", 1)[-1]
-            for k in ray.get(_actor(sname).list_prefix.remote(key))
+            for k in _call(_actor(sname), "list_prefix", key)
             if k.endswith("/")
         ]
     elif os.path.isdir(root):

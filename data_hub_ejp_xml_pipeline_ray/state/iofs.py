@@ -90,13 +90,11 @@ def list_data_files(dir_path: str, *, recursive: bool = False) -> list[str]:
     if is_objstore_path(dir_path):
         if not recursive:
             return resolve_store(dir_path).list_prefix(dir_path)
-        import ray
-
-        from .objstore import _actor, split_objstore_path
+        from .objstore import _actor, _call, split_objstore_path
 
         name, key = split_objstore_path(dir_path)
         try:
-            keys = ray.get(_actor(name).list_prefix.remote(key, recursive=True))
+            keys = _call(_actor(name), "list_prefix", key, True)
         except FileNotFoundError:
             return []
         return sorted(f"objstore://{name}/{k}" for k in keys)
@@ -153,15 +151,11 @@ def list_files_sized(dir_path: str) -> list[tuple[str, str, int]]:
     directory-like prefix, sorted by name — the tailer's listing shape
     (an S3 LIST returns sizes with the keys; POSIX stats them)."""
     if is_objstore_path(dir_path):
-        import ray
-
-        from .objstore import _actor, split_objstore_path
+        from .objstore import _actor, _call, split_objstore_path
 
         name, key = split_objstore_path(dir_path)
         try:
-            items = ray.get(
-                _actor(name).list_prefix.remote(key, with_sizes=True)
-            )
+            items = _call(_actor(name), "list_prefix", key, False, True)
         except FileNotFoundError:
             return []
         return sorted(
@@ -192,14 +186,12 @@ def list_subdirs(dir_path: str) -> list[str]:
     """Immediate subdirectory NAMES under a directory-like prefix
     (pseudo-directories on an object store)."""
     if is_objstore_path(dir_path):
-        import ray
-
-        from .objstore import _actor, split_objstore_path
+        from .objstore import _actor, _call, split_objstore_path
 
         name, key = split_objstore_path(dir_path)
         return sorted(
             k.rstrip("/").rsplit("/", 1)[-1]
-            for k in ray.get(_actor(name).list_prefix.remote(key))
+            for k in _call(_actor(name), "list_prefix", key)
             if k.endswith("/")
         )
     if not os.path.isdir(dir_path):

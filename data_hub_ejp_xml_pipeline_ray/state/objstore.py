@@ -152,7 +152,7 @@ class ObjectStoreService:
         del self._blobs[key]
         return True
 
-    def list_prefix(self, prefix: str, *, recursive: bool = False,
+    def list_prefix(self, prefix: str, recursive: bool = False,
                     with_sizes: bool = False):
         """Keys under a ``/``-delimited prefix (sorted). Non-recursive
         mimics ``Delimiter=/`` listing: immediate children only, with
@@ -201,6 +201,33 @@ def _actor(name: str):
         ) from e
 
 
+def _call(handle, method: str, *args):
+    """``ray.get(handle.<method>.remote(*args))`` with bounded retry on
+    ``ActorUnavailableError`` — Ray's per-caller ordered delivery can
+    stall an actor call behind a lost earlier message from a short-
+    lived Ray Data worker ("Server timed out ... earlier seq_no"); the
+    error is documented as retryable. Every operation here is safe to
+    retry: reads/lists are pure, data PUTs are idempotent same-bytes
+    writes of content-addressed keys, and the conditional ops fail
+    CLOSED on a duplicate execution (a repeated ``put_if_absent`` /
+    ``replace_if_matches`` whose first attempt actually landed reports
+    a lost race, which every caller already handles — the commit
+    protocol's crashed-retry path re-reads and converges)."""
+    import time as _time
+
+    import ray
+    from ray.exceptions import ActorUnavailableError
+
+    last: Exception | None = None
+    for attempt in range(5):
+        try:
+            return ray.get(getattr(handle, method).remote(*args))
+        except ActorUnavailableError as e:
+            last = e
+            _time.sleep(min(2.0, 0.2 * (2 ** attempt)))
+    raise last
+
+
 class RayObjectStore(Store):
     """:class:`~.store.Store` over :class:`ObjectStoreService` actors.
     Paths are full ``objstore://name/key`` URLs; one client instance
@@ -221,66 +248,48 @@ class RayObjectStore(Store):
         return h, key
 
     def get_bytes(self, path: str) -> bytes:
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.get.remote(key))
+        return _call(h, "get", key)
 
     def put_atomic(self, path: str, data: bytes) -> None:
-        import ray
-
         h, key = self._h(path)
-        ray.get(h.put.remote(key, data))
+        _call(h, "put", key, data)
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.put_if_none_match.remote(key, data))
+        return _call(h, "put_if_none_match", key, data)
 
     def replace_if_matches(self, path: str, expected: bytes, data: bytes) -> bool:
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.put_if_match.remote(key, expected, data))
+        return _call(h, "put_if_match", key, expected, data)
 
     def delete(self, path: str) -> bool:
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.delete.remote(key))
+        return _call(h, "delete", key)
 
     def delete_if_matches(self, path: str, expected: bytes) -> bool:
         # server-side conditional delete: atomic at the bucket, not
         # read-verify-delete at the client
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.delete_if_match.remote(key, expected))
+        return _call(h, "delete_if_match", key, expected)
 
     def exists(self, path: str) -> bool:
-        import ray
-
         h, key = self._h(path)
-        return ray.get(h.head.remote(key)) is not None
+        return _call(h, "head", key) is not None
 
     def size(self, path: str) -> int:
-        import ray
-
         h, key = self._h(path)
-        n = ray.get(h.head.remote(key))
+        n = _call(h, "head", key)
         if n is None:
             raise FileNotFoundError(path)
         return n
 
     def list_prefix(self, prefix: str) -> list[str]:
-        import ray
-
         h, key = self._h(prefix)
         name, _ = split_objstore_path(prefix)
         return [
             f"{OBJSTORE_SCHEME}{name}/{k}"
-            for k in ray.get(h.list_prefix.remote(key))
+            for k in _call(h, "list_prefix", key)
             if not k.endswith("/")
         ]
 
@@ -324,26 +333,20 @@ class ObjStoreFileSystem(AbstractFileSystem):
         return _actor(name), name, key
 
     def info(self, path, **kwargs):
-        import ray
-
         h, name, key = self._split(path)
-        size = ray.get(h.head.remote(key))
+        size = _call(h, "head", key)
         if size is not None:
             return {"name": f"{name}/{key}", "size": size, "type": "file"}
-        if ray.get(h.list_prefix.remote(key)):
+        if _call(h, "list_prefix", key):
             return {"name": f"{name}/{key}", "size": 0, "type": "directory"}
         if key == "":  # the bucket root always exists
             return {"name": name, "size": 0, "type": "directory"}
         raise FileNotFoundError(path)
 
     def ls(self, path, detail=True, **kwargs):
-        import ray
-
         h, name, key = self._split(path)
         entries = []
-        for k, size in ray.get(
-            h.list_prefix.remote(key, with_sizes=True)
-        ):
+        for k, size in _call(h, "list_prefix", key, True, True):
             if k.endswith("/"):
                 entries.append({"name": f"{name}/{k.rstrip('/')}",
                                 "size": 0, "type": "directory"})
@@ -365,22 +368,16 @@ class ObjStoreFileSystem(AbstractFileSystem):
             return False
 
     def cat_file(self, path, start=None, end=None, **kwargs):
-        import ray
-
         h, _, key = self._split(path)
-        return ray.get(h.get.remote(key, start, end))
+        return _call(h, "get", key, start, end)
 
     def pipe_file(self, path, value, **kwargs):
-        import ray
-
         h, _, key = self._split(path)
-        ray.get(h.put.remote(key, bytes(value)))
+        _call(h, "put", key, bytes(value))
 
     def rm_file(self, path):
-        import ray
-
         h, _, key = self._split(path)
-        ray.get(h.delete.remote(key))
+        _call(h, "delete", key)
 
     _rm = rm_file
 

@@ -334,6 +334,57 @@ def test_predicate_dml_on_objstore(bucket, tmp_path):
     assert after.num_rows == before.num_rows - out["rows_matched"]
 
 
+def test_consumers_on_objstore(bucket, tmp_path):
+    """Downstream consumer stores live in the bucket too: incremental
+    view, replica table, and both maintained dedup indexes keep their
+    state + parquet in objstore:// dirs, refreshed from an objstore
+    lake's change feed — every result equal to the POSIX twin."""
+    from data_hub_ejp_xml_pipeline_ray.pipelines.dedup_index import (
+        fsck_index,
+        index_pairs,
+        refresh_dedup_index,
+        refresh_simhash_index,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.incremental import (
+        read_view,
+        refresh_live_counts,
+    )
+    from data_hub_ejp_xml_pipeline_ray.pipelines.replicate import (
+        sync_replica,
+    )
+
+    name, _ = bucket
+    wal = _wal(tmp_path)
+    obj_lake = f"objstore://{name}/lake"
+    posix_lake = os.path.join(str(tmp_path), "plake")
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=obj_lake, num_partitions=8))
+    run_ingest(CdcConfig(wal_dir=wal, lake_dir=posix_lake, num_partitions=8))
+
+    ov, pv = f"objstore://{name}/view", os.path.join(str(tmp_path), "pview")
+    refresh_live_counts(obj_lake, ov)
+    refresh_live_counts(posix_lake, pv)
+    assert read_view(ov).equals(read_view(pv))
+
+    orp = f"objstore://{name}/replica"
+    prp = os.path.join(str(tmp_path), "preplica")
+    sync_replica(obj_lake, orp)
+    sync_replica(posix_lake, prp)
+    assert lake_snapshot(orp).equals(lake_snapshot(prp))
+
+    oi, pi = f"objstore://{name}/idx", os.path.join(str(tmp_path), "pidx")
+    refresh_dedup_index(obj_lake, oi)
+    refresh_dedup_index(posix_lake, pi)
+    at = index_pairs(oi).take_all()
+    bt = index_pairs(pi).take_all()
+    assert sorted((r["key"], r["url"]) for r in at) == sorted(
+        (r["key"], r["url"]) for r in bt
+    )
+    osim = f"objstore://{name}/sim"
+    refresh_simhash_index(obj_lake, osim)
+    assert fsck_index(oi)["ok"]
+    assert fsck_index(osim)["ok"]
+
+
 def test_latency_injection_still_correct(bucket, tmp_path):
     name, handle = bucket
     ray.get(handle.set_latency.remote(0.002))
