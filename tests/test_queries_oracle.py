@@ -64,7 +64,6 @@ def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
                 assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r}"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_driver_priority_prefix_covers_flagships():
     # the correctness driver samples a fixed-size registry PREFIX
     # (insertion order); the flagship CDC/lake family must sit inside
@@ -86,6 +85,7 @@ def test_driver_priority_prefix_covers_flagships():
     assert not missing, f"flagships outside the driver prefix: {missing}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, con):
     ray_df = _to_pandas(QUERIES[name](SF_DIR))
     sql_df = con.execute(ORACLE_SQL[name]).df()
