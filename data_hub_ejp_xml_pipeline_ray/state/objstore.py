@@ -33,6 +33,14 @@ real object store:
 Data files stay immutable whole-object PUTs (content-addressed names,
 see ``store.py``'s data-plane note), so no rename/append is ever
 needed; the only conditional writes are the tiny metadata blobs.
+
+One honesty note on the emulator: a real bucket outlives the Ray
+cluster, while a detached actor dies with the session — so
+DRIVER-PROCESS-death resume is exercised against the emulator via
+in-session mutation-fault injection (``fail_after``: the writer's
+storage calls start failing mid-protocol, state retained), which
+tests the identical recovery code path; the POSIX chaos suite
+(``tests/test_chaos.py``) covers literal SIGKILL resume.
 """
 from __future__ import annotations
 
