@@ -693,7 +693,21 @@ def run_soak() -> dict:
     shutil.rmtree(base, ignore_errors=True)
     pending = os.path.join(base, "pending")   # pre-generated stream
     wal = os.path.join(base, "wal")           # what the tailer sees
-    lake = os.path.join(base, "lake")
+    # GRAFT_SOAK_OBJSTORE=1: the lake (and index dirs) live on the
+    # S3-semantics bucket actor — the steady-state loop measured against
+    # object storage instead of the local disk
+    on_bucket = os.environ.get("GRAFT_SOAK_OBJSTORE") == "1"
+    if on_bucket:
+        from data_hub_ejp_xml_pipeline_ray.state.objstore import (
+            ensure_object_store,
+        )
+
+        h = ensure_object_store("soak")
+        for k in ray.get(h.list_prefix.remote("", recursive=True)):
+            ray.get(h.delete.remote(k))
+        lake = "objstore://soak/lake"
+    else:
+        lake = os.path.join(base, "lake")
     os.makedirs(wal, exist_ok=True)
     generate_wal(
         pending, seed=9000, n_urls=max(2000, commits * ev_per // 40),
@@ -708,7 +722,10 @@ def run_soak() -> dict:
         wal_dir=wal, lake_dir=lake, num_partitions=32,
         merge_mode="mor", retain_versions=2,
     )
-    idx_dir, sim_dir = os.path.join(base, "idx"), os.path.join(base, "sim")
+    if on_bucket:
+        idx_dir, sim_dir = "objstore://soak/idx", "objstore://soak/sim"
+    else:
+        idx_dir, sim_dir = os.path.join(base, "idx"), os.path.join(base, "sim")
     lat = {"ingest": [], "dedup_idx": [], "simhash_idx": [], "maintain": []}
     extras = []
     for i, name in enumerate(segs):
@@ -749,15 +766,19 @@ def run_soak() -> dict:
             "p99_last": pctl(xs[-third:], 0.99),
         }
 
+    from data_hub_ejp_xml_pipeline_ray.state.iofs import list_data_files
+
     m = load_manifest(lake)
-    data_files = sum(
-        1 for _ in os.listdir(os.path.join(lake, "data"))
-    ) if os.path.isdir(os.path.join(lake, "data")) else 0
+    data_files = len(list_data_files(os.path.join(lake, "data")))
     lag = wal_lag(lake, wal)
     import json as _json
 
+    from data_hub_ejp_xml_pipeline_ray.state.store import resolve_store
+
     idx_state = _json.loads(
-        open(os.path.join(idx_dir, "_dedup_index.json")).read()
+        resolve_store(idx_dir).get_bytes(
+            os.path.join(idx_dir, "_dedup_index.json")
+        )
     )
     out = {
         "metric": "soak_commit_latency (trickle MOR + index refresh + "
@@ -765,6 +786,7 @@ def run_soak() -> dict:
         "unit": "sec",
         "commits": commits,
         "events_per_commit": ev_per,
+        "lake_backend": "objstore" if on_bucket else "posix",
         "num_cpus": num_cpus,
         "latency": {k: drift(v) for k, v in lat.items()},
         "total_wall_s": round(sum(sum(v) for v in lat.values()), 1),

@@ -76,28 +76,43 @@ class ObjectStoreService:
     ``store.InMemoryCASStore``)."""
 
     def __init__(self, latency_s: float = 0.0):
+        import threading
+
         self._blobs: dict[str, bytes] = {}
         self._latency_s = latency_s
         self._fail_after: int | None = None
         self.mutations = 0
+        # the actor runs THREADED (max_concurrency in
+        # ensure_object_store): Ray's per-caller ordered delivery to a
+        # synchronous actor stalls 30 s waiting for a lost earlier
+        # message from a short-lived Data worker ("earlier seq_no"),
+        # which at trickle cadence lands on every commit's critical
+        # path; a threaded actor dispatches out of order, so the lock
+        # below provides the conditional-write atomicity instead
+        self._lock = threading.Lock()
 
     # -- test hooks ---------------------------------------------------
     def set_latency(self, latency_s: float) -> None:
         self._latency_s = latency_s
 
     def fail_after(self, n: int | None) -> None:
-        self._fail_after = n
-        self.mutations = 0
+        with self._lock:
+            self._fail_after = n
+            self.mutations = 0
 
     def stats(self) -> dict:
-        return {"objects": len(self._blobs), "mutations": self.mutations,
-                "bytes": sum(len(b) for b in self._blobs.values())}
+        with self._lock:
+            return {
+                "objects": len(self._blobs), "mutations": self.mutations,
+                "bytes": sum(len(b) for b in self._blobs.values()),
+            }
 
     def _lat(self) -> None:
         if self._latency_s:
             time.sleep(self._latency_s)
 
     def _tick(self) -> None:
+        # caller holds self._lock
         if self._fail_after is not None and self.mutations >= self._fail_after:
             from .store import InjectedFault
 
@@ -110,9 +125,10 @@ class ObjectStoreService:
     def get(self, key: str, start: int | None = None,
             end: int | None = None) -> bytes:
         self._lat()
-        if key not in self._blobs:
-            raise FileNotFoundError(key)
-        data = self._blobs[key]
+        with self._lock:
+            if key not in self._blobs:
+                raise FileNotFoundError(key)
+            data = self._blobs[key]
         if start is None and end is None:
             return data
         return data[start or 0: end if end is not None else len(data)]
@@ -120,45 +136,51 @@ class ObjectStoreService:
     def head(self, key: str) -> int | None:
         """Size, or None when absent (HEAD)."""
         self._lat()
-        data = self._blobs.get(key)
+        with self._lock:
+            data = self._blobs.get(key)
         return None if data is None else len(data)
 
     def put(self, key: str, data: bytes) -> None:
         self._lat()
-        self._tick()
-        self._blobs[key] = bytes(data)
+        with self._lock:
+            self._tick()
+            self._blobs[key] = bytes(data)
 
     def put_if_none_match(self, key: str, data: bytes) -> bool:
         """Conditional create (``If-None-Match: *``)."""
         self._lat()
-        self._tick()
-        if key in self._blobs:
-            return False
-        self._blobs[key] = bytes(data)
-        return True
+        with self._lock:
+            self._tick()
+            if key in self._blobs:
+                return False
+            self._blobs[key] = bytes(data)
+            return True
 
     def put_if_match(self, key: str, expected: bytes, data: bytes) -> bool:
         """Conditional replace (``If-Match``; the emulator compares the
         bytes the caller read — content-addressed etag semantics)."""
         self._lat()
-        self._tick()
-        if self._blobs.get(key) != expected:
-            return False
-        self._blobs[key] = bytes(data)
-        return True
+        with self._lock:
+            self._tick()
+            if self._blobs.get(key) != expected:
+                return False
+            self._blobs[key] = bytes(data)
+            return True
 
     def delete(self, key: str) -> bool:
         self._lat()
-        self._tick()
-        return self._blobs.pop(key, None) is not None
+        with self._lock:
+            self._tick()
+            return self._blobs.pop(key, None) is not None
 
     def delete_if_match(self, key: str, expected: bytes) -> bool:
         self._lat()
-        self._tick()
-        if self._blobs.get(key) != expected:
-            return False
-        del self._blobs[key]
-        return True
+        with self._lock:
+            self._tick()
+            if self._blobs.get(key) != expected:
+                return False
+            del self._blobs[key]
+            return True
 
     def list_prefix(self, prefix: str, recursive: bool = False,
                     with_sizes: bool = False):
@@ -168,12 +190,15 @@ class ObjectStoreService:
         self._lat()
         pre = prefix.rstrip("/") + "/" if prefix else ""
         out: dict[str, int | None] = {}
-        for k, v in self._blobs.items():
-            if not k.startswith(pre):
-                continue
+        with self._lock:
+            snapshot = {
+                k: len(v) for k, v in self._blobs.items()
+                if k.startswith(pre)
+            }
+        for k, n in snapshot.items():
             tail = k[len(pre):]
             if recursive or "/" not in tail:
-                out[k] = len(v)
+                out[k] = n
             else:
                 out[pre + tail.split("/", 1)[0] + "/"] = None
         items = sorted(out.items())
@@ -192,6 +217,11 @@ def ensure_object_store(name: str, *, latency_s: float = 0.0):
         .options(
             name=name, namespace=_NAMESPACE, lifetime="detached",
             get_if_exists=True, num_cpus=0,
+            # threaded: out-of-order dispatch sidesteps the per-caller
+            # seq_no ordering stall (see ObjectStoreService.__init__);
+            # atomicity comes from the service's own lock, exactly like
+            # a real bucket's server-side arbitration
+            max_concurrency=16,
         )
         .remote(latency_s=latency_s)
     )

@@ -79,6 +79,45 @@ def test_store_primitives(bucket):
     assert store.delete(p) is False
 
 
+def test_threaded_actor_conditionals_single_winner(bucket):
+    """The bucket actor runs THREADED (out-of-order dispatch sidesteps
+    Ray's per-caller seq_no ordering stall) — conditional-write
+    atomicity therefore rests on its internal lock: hammer each
+    conditional from parallel Ray tasks, exactly one winner each."""
+    name, _ = bucket
+
+    @ray.remote(num_cpus=0)
+    def race_create(i):
+        return resolve_store("objstore://x").put_if_absent(
+            f"objstore://{name}/race/key", f"w{i}".encode()
+        )
+
+    wins = ray.get([race_create.remote(i) for i in range(16)])
+    assert sum(wins) == 1
+    store = resolve_store(f"objstore://{name}/x")
+    base = store.get_bytes(f"objstore://{name}/race/key")
+
+    @ray.remote(num_cpus=0)
+    def race_swap(i):
+        return resolve_store("objstore://x").replace_if_matches(
+            f"objstore://{name}/race/key", base, f"s{i}".encode()
+        )
+
+    wins = ray.get([race_swap.remote(i) for i in range(16)])
+    assert sum(wins) == 1
+    cur = store.get_bytes(f"objstore://{name}/race/key")
+
+    @ray.remote(num_cpus=0)
+    def race_delete(i):
+        return resolve_store("objstore://x").delete_if_matches(
+            f"objstore://{name}/race/key", cur
+        )
+
+    wins = ray.get([race_delete.remote(i) for i in range(16)])
+    assert sum(wins) == 1
+    assert not store.exists(f"objstore://{name}/race/key")
+
+
 def test_commit_chain_and_cas_on_objstore(bucket):
     name, _ = bucket
     lake = f"objstore://{name}/lake"
